@@ -1,0 +1,247 @@
+"""Text functions: tokenize/normalize (reference T1/T2), truncation (P5),
+and the [EXT] text-analysis suite (language-ID, quality scoring, token
+counting, fingerprinting) for LLM-data pipelines.
+
+Reference parity: T1 tokenization + T2 `CommonPreprocessor` lowercase/strip
+(`Word2VecTransformingIterator.java:55-56,95`) become one JVM-side
+expression: ``filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')``.
+P5 truncation (`:104-105`, cap 256) is ``slice(tokens, 1, n)``.
+
+Everything here is pure `pyspark.sql.functions` — whole-stage-codegen'd,
+no Python in the hot path. Each op keeps an exactly-equivalent DuckDB SQL
+fragment next to it so oracle queries stay in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# DuckDB fragment equivalent to tokens(); keep in sync with tokens() below.
+DUCK_TOKENS = "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t != '')"
+
+
+def tokens(col: Column | str) -> Column:
+    """T1+T2: lowercase, split on non-alphanumerics, drop empties."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def truncate_tokens(tok: Column, n: int = 256) -> Column:
+    """P5: cap a token sequence at n (Word2VecTransformingIterator.java:104-105)."""
+    return F.slice(tok, 1, n)
+
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Public common stopwords; deterministic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "des"],
+}
+
+
+# ---------------------------------------------------------------------------
+# T1/T2/P5 as a query: tokenize → truncate → stats
+# ---------------------------------------------------------------------------
+@register(
+    "tokenize_truncate",
+    oracle=f"""
+        SELECT doc_id,
+               len({DUCK_TOKENS.format(col='text')}) AS n_tokens,
+               len(list_slice({DUCK_TOKENS.format(col='text')}, 1, 32)) AS n_tokens_capped,
+               {DUCK_TOKENS.format(col='text')}[1] AS first_token
+        FROM documents
+    """,
+    tags=("text",),
+)
+def tokenize_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2+P5: tokenize, cap at 32, report counts and first token."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.size(truncate_tokens(tok, 32)).alias("n_tokens_capped"),
+        F.element_at(tok, 1).alias("first_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 analog: corpus-level max/avg sequence length
+# (running max of token length, Word2VecTransformingIterator.java:93-102)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_token_stats",
+    oracle=f"""
+        SELECT max(len({DUCK_TOKENS.format(col='text')})) AS max_len,
+               min(len({DUCK_TOKENS.format(col='text')})) AS min_len,
+               round(avg(len({DUCK_TOKENS.format(col='text')})), 4) AS avg_len,
+               count(*) AS n_docs
+        FROM documents
+    """,
+    tags=("text", "agg"),
+)
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 generalized: max/min/avg token-sequence length over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens("text"))
+    return d.agg(
+        F.max(n).alias("max_len"),
+        F.min(n).alias("min_len"),
+        F.round(F.avg(n), 4).alias("avg_len"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] text quality scoring (length / punctuation / digit / stopword ratios)
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality",
+    oracle=f"""
+        SELECT doc_id,
+               length(text) AS n_chars_measured,
+               len({DUCK_TOKENS.format(col='text')}) AS n_words,
+               round(len(regexp_extract_all(text, '[0-9]'))  * 1.0 / greatest(length(text), 1), 6) AS digit_ratio,
+               round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+               round(len(list_intersect(list_distinct({DUCK_TOKENS.format(col='text')}),
+                                        ['the','and','of','to','in','is','that','for','with','on'])) * 1.0
+                     / greatest(len(list_distinct({DUCK_TOKENS.format(col='text')})), 1), 6) AS stopword_ratio,
+               CASE WHEN length(text) >= 100
+                     AND len({DUCK_TOKENS.format(col='text')}) >= 20
+                     AND len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / greatest(length(text), 1) < 0.1
+                    THEN 1 ELSE 0 END AS quality_pass
+        FROM documents
+    """,
+    tags=("text", "ext"),
+    bench=True,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc-quality features + pass/fail gate, all JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    n_chars = F.length("text")
+    digits = F.regexp_count("text", F.lit("[0-9]"))
+    punct = F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]"))
+    distinct_tok = F.array_distinct(tok)
+    stop_hits = F.size(F.array_intersect(distinct_tok, F.lit(LANG_STOPWORDS["en"])))
+    digit_ratio = F.round(digits / F.greatest(n_chars, F.lit(1)), 6)
+    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_measured"),
+        F.size(tok).alias("n_words"),
+        digit_ratio.alias("digit_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(F.size(distinct_tok), F.lit(1)), 6).alias("stopword_ratio"),
+        F.when(
+            (n_chars >= 100)
+            & (F.size(tok) >= 20)
+            & (punct / F.greatest(n_chars, F.lit(1)) < 0.1),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] language identification by stopword-overlap voting
+# ---------------------------------------------------------------------------
+def _duck_lang_score(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_intersect(list_distinct({DUCK_TOKENS.format(col='text')}), [{words}]))"
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+        SELECT doc_id, lang AS lang_declared,
+               CASE
+                 WHEN {_duck_lang_score('en')} >= {_duck_lang_score('es')}
+                  AND {_duck_lang_score('en')} >= {_duck_lang_score('fr')}
+                  AND {_duck_lang_score('en')} >= {_duck_lang_score('de')} THEN 'en'
+                 WHEN {_duck_lang_score('es')} >= {_duck_lang_score('fr')}
+                  AND {_duck_lang_score('es')} >= {_duck_lang_score('de')} THEN 'es'
+                 WHEN {_duck_lang_score('fr')} >= {_duck_lang_score('de')} THEN 'fr'
+                 ELSE 'de'
+               END AS lang_pred
+        FROM documents
+    """,
+    tags=("text", "ext"),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with a deterministic en>es>fr>de tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    distinct_tok = F.array_distinct(tokens("text"))
+    score = {
+        lang: F.size(F.array_intersect(distinct_tok, F.lit(words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    pred = (
+        F.when(
+            (score["en"] >= score["es"]) & (score["en"] >= score["fr"]) & (score["en"] >= score["de"]),
+            "en",
+        )
+        .when((score["es"] >= score["fr"]) & (score["es"] >= score["de"]), "es")
+        .when(score["fr"] >= score["de"], "fr")
+        .otherwise("de")
+    )
+    return d.select("doc_id", F.col("lang").alias("lang_declared"), pred.alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# [EXT] BPE-ish token counting (regex lexer classes, not just whitespace)
+# ---------------------------------------------------------------------------
+@register(
+    "token_counts",
+    oracle=r"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens
+        FROM documents
+    """,
+    tags=("text", "ext"),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish lexer count (letters|digits|symbol)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] document fingerprinting (canonicalized md5; basis of exact dedup)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({DUCK_TOKENS.format(col='text')})), ' ')) AS fingerprint,
+               md5(text) AS exact_hash
+        FROM documents
+    """,
+    tags=("text", "ext", "dedup"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical fingerprint = md5 over sorted distinct tokens (bag-of-words
+    identity, robust to word order), plus the raw exact-text md5."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
+    return d.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.md5(F.col("text")).alias("exact_hash"),
+    )

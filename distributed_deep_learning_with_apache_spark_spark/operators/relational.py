@@ -1,0 +1,463 @@
+"""Relational core: filter / project / aggregate / join / sort / set ops.
+
+Reference parity (SURVEY §2): the chapter-1 RDD chain
+(`SparkRDDAPITest.scala:21-39` — filter P1, keyBy P2, map-project P3,
+count/max/min A1/A2, takeOrdered O2) re-expressed as DataFrame plans over
+the fixture star schema, plus the [EXT] generalizations (groupBy().agg(),
+the standard join family, windows) the driver's oracle harness exercises.
+
+Scale posture:
+- Filters/projections are plain Catalyst expressions → pushed into the
+  parquet scan (PushedFilters / ReadSchema pruning — verified in
+  tests/test_plans.py).
+- Dim joins hint ``F.broadcast`` (dims stay << facts at any SF); fact-fact
+  joins are left to Catalyst/AQE (sort-merge + skew splitting).
+- Aggregations are hash aggs with map-side partial aggregation — free in
+  Spark's physical planning; no driver-side loops anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+def _r2(c):  # money-scale rounding for oracle float parity
+    return F.round(c, 2)
+
+
+# ---------------------------------------------------------------------------
+# P1+P3: predicate filter (string contains) + column projection
+# (SparkRDDAPITest.scala:22,24 — userId.contains("A") then map to amount)
+# ---------------------------------------------------------------------------
+@register(
+    "filter_contains_project",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_name LIKE '%1%' AND c_acctbal > 0
+    """,
+    tags=("relational", "filter"),
+)
+def filter_contains_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter rows whose key contains a substring, project three columns."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").contains("1") & (F.col("c_acctbal") > 0)).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2: keyBy — pair records with an extracted key (SparkRDDAPITest.scala:23)
+# ---------------------------------------------------------------------------
+@register(
+    "keyby_amounts",
+    oracle="""
+        SELECT c_mktsegment AS key, c_custkey, c_acctbal AS amount
+        FROM customer
+        WHERE c_name LIKE '%A%' OR c_name LIKE '%a%'
+    """,
+    tags=("relational", "project"),
+)
+def keyby_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keyBy(userId).map(_.amount) analog: (key, id, amount) projection."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.lower("c_name").contains("a")).select(
+        F.col("c_mktsegment").alias("key"),
+        "c_custkey",
+        F.col("c_acctbal").alias("amount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2: global count / min / max / sum / avg actions
+# (SparkRDDAPITest.scala:32,36-37 — count, max, min as one agg pass)
+# ---------------------------------------------------------------------------
+@register(
+    "global_agg_stats",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               round(min(l_quantity), 2) AS min_qty,
+               round(max(l_quantity), 2) AS max_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_discount), 6) AS avg_disc
+        FROM lineitem
+    """,
+    tags=("relational", "agg"),
+    bench=True,
+)
+def global_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass global aggregation (count/min/max/sum/avg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _r2(F.min("l_quantity")).alias("min_qty"),
+        _r2(F.max("l_quantity")).alias("max_qty"),
+        _r2(F.sum("l_extendedprice")).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 [EXT]: TPC-H Q1-shaped pricing summary (hash agg, map-side partials)
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "agg"),
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter → groupBy(2) → 8 aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(F.sum(disc_price)).alias("sum_disc_price"),
+            _r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2: takeOrdered / orderBy+limit → TakeOrderedAndProject physical op
+# (SparkRDDAPITest.scala:38)
+# ---------------------------------------------------------------------------
+@register(
+    "top10_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    tags=("relational", "topk"),
+)
+def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition heaps + driver merge — no full sort at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 generalized: broadcast hash equi-join dim→fact + agg + top-k
+# (the flagship chapter-1-on-real-tables query; entry() runs this)
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_per_customer",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               round(sum(o.o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 10
+    """,
+    tags=("relational", "join"),
+    bench=True,
+)
+def revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: broadcast dim join → hash agg → top-10.
+
+    The customer dim is broadcast (no shuffle of the fact side on the join);
+    the groupBy shuffles on c_custkey once. At 100 TB the same plan holds:
+    customer ~1.5 GB/TB-SF would switch to sort-merge via AQE automatically.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_custkey", "c_name")
+        .agg(_r2(F.sum("o_totalprice")).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] multiway star join: region ⨝ nation ⨝ customer ⨝ orders
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_per_region",
+    oracle="""
+        SELECT r.r_name AS region_name,
+               round(sum(o.o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY r.r_name
+    """,
+    tags=("relational", "join"),
+    bench=True,
+)
+def revenue_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three chained broadcast joins collapse into one fact-scan stage."""
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(_r2(F.sum("o_totalprice")).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 analog [EXT]: left-semi join (EXISTS) — vocabulary-membership pattern
+# (Word2VecTransformingIterator.java:97-99 as a relational op)
+# ---------------------------------------------------------------------------
+@register(
+    "customers_with_open_orders",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+    tags=("relational", "join"),
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: membership filter without duplicating rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] left-anti join (NOT EXISTS)
+# ---------------------------------------------------------------------------
+@register(
+    "customers_without_orders",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("relational", "join"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: rows with no match on the other side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# [EXT] outer join with null handling
+# ---------------------------------------------------------------------------
+@register(
+    "customer_order_counts_outer",
+    oracle="""
+        SELECT c.c_custkey,
+               count(o.o_orderkey) AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """,
+    tags=("relational", "join"),
+)
+def customer_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _r2(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2: union (vstack — ND4JTest.java:56) + distinct
+# ---------------------------------------------------------------------------
+@register(
+    "union_account_balances",
+    oracle="""
+        SELECT * FROM (
+          SELECT 'customer' AS side, c_custkey AS entity_key, c_acctbal AS acctbal FROM customer
+          UNION ALL
+          SELECT 'supplier' AS side, s_suppkey AS entity_key, s_acctbal AS acctbal FROM supplier
+        )
+    """,
+    tags=("relational", "setop"),
+)
+def union_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise concat of two homogeneous projections (vstack / unionByName)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("side"),
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"),
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return c.unionByName(s)
+
+
+# ---------------------------------------------------------------------------
+# [EXT] distinct + count-distinct aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_order_priorities",
+    oracle="""
+        SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("relational", "agg"),
+)
+def distinct_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg in the physical plan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] conditional aggregation / pivot shape
+# ---------------------------------------------------------------------------
+@register(
+    "orders_by_status_pivot",
+    oracle="""
+        SELECT o_orderpriority,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_price,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS filled_price,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS partial_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("relational", "agg"),
+)
+def orders_by_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot expressed as conditional aggregation (one pass, no shuffle per column)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def cond_sum(status: str):
+        return _r2(
+            F.sum(F.when(F.col("o_orderstatus") == status, F.col("o_totalprice")).otherwise(0.0))
+        )
+
+    return o.groupBy("o_orderpriority").agg(
+        cond_sum("O").alias("open_price"),
+        cond_sum("F").alias("filled_price"),
+        cond_sum("P").alias("partial_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] rollup (hierarchical subtotals)
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_revenue",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "agg"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (expand-based multi-level aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _r2(F.sum("l_extendedprice")).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] date/timestamp bucketing — monthly revenue trend
+# ---------------------------------------------------------------------------
+@register(
+    "monthly_revenue",
+    oracle="""
+        SELECT date_trunc('month', o_orderdate)::DATE AS order_month,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("relational", "agg", "time"),
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing on a timestamp column (cast to date for parity)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"))
+        .agg(_r2(F.sum("o_totalprice")).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] scalar subquery / derived-table join: orders above customer average
+# ---------------------------------------------------------------------------
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        JOIN (SELECT o_custkey, avg(o_totalprice) AS avg_price
+              FROM orders GROUP BY o_custkey) a
+          ON o.o_custkey = a.o_custkey
+        WHERE o.o_totalprice > 1.5 * a.avg_price
+    """,
+    tags=("relational", "join", "subquery"),
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join against a grouped derived table (correlated-subquery shape).
+
+    Both sides shuffle on o_custkey once; AQE reuses the exchange.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    avg_df = o.groupBy(F.col("o_custkey").alias("k")).agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.join(avg_df, o.o_custkey == avg_df.k)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -1,0 +1,194 @@
+"""Window functions: grouped top-k/bottom-k (the reference's flagship query
+shape), running aggregates, lag/lead.
+
+Reference parity: W1 — per-digit best-5/worst-5 by reconstruction-error
+score (`MNISTAnomalyDetector.java:201-217`): sort within group, take head
+and tail. Here realized as rank windows (`row_number`), which Spark executes
+as a single shuffle on the partition key + in-partition sort — no driver
+collection, unlike the reference's `Collections.sort` per bucket.
+
+Scale posture: a window over a skewed group key concentrates one group on
+one task. For top-k specifically the fix at 100 TB is pre-aggregation:
+salt → per-salt top-k → global top-k merge (implemented in
+``grouped_topk_salted`` with identical semantics, used by bench).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# W1: grouped best-k / worst-k in one pass (two rank windows over one shuffle)
+# ---------------------------------------------------------------------------
+@register(
+    "grouped_best_worst_orders",
+    oracle="""
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_best,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_worst
+          FROM orders
+        )
+        WHERE rn_best <= 5 OR rn_worst <= 5
+    """,
+    tags=("window", "topk"),
+    bench=True,
+)
+def grouped_best_worst_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per group, 5 lowest and 5 highest by score, one shuffle.
+
+    Mirrors MNISTAnomalyDetector.java:201-217 (per-digit best/worst 5 by
+    score) with orders-per-customer standing in for examples-per-digit.
+    Both rank windows share the same partition key so Catalyst plans a
+    single exchange + sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    by = Window.partitionBy("o_custkey")
+    asc = by.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    desc = by.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").desc())
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(asc).alias("rn_best"),
+            F.row_number().over(desc).alias("rn_worst"),
+        )
+        .filter((F.col("rn_best") <= 5) | (F.col("rn_worst") <= 5))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 at scale: salted grouped top-k (pre-aggregate per salt, then merge)
+# ---------------------------------------------------------------------------
+@register(
+    "grouped_topk_salted",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    doc="Skew-proof grouped top-k: per-salt top-k then global top-k merge.",
+    tags=("window", "topk", "scale"),
+)
+def grouped_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase grouped top-k identical in result to a rank window.
+
+    Phase 1 computes top-k within (group, salt) — the heavy shuffle sees
+    SALT× more, much smaller partitions, so a hot group can't straggle a
+    task. Phase 2 re-ranks the ≤ SALT·k survivors per group. At local SF
+    this is overkill; at 100 TB with skewed keys it is the plan you want.
+    """
+    SALT, K = 8, 3
+    o = load_table(spark, sf_dir, "orders")
+    salted = o.withColumn("salt", F.pmod(F.col("o_orderkey"), F.lit(SALT)))
+    w1 = Window.partitionBy("o_custkey", "salt").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    survivors = salted.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") <= K)
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        survivors.drop("rn", "salt")
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= K)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] running aggregate with an explicit frame
+# ---------------------------------------------------------------------------
+@register(
+    "running_revenue_per_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+        FROM orders
+    """,
+    tags=("window",),
+)
+def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum with ROWS UNBOUNDED PRECEDING frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] lag/lead — inter-order gap per customer
+# ---------------------------------------------------------------------------
+@register(
+    "order_gap_days",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate ASC, o_orderkey ASC),
+                         o_orderdate) AS gap_days
+        FROM orders
+    """,
+    tags=("window",),
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() over event order: whole days between consecutive orders."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date")).cast("long").alias("gap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] rank vs dense_rank vs ntile
+# ---------------------------------------------------------------------------
+@register(
+    "customer_balance_ranks",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               rank()       OVER w AS bal_rank,
+               dense_rank() OVER w AS bal_dense_rank,
+               ntile(4)     OVER w AS bal_quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    tags=("window",),
+)
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family over one shared window spec."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )

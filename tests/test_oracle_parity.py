@@ -1,0 +1,38 @@
+"""Every registered query with an oracle must match DuckDB on the test SF.
+
+Mirrors the driver's t2 correctness gate (row count + schema + value hash)
+so regressions are caught locally first.
+"""
+
+import pytest
+
+from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+from tests.oracle import compare, duck_connect
+
+REG = load_all()
+ORACLE_QUERIES = sorted(name for name, q in REG.items() if q.oracle is not None)
+ROWS_ONLY = sorted(name for name, q in REG.items() if q.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, sf_dir, duck, name):
+    q = REG[name]
+    df = q.fn(spark, sf_dir)
+    ok, msg = compare(df, duck, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    q = REG[name]
+    df = q.fn(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    assert df.columns
