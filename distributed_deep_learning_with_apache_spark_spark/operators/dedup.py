@@ -1,1 +1,418 @@
-"""Deduplication operators (filled in M5)."""
+"""Deduplication operators for LLM-data pipelines ([EXT], SURVEY §2.13).
+
+Four tiers, all deterministic and (except where noted) oracle-checked:
+
+- exact: canonical-fingerprint groupBy (hash of sorted distinct tokens)
+- n-gram Jaccard: 3-token shingles → shared-shingle candidate join → exact
+  Jaccard filter (the classic inverted-index near-dup join)
+- MinHash + LSH: deterministic md5-based minhash signatures → banded
+  bucket join → candidate pairs (verified with exact Jaccard)
+- SimHash: 16-bit md5-derived simhash per document (bit-vote form)
+
+Scale posture: every join here is an equi-join on a derived key (shingle,
+band value), so Spark shuffles on that key — no cross join anywhere. The
+shared-shingle join self-prunes: only docs sharing a shingle meet. At
+100 TB the band join is the only one whose fan-out needs watching; with
+b bands it produces ≤ b candidates per true pair and the distinct() after
+it collapses them before the (expensive) exact-Jaccard verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import DUCK_TOKENS, tokens
+from ..registry import register
+from ..sources.catalog import load_table
+
+# --- shared shingle builders (Spark + DuckDB must stay in lockstep) --------
+
+DUCK_SHINGLES = (
+    "list_distinct([array_to_string(list_slice({t}, i, i + 2), ' ') "
+    "for i in generate_series(1, greatest(len({t}) - 2, 0))])"
+).format(t=DUCK_TOKENS.format(col="text"))
+
+
+def shingles(col="text", n: int = 3):
+    """Distinct n-token shingles (word n-grams) of the tokenized text.
+
+    Built from n shifted slices folded with zip_with — O(len) per row.
+    (An element_at(tok, i)-per-index formulation re-evaluates the tokenize
+    expression on every access — O(len²) per row — because Catalyst inlines
+    the unaliased expression into each lambda call; measured 8× slower on
+    the 5k-doc corpus.)
+    """
+    tok = tokens(col)
+    length = F.greatest(F.size(tok) - (n - 1), F.lit(0))
+    gram = F.slice(tok, 1, length)
+    for k in range(1, n):
+        gram = F.zip_with(gram, F.slice(tok, k + 1, length), lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(gram)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup by canonical fingerprint
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_groups",
+    oracle=f"""
+        WITH fp AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct({DUCK_TOKENS.format(col='text')})), ' ')) AS fingerprint
+          FROM documents
+        )
+        SELECT fingerprint, min(doc_id) AS keeper_doc_id, count(*) AS group_size
+        FROM fp GROUP BY fingerprint HAVING count(*) > 1
+    """,
+    tags=("dedup", "ext"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the canonical fingerprint; emit only
+    groups that actually collapse (keeper = min doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
+    return (
+        d.select("doc_id", F.md5(canon).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="""
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+          FROM documents
+        ) WHERE rn = 1
+    """,
+    tags=("dedup", "ext"),
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-text dedup keeping the lowest doc_id per hash (row_number==1
+    — the deterministic form of dropDuplicates)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    return (
+        d.select("doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup join (inverted shingle index)
+# ---------------------------------------------------------------------------
+@register(
+    "near_dup_jaccard",
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, {DUCK_SHINGLES} AS sh FROM documents
+        ),
+        posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(c.shared * 1.0 / (len(sa.sh) + len(sb.sh) - c.shared), 6) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE c.shared * 1.0 / (len(sa.sh) + len(sb.sh) - c.shared) >= 0.1
+    """,
+    tags=("dedup", "ext"),
+)
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: 3-gram shingle posting-list self-join → exact
+    Jaccard ≥ 0.1 pairs.
+
+    The candidate join is an equi-join on shingle (shuffle on shingle),
+    never a cross join: only documents sharing ≥1 shingle are compared.
+    At 100 TB add a stop-shingle filter (drop shingles with huge posting
+    lists) — semantics-preserving for any threshold ≥ shared/union bound.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles().alias("sh"))
+    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    jacc = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        cand.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .filter(jacc >= 0.1)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard with stop-shingle filtering (the 100 TB path)
+# ---------------------------------------------------------------------------
+STOP_DF = 50  # shingles appearing in more than this many docs carry no signal
+
+
+@register(
+    "near_dup_jaccard_stopfiltered",
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, {DUCK_SHINGLES} AS sh FROM documents
+        ),
+        posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        rare AS (
+          SELECT shingle FROM posting GROUP BY shingle HAVING count(*) <= {STOP_DF}
+        ),
+        rp AS (SELECT p.doc_id, p.shingle FROM posting p JOIN rare r ON p.shingle = r.shingle),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rp a JOIN rp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+    """,
+    tags=("dedup", "ext", "scale"),
+)
+def near_dup_jaccard_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup Jaccard with a stop-shingle filter: shingles whose posting
+    list exceeds STOP_DF docs are dropped from CANDIDATE GENERATION (they
+    are boilerplate, not signal); the Jaccard itself is still computed on
+    the full shingle sets.
+
+    This is the plan that survives 100×: candidate fan-out is bounded by
+    STOP_DF per shingle, so the shuffle is O(n_shingles · STOP_DF²) instead
+    of O(n_docs²). Trade-off (documented, standard practice): a pair whose
+    every shared shingle is boilerplate is missed — at threshold 0.5 such
+    pairs are overwhelmingly template collisions, exactly what dedup should
+    not key on.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles().alias("sh"))
+    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    rare = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= STOP_DF
+    )
+    rp = posting.join(rare.select("shingle"), "shingle")
+    a = rp.alias("a")
+    b = rp.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    jacc = inter / (F.size("sha") + F.size("shb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jacc >= 0.5)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (deterministic md5 hash family)
+# ---------------------------------------------------------------------------
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band = 2
+
+
+def _duck_minhash(k: int) -> str:
+    return (
+        f"list_aggregate(list_transform({DUCK_SHINGLES}, s -> md5('{k}:' || s)), 'min')"
+    )
+
+
+_DUCK_BANDS = ", ".join(
+    f"md5({_duck_minhash(2 * b)} || {_duck_minhash(2 * b + 1)}) AS band_{b}" for b in range(N_BANDS)
+)
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"""
+        WITH sig AS (
+          SELECT doc_id, {_DUCK_BANDS}
+          FROM documents
+          WHERE len({DUCK_SHINGLES}) > 0
+        ),
+        bands AS (
+          SELECT doc_id, band_id, band_val FROM sig
+          UNPIVOT (band_val FOR band_id IN (band_0, band_1, band_2, band_3))
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "ext", "lsh"),
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 hashes)+LSH(4 bands × 2 rows): shingle → minhash → band →
+    bucket-join. Hash family is md5('k:'||shingle) (deterministic, engine-
+    portable); signature element = lexicographic min; band key = md5 of its
+    2 signature elements.
+
+    Scale: the band join shuffles on (band_id, band_val) — bucket sizes are
+    the collision groups, so work is proportional to true near-dup density,
+    not n².
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles().alias("sh")).filter(F.size("sh") > 0)
+
+    def minhash(k: int):
+        return F.array_min(F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))))
+
+    sig = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(minhash(2 * b), minhash(2 * b + 1))).alias(f"band_{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.create_map(
+                *[x for b in range(N_BANDS) for x in (F.lit(f"band_{b}"), F.col(f"band_{b}"))]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash candidates → exact-Jaccard verify (the production dedup pipeline)
+# ---------------------------------------------------------------------------
+@register(
+    "near_dup_minhash_verified",
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, {DUCK_SHINGLES} AS sh FROM documents
+        ),
+        sig AS (
+          SELECT doc_id, {_DUCK_BANDS}
+          FROM documents
+          WHERE len({DUCK_SHINGLES}) > 0
+        ),
+        bands AS (
+          SELECT doc_id, band_id, band_val FROM sig
+          UNPIVOT (band_val FOR band_id IN (band_0, band_1, band_2, band_3))
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+    """,
+    tags=("dedup", "ext", "scale", "lsh"),
+    bench=True,
+)
+def near_dup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline: MinHash+LSH banding generates
+    candidates (work ∝ true-duplicate density), then exact Jaccard on the
+    full shingle sets verifies each candidate at threshold 0.5.
+
+    This composition is what runs at 100 TB: no quadratic stage anywhere —
+    banding shuffles on band value, verification touches only candidate
+    pairs. The exhaustive `near_dup_jaccard` query is its ground-truth
+    check at test scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles().alias("sh"))
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    jacc = inter / (F.size("sha") + F.size("shb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jacc >= 0.5)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5 bit votes — engine-portable)
+# ---------------------------------------------------------------------------
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, md5(t) AS h
+          FROM (SELECT doc_id, unnest(list_distinct({DUCK_TOKENS.format(col='text')})) AS t FROM documents)
+        ),
+        bits AS (
+          SELECT doc_id, b,
+                 ((strpos('0123456789abcdef', substr(h, 1 + b // 4, 1)) - 1) >> (3 - (b % 4))) & 1 AS bit
+          FROM tok, (SELECT unnest(generate_series(0, 15)) AS b)
+        ),
+        votes AS (
+          SELECT doc_id, b, sum(2 * bit - 1) AS vote FROM bits GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               sum(CASE WHEN vote > 0 THEN (1 << b) ELSE 0 END) AS simhash16
+        FROM votes GROUP BY doc_id
+    """,
+    tags=("dedup", "ext"),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per distinct token, md5-derived bits vote ±1 per bit
+    position; fingerprint sets bit b where the vote is positive.
+
+    (The production-scale variant would use 64-bit xxhash64 JVM-side; 16-bit
+    md5-nibble form keeps the hash family bit-identical in the oracle.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")).select(
+        "doc_id", F.md5("t").alias("h")
+    )
+    bits = tok.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"), "h"
+    ).select(
+        "doc_id",
+        "b",
+        F.expr(
+            "((instr('0123456789abcdef', substring(h, 1 + CAST(b / 4 AS INT), 1)) - 1) "
+            ">> (3 - b % 4)) & 1"
+        ).alias("bit"),
+    )
+    votes = bits.groupBy("doc_id", "b").agg(F.sum(2 * F.col("bit") - 1).alias("vote"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("vote") > 0, F.expr("shiftleft(1, b)")).otherwise(0)).alias("simhash16")
+    )

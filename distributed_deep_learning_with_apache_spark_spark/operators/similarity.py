@@ -1,1 +1,203 @@
-"""Similarity-search operators (filled in M5)."""
+"""Similarity search over embedding columns ([EXT], SURVEY §2.13).
+
+Three tiers:
+- brute-force cosine top-k (exact baseline; broadcast the query set)
+- LSH-bucketed ANN (deterministic integer hyperplanes → sign buckets →
+  search only within bucket; the 100 TB scale path)
+- near-dup pair mining by cosine threshold
+
+Everything is built from `zip_with`/`aggregate` folds (JVM-side, Arrow-free)
+with array<float> cast to array<double> so the DuckDB oracle
+(`::DOUBLE[]` + list_dot_product) is numerically aligned; outputs round to
+6 decimals.
+
+Reference parity: generalizes the embedding-lookup join J1
+(`Word2VecTransformingIterator.java:123`) from exact key equality to
+nearest-neighbor retrieval — the same dimension-table pattern the course's
+Word2Vec table embodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.arrays import as_double, cosine, dot
+from ..registry import register
+from ..sources.catalog import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+
+# --- deterministic LSH hyperplanes (integer weights, engine-exact) ---------
+N_PLANES = 4
+DIM = 64
+
+
+def _plane(b: int) -> list[int]:
+    """Integer hyperplane weights in [-3, 3]: w[i] = ((i*31 + b*17) % 7) - 3."""
+    return [((i * 31 + b * 17) % 7) - 3 for i in range(DIM)]
+
+
+def _bucket_expr(vec: Column) -> Column:
+    """LSH bucket id: sign bit of each of the 4 plane projections."""
+    acc = F.lit(0)
+    for b in range(N_PLANES):
+        plane = F.lit(_plane(b)).cast("array<double>")
+        proj = dot(vec, plane)
+        acc = acc + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return acc
+
+
+def _duck_bucket(vec_sql: str) -> str:
+    parts = []
+    for b in range(N_PLANES):
+        plane = "[" + ", ".join(str(w) for w in _plane(b)) + "]::DOUBLE[]"
+        parts.append(f"(CASE WHEN list_dot_product({vec_sql}, {plane}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force exact cosine top-k (the correctness baseline)
+# ---------------------------------------------------------------------------
+@register(
+    "cosine_topk_exact",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+          FROM q JOIN e ON e.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim, rnk FROM (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+          FROM scored
+        ) WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "ext"),
+    bench=True,
+)
+def cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: broadcast the query set against every candidate,
+    cosine via zip_with/aggregate fold, rank-window top-k per query.
+
+    Scale: candidates never shuffle — the query block broadcasts, scores
+    compute map-side, and only (n_queries × n_candidates → top-k) rank rows
+    shuffle on query_id. For large query sets switch to the LSH variant.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path: search only same-bucket candidates)
+# ---------------------------------------------------------------------------
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          {_duck_bucket("embedding::DOUBLE[]")} AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < {N_QUERIES}),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+          FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim, rnk FROM (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+          FROM scored
+        ) WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "ext", "lsh"),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: 4 deterministic integer hyperplanes → 16 sign
+    buckets; candidates join queries on bucket equality (equi-join, shuffle
+    on bucket) and only same-bucket pairs are scored — ~16× less compute
+    than brute force, the ratio growing with plane count at scale.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    e = e.withColumn("bucket", _bucket_expr(F.col("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    scored = e.join(
+        F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id"))
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pair mining
+# ---------------------------------------------------------------------------
+@register(
+    "near_dup_cosine_pairs",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    """,
+    tags=("similarity", "dedup", "ext"),
+)
+def near_dup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup mining: all pairs ≥ 0.3 cosine.
+
+    Locally a self-join (n small); at 100 TB the identical semantics run
+    through the LSH bucket join (ann_lsh_bucketed's plan) — this exact
+    variant is the oracle-checkable ground truth for it.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.3)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine_sim"))
+    )
