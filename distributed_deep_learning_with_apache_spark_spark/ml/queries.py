@@ -1,1 +1,294 @@
-"""MLlib pipeline queries (filled in M4)."""
+"""MLlib pipelines reproducing the reference's four chapter capabilities
+(SURVEY §2.10) Spark-natively.
+
+- ML1 sentiment (chapter 2: Word2Vec+LSTM) → tokenize → TF-IDF → LogisticRegression
+  (capability: binary text classification; LSTM has no MLlib analog — §7.4)
+- ML2 anomaly (chapter 3: autoencoder) → PCA bottleneck + reconstruction error
+  + grouped top-k (the SQL-deterministic twin is `anomaly_best_worst`)
+- ML3 image classification (chapter 4: LeNet CNN) → MultilayerPerceptronClassifier
+- ML4 regression-learns-sum (chapters 5/6) → VectorAssembler + LinearRegression,
+  with the chapter-6 hyperparameter sweep as TrainValidationSplit
+- ML5 normalization → MinMaxScaler fit on train, applied to both splits
+- U4 randomSplit, S15 save/load are exercised in tests/test_ml.py
+
+Determinism: every estimator gets an explicit seed; `ml_regression_sum`
+uses closed-form integer-derived features so even its *predictions* are
+oracle-checkable (the model provably recovers y = a + b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+SEED = 42
+
+
+def make_sum_dataset(spark: SparkSession, n: int = 2000) -> DataFrame:
+    """Chapter-5 synthetic 'learn a+b' set with engine-portable determinism:
+    a=((i*7)%100)/9, b=((i*13)%50)/7 (NetworkTrainedToSumNumbersUsingRegression
+    .java:86-105 uses seeded uniforms; integer-derived values keep the DuckDB
+    oracle bit-identical)."""
+    return spark.range(n).select(
+        F.col("id"),
+        (((F.col("id") * 7) % 100) / 9.0).alias("a"),
+        (((F.col("id") * 13) % 50) / 7.0).alias("b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML4: regression recovers y = a + b — predictions oracle-checked
+# ---------------------------------------------------------------------------
+@register(
+    "ml_regression_sum",
+    oracle="""
+        SELECT i AS id,
+               round(((i * 7) % 100) / 9.0, 4) AS a,
+               round(((i * 13) % 50) / 7.0, 4) AS b,
+               round(((i * 7) % 100) / 9.0 + ((i * 13) % 50) / 7.0, 4) AS prediction
+        FROM generate_series(0, 19) AS t(i)
+    """,
+    tags=("ml", "regression"),
+)
+def ml_regression_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LinearRegression (normal solver, no regularization) on the synthetic
+    sum task recovers the exact plane y = a + b, so rounded predictions
+    equal the oracle's closed form — an ML query with a SQL oracle."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    data = make_sum_dataset(spark)
+    train = VectorAssembler(inputCols=["a", "b"], outputCol="features").transform(
+        data.withColumn("label", F.col("a") + F.col("b"))
+    )
+    model = LinearRegression(solver="normal", regParam=0.0).fit(train)
+    preds = model.transform(train).filter(F.col("id") < 20)
+    return preds.select(
+        "id",
+        F.round("a", 4).alias("a"),
+        F.round("b", 4).alias("b"),
+        F.round("prediction", 4).alias("prediction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML1: sentiment-style binary text classification
+# ---------------------------------------------------------------------------
+@register(
+    "ml_sentiment_tfidf_logreg",
+    oracle=None,  # iterative fit; rows-only (metric asserted in tests/test_ml.py)
+    tags=("ml", "text"),
+)
+def ml_sentiment_tfidf_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML1 capability (PredictCommentsUsingRNNAndWord2Vec.java:94-113, re-based
+    on MLlib): tokenize → HashingTF → IDF → LogisticRegression. Binary label
+    derived deterministically (lang='en' — FIXTURES.md note replaces the
+    pos/neg path label)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, IDF, RegexTokenizer
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("double")
+    )
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(inputCol="text", outputCol="tokens", pattern="[^a-z0-9]+", gaps=True),
+            HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12),
+            IDF(inputCol="tf", outputCol="features"),
+            LogisticRegression(maxIter=20, regParam=0.01),
+        ]
+    )
+    model = pipe.fit(d)
+    return model.transform(d).select("doc_id", "label", "prediction")
+
+
+# ---------------------------------------------------------------------------
+# ML2: PCA-bottleneck anomaly detection (the MLlib twin of anomaly_best_worst)
+# ---------------------------------------------------------------------------
+@register(
+    "ml_anomaly_pca",
+    oracle=None,  # SVD sign/rotation not engine-portable; rows-only
+    tags=("ml", "anomaly", "flagship"),
+)
+def ml_anomaly_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML2 capability (MNISTAnomalyDetector.java:91-109): low-dim bottleneck
+    + reconstruction error, per-label best/worst-5 (W1). PCA(k=8) replaces
+    the 784→10→784 autoencoder; score_i = ||x - recon(x)||².
+
+    Reconstruction = mean + W·(Wᵀ·(x-mean)) computed JVM-side: W (64×8) is
+    tiny, so it ships as literal arrays and the whole score is one
+    aggregate-fold expression — no Python in the hot path."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = PCA(k=8, inputCol="features", outputCol="pc").fit(vecs)
+    pc = model.pc.toArray()  # 64 x 8
+    mean = [row for row in model.mean.toArray()] if hasattr(model, "mean") else None
+
+    # Spark's PCA does not center; projection uses raw x. recon = W @ (W.T @ x)
+    dim, k = pc.shape
+    w_cols = [F.lit([float(pc[i][j]) for i in range(dim)]).cast("array<double>") for j in range(k)]
+    x = F.col("embedding").cast("array<double>")
+
+    def _dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+
+    projs = [_dot(x, w) for w in w_cols]  # k scalars
+    # recon_i = sum_j W[i][j] * proj_j  →  build as sum of scaled columns
+    recon = F.transform(w_cols[0], lambda v: v * projs[0])
+    for j in range(1, k):
+        recon = F.zip_with(recon, F.transform(w_cols[j], lambda v: v * projs[j]), lambda p, q: p + q)
+    score = F.round(
+        F.aggregate(F.zip_with(x, recon, lambda p, q: (p - q) * (p - q)), F.lit(0.0), lambda a, v: a + v),
+        4,
+    )
+    scored = vecs.select("vec_id", "label").join(
+        e.select("vec_id", score.alias("score")), "vec_id"
+    )
+    by = Window.partitionBy("label")
+    best = by.orderBy(F.col("score").asc(), F.col("vec_id").asc())
+    worst = by.orderBy(F.col("score").desc(), F.col("vec_id").desc())
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            "score",
+            F.row_number().over(best).alias("rn_best"),
+            F.row_number().over(worst).alias("rn_worst"),
+        )
+        .filter((F.col("rn_best") <= 5) | (F.col("rn_worst") <= 5))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML3: multiclass classification (MLP standing in for the LeNet CNN)
+# ---------------------------------------------------------------------------
+@register(
+    "ml_mlp_confusion",
+    oracle=None,  # iterative fit; rows-only
+    tags=("ml", "classify"),
+)
+def ml_mlp_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML3 capability (MnistClassification.java:90-137): 10-class classifier
+    + confusion matrix (A7). MLP [64, 32, 10] on the embeddings table;
+    returns groupBy(label, prediction).count() — the confusion matrix as a
+    DataFrame, computed distributed (never collected per-class like
+    MNISTAnomalyDetector.java:184-198)."""
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    train, test = vecs.randomSplit([0.8, 0.2], seed=SEED)
+    mlp = MultilayerPerceptronClassifier(layers=[64, 32, 10], maxIter=30, seed=SEED)
+    model = mlp.fit(train)
+    return (
+        model.transform(test)
+        .groupBy("label", "prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML5 + U3: MinMaxScaler semantics, SQL-deterministic (oracle-checked)
+# ---------------------------------------------------------------------------
+@register(
+    "minmax_scaled_features",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round((l_quantity - min(l_quantity) OVER ())
+                     / (max(l_quantity) OVER () - min(l_quantity) OVER ()), 6) AS qty_scaled,
+               round((l_extendedprice - min(l_extendedprice) OVER ())
+                     / (max(l_extendedprice) OVER () - min(l_extendedprice) OVER ()), 6) AS price_scaled
+        FROM lineitem
+    """,
+    tags=("ml", "feature"),
+)
+def minmax_scaled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML5 semantics (ImagePreProcessingScaler / MinMaxScaler: x' =
+    (x-min)/(max-min)) as a pure plan: global-window extrema + projection.
+    The MLlib-estimator form is exercised in tests/test_ml.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy()
+    def scaled(c):
+        mn, mx = F.min(c).over(w), F.max(c).over(w)
+        return F.round((F.col(c) - mn) / (mx - mn), 6)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        scaled("l_quantity").alias("qty_scaled"),
+        scaled("l_extendedprice").alias("price_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chapter-6: hyperparameter sweep via TrainValidationSplit
+# ---------------------------------------------------------------------------
+@register(
+    "ml_param_sweep",
+    oracle=None,  # iterative fits; rows-only
+    tags=("ml", "tuning"),
+)
+def ml_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapter-6 experiment shape (SumNumberOfIterations.java:34-48: sweep a
+    hyperparameter, compare fit quality): ParamGridBuilder over regParam ×
+    TrainValidationSplit on the regression task; returns (regParam, rmse)."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    data = VectorAssembler(inputCols=["a", "b"], outputCol="features").transform(
+        make_sum_dataset(spark).withColumn("label", F.col("a") + F.col("b"))
+    )
+    lr = LinearRegression(solver="normal")
+    grid = ParamGridBuilder().addGrid(lr.regParam, [0.0, 0.1, 1.0]).build()
+    tvs = TrainValidationSplit(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(metricName="rmse"),
+        trainRatio=0.8,
+        seed=SEED,
+    )
+    model = tvs.fit(data)
+    rows = [
+        (float(pm[lr.regParam]), float(m))
+        for pm, m in zip(grid, model.validationMetrics)
+    ]
+    return spark.createDataFrame(rows, "regParam double, rmse double").select(
+        "regParam", F.round("rmse", 6).alias("rmse")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML1 embedding step: distributed Word2Vec (the course's pretrained table,
+# trained in-engine)
+# ---------------------------------------------------------------------------
+@register(
+    "ml_word2vec_doc_vectors",
+    oracle=None,  # stochastic embedding training; rows-only
+    tags=("ml", "text", "embedding"),
+)
+def ml_word2vec_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2Vec trained on the corpus (replaces the downloaded GoogleNews
+    table, S12/J1); transform = per-document mean of token vectors — the
+    same averaging the sentiment pipeline needs."""
+    from pyspark.ml.feature import RegexTokenizer, Word2Vec
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = RegexTokenizer(inputCol="text", outputCol="tokens", pattern="[^a-z0-9]+", gaps=True)
+    toks = tok.transform(d)
+    w2v = Word2Vec(vectorSize=16, minCount=2, seed=SEED, inputCol="tokens", outputCol="docvec")
+    model = w2v.fit(toks)
+    return model.transform(toks).select("doc_id", "docvec")

@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Tables small enough to broadcast in joins at full 100 TB scale
@@ -91,10 +92,14 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
+    # ts is TIMESTAMP(NANOS) in the parquet file; Spark reads it as raw
+    # long (legacy.parquet.nanosAsLong) and load_table converts it to a
+    # microsecond TimestampType via floor division — same truncation DuckDB
+    # applies casting TIMESTAMP_NS -> TIMESTAMP.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -123,7 +128,10 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its explicit schema."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+    df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

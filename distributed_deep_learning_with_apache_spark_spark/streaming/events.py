@@ -1,1 +1,288 @@
-"""Event-time windowed operators (filled in M5)."""
+"""Event-time operators over the `events` table ([EXT], SURVEY §2.12).
+
+The reference has no streaming — its closest artifact is the pull-based
+`DataSetIterator` with reset/prefetch (`Word2VecTransformingIterator.java:
+161-173`). Per SURVEY §2.12 the plan is: every windowed/stateful operator
+first in batch-equivalent form (oracle-checkable against DuckDB), then the
+same semantics as real Structured Streaming (rows-only check, memory sink).
+
+Timestamp parity: the events `ts` column is nanosecond-precision parquet;
+Spark truncates to microseconds while DuckDB keeps TIMESTAMP_NS. All
+emitted time values are therefore whole-second BIGINTs
+(floor-of-epoch) so both engines agree bit-for-bit.
+
+Scale posture: tumbling/sliding windows are hash aggs on (bucket, key) —
+map-side combinable, one shuffle; sessionization is a per-user window sort
+(shuffle on user_id) exactly like W1; with watermarks the streaming forms
+bound state by event time, which is what makes them viable on an unbounded
+100 TB/day firehose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import TABLE_SCHEMAS, load_table
+
+SESSION_GAP_MIN = 30
+
+
+def _epoch_s(col):
+    """Whole-second epoch as BIGINT (engine-portable time value)."""
+    return F.unix_timestamp(col)
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window aggregation (batch-equivalent form)
+# ---------------------------------------------------------------------------
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+        SELECT floor(epoch(date_trunc('hour', ts::TIMESTAMP)))::BIGINT AS window_start_s,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "agg"),
+    bench=True,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window × event_type: count + sum.
+
+    Uses the native F.window operator (the same operator the streaming
+    form uses), emitting the window start as epoch seconds.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            _epoch_s(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window aggregation (1 h window, 30 min slide)
+# ---------------------------------------------------------------------------
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+        SELECT floor(epoch(date_trunc('hour', ts::TIMESTAMP)))::BIGINT
+                 + (CASE WHEN extract(minute FROM ts::TIMESTAMP) >= 30 THEN 1800 ELSE 0 END)
+                 - k * 1800 AS window_start_s,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events, (SELECT unnest([0, 1]) AS k)
+        GROUP BY 1
+    """,
+    tags=("streaming", "agg"),
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: each event lands in two overlapping 1-hour windows
+    (epoch-aligned, 30-min slide) — F.window expands rows exactly like the
+    oracle's unnest([0,1]) construction."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            _epoch_s(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keep-latest dedup (the batch form of dropDuplicates-with-watermark)
+# ---------------------------------------------------------------------------
+@register(
+    "events_latest_per_user_type",
+    oracle="""
+        SELECT user_id, event_type, event_id,
+               floor(epoch(ts::TIMESTAMP))::BIGINT AS ts_s,
+               round(value, 2) AS value
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+    tags=("streaming", "dedup"),
+)
+def events_latest_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest event per (user, type): rank-window form of
+    dropDuplicates that is deterministic under ties."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            _epoch_s("ts").alias("ts_s"),
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap > 30 min starts a new session)
+# ---------------------------------------------------------------------------
+@register(
+    "events_sessionized",
+    oracle=f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sessions AS (
+          SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts ASC, event_id ASC
+                                           ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, session_seq,
+               floor(epoch(min(ts)::TIMESTAMP))::BIGINT AS session_start_s,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value,
+               floor(epoch(max(ts)::TIMESTAMP))::BIGINT
+                 - floor(epoch(min(ts)::TIMESTAMP))::BIGINT AS duration_s
+        FROM sessions
+        GROUP BY user_id, session_seq
+    """,
+    tags=("streaming", "session", "window"),
+    bench=True,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap flag → running sum = session id → per-session
+    rollup. One shuffle on user_id shared by both windows and the final agg.
+
+    (Streaming form: session_window(ts, '30 minutes') — see
+    stream_session_counts.)
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        _epoch_s(F.min("ts")).alias("session_start_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        (_epoch_s(F.max("ts")) - _epoch_s(F.min("ts"))).alias("duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real Structured Streaming forms (rows-only: driver records row counts)
+# ---------------------------------------------------------------------------
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The streaming file source requires a directory; glob-filter to the
+    # events table within the sf_dir.
+    return (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, spark: SparkSession, name: str, mode: str) -> DataFrame:
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Materialize before the in-memory sink table goes away.
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle=None,  # Structured Streaming execution path; rows-only check
+    tags=("streaming", "structured"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming: parquet source → 10-min watermark →
+    tumbling 1-hour window × event_type counts → memory sink. Semantically
+    identical to events_tumbling_hourly (which IS its oracle, modulo the
+    complete-mode snapshot)."""
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            _epoch_s(F.col("w.start")).alias("window_start_s"), "event_type", "n_events"
+        )
+    )
+    return _run_to_memory(agg, spark, "stream_tumbling_counts_sink", "complete")
+
+
+@register(
+    "stream_session_counts",
+    oracle=None,
+    tags=("streaming", "structured", "session"),
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization: session_window(ts, 30 min) per user
+    with a watermark — Spark's built-in stateful session operator."""
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            _epoch_s(F.col("w.start")).alias("session_start_s"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, spark, "stream_session_counts_sink", "complete")
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle=None,
+    tags=("streaming", "structured", "dedup"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: dropDuplicates on event_id within the
+    watermark horizon (the standard late-data dedup pattern)."""
+    dedup = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_to_memory(dedup, spark, "stream_dedup_sink", "append")
