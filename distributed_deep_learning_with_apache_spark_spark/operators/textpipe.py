@@ -1,0 +1,178 @@
+"""The chapter-2 text pipeline end-to-end (SURVEY §3.2, M2): tokenize (T1/T2)
+→ vocabulary-membership semi-join (P4) → truncation (P5) → embedding lookup
+join (J1) → averaged document vectors.
+
+Reference parity: `Word2VecTransformingIterator.java:70-145` runs this as a
+per-batch imperative loop (tokenize :95, vocab filter :97-99, truncate
+:104-105, lookup join :123, tensor pack :109-141). Here it is ONE declarative
+Catalyst plan; the rank-3 tensor + masks disappear because ragged arrays
+carry per-row length (SURVEY §7.4.6).
+
+The embedding table stands in for the GoogleNews Word2Vec table (S12);
+tokens map to vec_ids via integer arithmetic (engine-portable, no
+hash-function parity issues): vec_id = (ascii(first_char)·31 + len·7) mod N.
+
+Scale posture: the vocab is built with one hash agg (map-side combined);
+both joins are broadcasts (vocab and embedding tables are dimension-sized —
+J1's contract per SURVEY §7.4.4, sort-merge + salting documented as the
+fallback when the vocabulary outgrows ~1 GB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import DUCK_TOKENS, tokens
+from ..registry import register
+from ..sources.catalog import load_table
+
+MIN_TOKEN_FREQ = 50  # corpus-frequency floor for vocabulary membership
+TRUNCATE_AT = 64     # P5 cap (reference uses 256 on longer docs)
+N_VECS = 500         # embeddings table is fixed-size at every SF
+
+_DUCK_POSTING = f"""
+          SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+          FROM (SELECT doc_id, {DUCK_TOKENS.format(col='text')} AS toks FROM documents)
+"""
+
+
+def _posting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, pos): order-preserving token posting list."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")).select(
+        "doc_id", "tok", (F.col("pos0") + 1).alias("pos")
+    )
+
+
+def _vocab(posting: DataFrame) -> DataFrame:
+    """P4's vocabulary: tokens meeting the corpus-frequency floor."""
+    return (
+        posting.groupBy("tok").agg(F.count(F.lit(1)).alias("freq")).filter(
+            F.col("freq") >= MIN_TOKEN_FREQ
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 + P5: vocab semi-join filter + order-preserving truncation
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_filter_truncate",
+    oracle=f"""
+        WITH posting AS ({_DUCK_POSTING}),
+        vocab AS (
+          SELECT tok FROM posting GROUP BY tok HAVING count(*) >= {MIN_TOKEN_FREQ}
+        ),
+        kept AS (
+          SELECT p.doc_id, p.tok, p.pos FROM posting p JOIN vocab v ON p.tok = v.tok
+        ),
+        seqs AS (
+          SELECT doc_id, list(tok ORDER BY pos ASC) AS kept_tokens FROM kept GROUP BY doc_id
+        )
+        SELECT doc_id,
+               len(kept_tokens) AS n_in_vocab,
+               len(list_slice(kept_tokens, 1, {TRUNCATE_AT})) AS n_kept,
+               array_to_string(list_slice(kept_tokens, 1, 8), ' ') AS head_tokens
+        FROM seqs
+    """,
+    tags=("textpipe",),
+)
+def vocab_filter_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P5: drop out-of-vocabulary tokens (semi-join against the frequency
+    vocabulary), keep original order, cap at TRUNCATE_AT."""
+    posting = _posting(spark, sf_dir)
+    vocab = _vocab(posting)
+    kept = posting.join(F.broadcast(vocab.select("tok")), "tok")
+    seqs = kept.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("ordered")
+    ).select("doc_id", F.col("ordered.tok").alias("kept_tokens"))
+    return seqs.select(
+        "doc_id",
+        F.size("kept_tokens").alias("n_in_vocab"),
+        F.size(F.slice("kept_tokens", 1, TRUNCATE_AT)).alias("n_kept"),
+        F.array_join(F.slice("kept_tokens", 1, 8), " ").alias("head_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 + averaging: embedding lookup join → mean document vector
+# ---------------------------------------------------------------------------
+_TOK2VEC_DUCK = f"(ascii(substr(tok, 1, 1)) * 31 + length(tok) * 7) % {N_VECS}"
+
+
+@register(
+    "doc_embedding_avg",
+    oracle=f"""
+        WITH posting AS ({_DUCK_POSTING}),
+        vocab AS (
+          SELECT tok FROM posting GROUP BY tok HAVING count(*) >= {MIN_TOKEN_FREQ}
+        ),
+        kept AS (
+          SELECT p.doc_id, p.tok, p.pos,
+                 row_number() OVER (PARTITION BY p.doc_id ORDER BY p.pos ASC) AS rn
+          FROM posting p JOIN vocab v ON p.tok = v.tok
+        ),
+        looked_up AS (
+          SELECT k.doc_id, e.embedding
+          FROM (SELECT *, {_TOK2VEC_DUCK} AS vec_id FROM kept WHERE rn <= {TRUNCATE_AT}) k
+          JOIN embeddings e ON e.vec_id = k.vec_id
+        ),
+        dims AS (
+          SELECT doc_id, generate_subscripts(embedding, 1) AS dim,
+                 unnest(embedding::DOUBLE[]) AS v
+          FROM looked_up
+        ),
+        avgs AS (
+          SELECT doc_id, dim, avg(v) AS dim_avg, count(*) AS n FROM dims GROUP BY doc_id, dim
+        )
+        SELECT doc_id,
+               list(round(dim_avg, 6) ORDER BY dim ASC) AS doc_vector,
+               min(n) AS n_embedded
+        FROM avgs GROUP BY doc_id
+    """,
+    tags=("textpipe", "join"),
+    bench=True,
+)
+def doc_embedding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full chapter-2 plan: tokenize → vocab semi-join → truncate →
+    embedding broadcast-join → per-dimension mean → document vector.
+
+    One Catalyst plan; the only shuffles are the vocab agg and the final
+    per-(doc, dim) average — the embedding lookup itself is a broadcast
+    hash join, exactly J1's contract.
+    """
+    posting = _posting(spark, sf_dir)
+    vocab = _vocab(posting)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    kept = (
+        posting.join(F.broadcast(vocab.select("tok")), "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TRUNCATE_AT)
+        .withColumn(
+            "vec_id",
+            (F.ascii(F.substring("tok", 1, 1)) * 31 + F.length("tok") * 7) % N_VECS,
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    looked_up = kept.join(F.broadcast(emb), "vec_id").select(
+        "doc_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = looked_up.select("doc_id", F.posexplode("v").alias("dim0", "v")).select(
+        "doc_id", (F.col("dim0") + 1).alias("dim"), "v"
+    )
+    avgs = dims.groupBy("doc_id", "dim").agg(
+        F.avg("v").alias("dim_avg"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        avgs.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", F.round("dim_avg", 6).alias("r")))).alias(
+                "ordered"
+            ),
+            F.min("n").alias("n_embedded"),
+        )
+        .select("doc_id", F.col("ordered.r").alias("doc_vector"), "n_embedded")
+    )

@@ -1,0 +1,122 @@
+"""ML capability tests, mirroring the reference's Evaluation.stats discipline
+(SURVEY §5): metric thresholds instead of print-and-eyeball.
+
+- ML4 regression on the sum task must be near-exact (the reference eyeballs
+  0.111+0.333≈0.444, chapter_5/...Regression.java:45-53; we assert MAE).
+- ML5 scaler semantics: fit on train, apply to both (MnistClassification
+  .java:146-156).
+- S15 model save/load round-trip (ModelSerializer import, MnistClassification
+  .java:20).
+- A7 evaluation stats via MulticlassClassificationEvaluator.
+"""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_deep_learning_with_apache_spark_spark.ml.queries import make_sum_dataset
+from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+REG = load_all()
+
+
+def test_regression_recovers_sum(spark, sf_dir):
+    # The oracle-checked query rounds to 4 decimals; here assert raw MAE.
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    data = VectorAssembler(inputCols=["a", "b"], outputCol="features").transform(
+        make_sum_dataset(spark).withColumn("label", F.col("a") + F.col("b"))
+    )
+    model = LinearRegression(solver="normal", regParam=0.0).fit(data)
+    mae = (
+        model.transform(data)
+        .agg(F.avg(F.abs(F.col("prediction") - F.col("label"))))
+        .first()[0]
+    )
+    assert mae < 1e-9
+    assert abs(model.coefficients[0] - 1.0) < 1e-9
+    assert abs(model.coefficients[1] - 1.0) < 1e-9
+
+
+def test_model_save_load_roundtrip(spark):
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression, LinearRegressionModel
+
+    data = VectorAssembler(inputCols=["a", "b"], outputCol="features").transform(
+        make_sum_dataset(spark, 200).withColumn("label", F.col("a") + F.col("b"))
+    )
+    model = LinearRegression(solver="normal").fit(data)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/lr_model"
+        model.write().overwrite().save(path)
+        loaded = LinearRegressionModel.load(path)
+    orig = [r.prediction for r in model.transform(data).limit(5).collect()]
+    back = [r.prediction for r in loaded.transform(data).limit(5).collect()]
+    assert orig == back
+
+
+def test_minmax_scaler_fit_train_apply_both(spark, sf_dir):
+    from pyspark.ml.feature import MinMaxScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = VectorAssembler(
+        inputCols=["l_quantity", "l_extendedprice"], outputCol="features"
+    ).transform(li)
+    train, test = feats.randomSplit([0.8, 0.2], seed=42)
+    model = MinMaxScaler(inputCol="features", outputCol="scaled").fit(train)
+    t = model.transform(train).select(vector_to_array("scaled")[0].alias("q")).agg(
+        F.min("q"), F.max("q")
+    ).first()
+    assert t[0] == pytest.approx(0.0, abs=1e-12)
+    assert t[1] == pytest.approx(1.0, abs=1e-12)
+    # test rows scale with TRAIN extrema — may exceed [0,1] slightly, but
+    # must be finite and near-range (the fit-on-train contract)
+    s = model.transform(test).select(vector_to_array("scaled")[0].alias("q")).agg(
+        F.min("q"), F.max("q")
+    ).first()
+    assert s[0] >= -0.5 and s[1] <= 1.5
+
+
+def test_mlp_evaluation_stats(spark, sf_dir):
+    # A7: evaluator over the confusion-matrix query's inputs.
+    conf = REG["ml_mlp_confusion"].fn(spark, sf_dir)
+    rows = conf.collect()
+    assert rows, "confusion matrix must be non-empty"
+    total = sum(r.n for r in rows)
+    correct = sum(r.n for r in rows if r.label == r.prediction)
+    # labels are random in the fixtures — accuracy just needs to be a
+    # valid probability and the matrix well-formed
+    assert 0.0 <= correct / total <= 1.0
+    assert all(0 <= r.label <= 9 and 0 <= r.prediction <= 9 for r in rows)
+
+
+def test_sentiment_pipeline_beats_chance(spark, sf_dir):
+    preds = REG["ml_sentiment_tfidf_logreg"].fn(spark, sf_dir)
+    rows = preds.collect()
+    acc = sum(1 for r in rows if r.label == r.prediction) / len(rows)
+    # 500 docs, 4096 TF-IDF features: logreg must at least beat the base
+    # rate on TRAIN data; exact separability depends on the synthetic text
+    base = max(sum(1 for r in rows if r.label == 1.0), sum(1 for r in rows if r.label == 0.0)) / len(rows)
+    assert acc >= base - 0.02
+
+
+def test_pca_anomaly_shape(spark, sf_dir):
+    out = REG["ml_anomaly_pca"].fn(spark, sf_dir).collect()
+    assert all(r.score >= 0 for r in out)
+    labels = {r.label for r in out}
+    assert len(labels) == 10
+    # per label: at most 5 best + 5 worst (overlap possible in small groups)
+    from collections import Counter
+
+    per = Counter(r.label for r in out)
+    assert all(c <= 10 for c in per.values())
+
+
+def test_word2vec_vector_size(spark, sf_dir):
+    out = REG["ml_word2vec_doc_vectors"].fn(spark, sf_dir).first()
+    assert len(out.docvec) == 16

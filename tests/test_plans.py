@@ -1,0 +1,72 @@
+"""Plan-quality gates: the physical plans we'd want at 100 TB, asserted.
+
+Pushdown reaching the parquet scan, dimension joins going broadcast,
+top-k compiling to TakeOrderedAndProject, no cartesian products in the
+candidate-join pipelines, and column pruning in ReadSchema.
+"""
+
+import pytest
+
+from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+REG = load_all()
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = physical(REG["pricing_summary"].fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = physical(REG["filter_contains_project"].fn(spark, sf_dir))
+    # Scan must read only the three projected columns.
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double>" in plan
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    plan = physical(REG["revenue_per_customer"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_star_all_broadcast(spark, sf_dir):
+    plan = physical(REG["revenue_per_region"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 3
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = physical(REG["top10_orders"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_in_candidate_joins(spark, sf_dir):
+    for name in ["near_dup_minhash_verified", "near_dup_jaccard", "range_join_events_after_order"]:
+        plan = physical(REG[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    assert "LeftSemi" in optimized(REG["customers_with_open_orders"].fn(spark, sf_dir))
+    assert "LeftAnti" in optimized(REG["customers_without_orders"].fn(spark, sf_dir))
+
+
+def test_window_shares_single_shuffle(spark, sf_dir):
+    # Both rank windows partition by the same key -> exactly one exchange
+    # below the window operators.
+    plan = physical(REG["grouped_best_worst_orders"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(o_custkey") <= 1
+
+
+def test_events_scan_prunes_props(spark, sf_dir):
+    # The tumbling agg never touches the wide props column.
+    plan = physical(REG["events_tumbling_hourly"].fn(spark, sf_dir))
+    assert "props" not in plan.split("ReadSchema")[1].split("\n")[0]
