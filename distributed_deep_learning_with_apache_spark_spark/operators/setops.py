@@ -1,0 +1,104 @@
+"""Set operations, sampling, and approximate/exact quantile aggregates.
+
+[EXT] completions of SURVEY §2.7 ("no intersect/except anywhere" in the
+reference) and §2.6 O3 seeded sampling, so the engine exposes the full
+standard relational set-op family the oracle harness can exercise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+@register(
+    "intersect_active_building_customers",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def intersect_active_building_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: building-segment customers who have an open order."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.intersect(o)
+
+
+@register(
+    "except_unsold_parts",
+    oracle="""
+        SELECT p_partkey FROM part
+        EXCEPT
+        SELECT l_partkey AS p_partkey FROM lineitem
+    """,
+    tags=("setop",),
+)
+def except_unsold_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: parts never appearing in lineitem."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return p.exceptAll(li).distinct()
+
+
+@register(
+    "quantile_order_prices",
+    oracle="""
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "quantile"),
+)
+def quantile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles per group (Spark `percentile` ↔ DuckDB
+    `quantile_cont`, same linear interpolation). At 100 TB swap in
+    `percentile_approx` — registered separately as a rows-only query
+    because t-digest results aren't engine-portable."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "approx_stats_lineitem",
+    oracle=None,  # HLL++/t-digest sketches are engine-specific; rows-only
+    tags=("agg", "approx", "scale"),
+)
+def approx_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketches you actually run at 100 TB: approx_count_distinct
+    (HLL++) and percentile_approx (t-digest) — single-pass, bounded
+    memory, map-side combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+    )
+
+
+@register(
+    "sample_seeded",
+    oracle=None,  # partitioning-dependent sampling; rows-only (O3/O5)
+    tags=("sample",),
+)
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 takeSample / O5 seeded shuffle: Bernoulli sample at fixed seed —
+    deterministic for a fixed input partitioning (SURVEY §7.4.2), hence
+    rows-only in the oracle harness."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
