@@ -272,6 +272,48 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_user_counters",
+    oracle=None,
+    tags=("streaming", "structured", "stateful"),
+)
+def stream_stateful_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: applyInPandasWithState keeps a
+    per-user (n_events, total_value) accumulator across micro-batches and
+    emits the running totals — the engine's extension point for operators
+    Structured Streaming lacks natively (SURVEY §2.11's DataSetIterator
+    analog, state explicit instead of cursor-based).
+
+    Kernel is a closure (pickled by value; executors don't import this
+    package)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_counters(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    out = (
+        _stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_counters,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(out, spark, "stream_stateful_sink", "update")
+
+
+@register(
     "stream_dedup_watermark",
     oracle=None,
     tags=("streaming", "structured", "dedup"),
