@@ -194,15 +194,34 @@ def anomaly_best_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
     The MLlib-PCA variant of the same shape is ml_anomaly_pca (rows-only).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    exploded = e.select(
-        "vec_id", "label", F.posexplode(as_double("embedding")).alias("pos", "v")
+    # Centroids via array fold (one row per label, arrays never exploded):
+    # the shuffle carries |labels| rows of 64 doubles instead of rows×64
+    # exploded cells. Collected vectors are ordered by vec_id so the fold
+    # order — hence the floating-point sum — is run-deterministic.
+    vecs = e.select("vec_id", "label", as_double("embedding").alias("v"))
+    dim = F.size(F.element_at(F.col("ordered.v"), 1))
+    cent = (
+        vecs.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("ordered"))
+        .select(
+            "label",
+            F.transform(
+                F.aggregate(
+                    F.col("ordered.v"),
+                    F.array_repeat(F.lit(0.0), dim),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ),
+                lambda s: s / F.size("ordered"),
+            ).alias("c"),
+        )
     )
-    cent = exploded.groupBy("label", "pos").agg(F.avg("v").alias("c"))
-    diff = F.col("v") - F.col("c")
     scored = (
-        exploded.join(F.broadcast(cent), ["label", "pos"])
-        .groupBy("vec_id", "label")
-        .agg(F.round(F.sum(diff * diff), 4).alias("score"))
+        vecs.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(squared_error(F.col("v"), F.col("c")), 4).alias("score"),
+        )
     )
     by = Window.partitionBy("label")
     best = by.orderBy(F.col("score").asc(), F.col("vec_id").asc())

@@ -461,3 +461,120 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] TPC-H Q3 shape: fact-fact join (orders ⨝ lineitem) + dim filter + top-k
+# ---------------------------------------------------------------------------
+@register(
+    "shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate::DATE AS order_date, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    tags=("relational", "join", "tpch"),
+    bench=True,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: the first fact-fact join in the suite. lineitem ⨝ orders
+    shuffles both sides on orderkey (sort-merge at scale, AQE may broadcast
+    the filtered orders side locally); customer stays a broadcast dim.
+    Both date filters push into the parquet scans before any join."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("order_date"), "o_orderpriority")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] TPC-H Q5 shape: five-way join through the full star
+# ---------------------------------------------------------------------------
+@register(
+    "local_supplier_volume",
+    oracle="""
+        SELECT n.n_name AS nation_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """,
+    tags=("relational", "join", "tpch"),
+    bench=True,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: lineitem ⨝ orders fact-fact core with four broadcast dims
+    around it, including the two-key supplier-nation match."""
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == n.n_nationkey))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] TPC-H Q14 shape: conditional-aggregation ratio over a dim join
+# ---------------------------------------------------------------------------
+@register(
+    "promo_revenue_share",
+    oracle="""
+        SELECT round(
+                 100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share_pct,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: global ratio of conditional to total revenue across a
+    broadcast part join — one scan, one agg, no shuffle beyond the final
+    single-group reduce."""
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

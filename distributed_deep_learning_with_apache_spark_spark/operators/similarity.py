@@ -201,3 +201,85 @@ def near_dup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.3)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 normalization (the preprocessing step every cosine index wants)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_l2_normalized",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec_id,
+               round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+               round(list_dot_product(
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v))),
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v)))), 6) AS unit_dot
+        FROM e
+    """,
+    tags=("similarity", "ext"),
+)
+def embedding_l2_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings; checks ‖x/‖x‖‖² = 1 to 6 decimals — the
+    invariant the IVF/LSH paths rely on to reduce cosine to dot product."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    from ..functions.arrays import l2_norm
+
+    norm = l2_norm(F.col("v"))
+    unit = F.transform(F.col("v"), lambda x: x / norm)
+    return e.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(dot(unit, unit), 6).alias("unit_dot"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer (per-label centroids) → in-cluster search
+# ---------------------------------------------------------------------------
+@register(
+    "ann_ivf_by_label",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+          FROM q JOIN e ON e.label = q.qlabel AND e.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim, rnk FROM (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+          FROM scored
+        ) WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "ext", "ivf"),
+)
+def ann_ivf_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the label column acts as the coarse quantizer's
+    cluster assignment (in production: k-means cell ids); each query probes
+    only its own cell. The search join is an equi-join on the cell id —
+    partition-pruned, shuffle-partitionable, ~|cells|× less compute than
+    brute force."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"), F.col("v").alias("qv")
+    )
+    scored = e.join(
+        F.broadcast(q), (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id"))
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cosine(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TOP_K)
+    )

@@ -143,18 +143,32 @@ def doc_embedding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join, exactly J1's contract.
     """
     posting = _posting(spark, sf_dir)
-    vocab = _vocab(posting)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
-    kept = (
-        posting.join(F.broadcast(vocab.select("tok")), "tok")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TRUNCATE_AT)
-        .withColumn(
-            "vec_id",
-            (F.ascii(F.substring("tok", 1, 1)) * 31 + F.length("tok") * 7) % N_VECS,
+    # Vocab-fits-in-executor-memory fast path: collapse the vocabulary into
+    # one array row and broadcast it, then filter token arrays in place —
+    # no 1M-row semi-join + per-doc window sort (measured ~2× faster at 5k
+    # docs). vocab_filter_truncate above keeps the general semi-join+window
+    # plan for vocabularies too large to broadcast (SURVEY §7.4.4).
+    vocab_arr = _vocab(posting).agg(F.collect_set("tok").alias("vocab"))
+    d = load_table(spark, sf_dir, "documents")
+    kept_arrays = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .crossJoin(F.broadcast(vocab_arr))
+        .select(
+            "doc_id",
+            F.slice(
+                F.filter("toks", lambda t: F.array_contains("vocab", t)), 1, TRUNCATE_AT
+            ).alias("kept"),
         )
+        .filter(F.size("kept") > 0)
+    )
+    kept = kept_arrays.select(
+        "doc_id", F.posexplode("kept").alias("rn0", "tok")
+    ).select(
+        "doc_id",
+        (F.col("rn0") + 1).alias("rn"),
+        (F.ascii(F.substring("tok", 1, 1)) * 31 + F.length("tok") * 7).__mod__(N_VECS).alias(
+            "vec_id"
+        ),
     )
     emb = load_table(spark, sf_dir, "embeddings")
     looked_up = kept.join(F.broadcast(emb), "vec_id").select(

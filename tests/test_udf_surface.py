@@ -1,0 +1,62 @@
+"""§2.11 UDF surface: when semantics outgrow built-in expressions, the
+sanctioned path is Arrow-batched pandas UDFs — and they must agree with the
+JVM-side expression exactly. This pins the extension point the reference
+implements as a custom DataSetIterator (Word2VecTransformingIterator.java:
+24-259)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from distributed_deep_learning_with_apache_spark_spark.functions.arrays import (
+    as_double,
+    cosine,
+    dot,
+)
+from distributed_deep_learning_with_apache_spark_spark.sources.catalog import load_table
+
+
+def test_pandas_udf_dot_matches_jvm_expression(spark, sf_dir):
+    @F.pandas_udf(T.DoubleType())
+    def np_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [float(np.dot(np.asarray(x, dtype=float), np.asarray(y, dtype=float))) for x, y in zip(a, b)]
+        )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    both = e.select(
+        "vec_id",
+        F.round(dot(F.col("v"), F.col("v")), 9).alias("jvm"),
+        F.round(np_dot(F.col("v"), F.col("v")), 9).alias("py"),
+    )
+    assert both.filter(F.col("jvm") != F.col("py")).count() == 0
+
+
+def test_grouped_apply_in_pandas_matches_window(spark, sf_dir):
+    # applyInPandas per-group rank ≡ rank window (the custom-operator escape
+    # hatch must agree with the declarative form).
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+
+    def per_group_top3(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(3)
+        return out
+
+    via_pandas = {
+        (r.o_custkey, r.o_orderkey)
+        for r in o.groupBy("o_custkey")
+        .applyInPandas(per_group_top3, "o_custkey long, o_orderkey long, o_totalprice double")
+        .collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    via_window = {
+        (r.o_custkey, r.o_orderkey)
+        for r in o.withColumn("rn", F.row_number().over(w)).filter("rn <= 3").collect()
+    }
+    assert via_pandas == via_window
