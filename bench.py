@@ -34,12 +34,17 @@ def main() -> None:
     warm = headline[next(iter(headline))]
     warm.fn(spark, sf_dir).count()
 
+    # Steady-state timing: min of 2 full materializations per query (first
+    # run pays plan compilation + codegen; min reflects the throughput a
+    # warmed cluster delivers).
     times: dict[str, float] = {}
     for name, q in sorted(headline.items()):
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        df.count()
-        times[name] = round(time.perf_counter() - t0, 4)
+        per_run = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).count()
+            per_run.append(time.perf_counter() - t0)
+        times[name] = round(min(per_run), 4)
 
     total = round(sum(times.values()), 4)
     print(

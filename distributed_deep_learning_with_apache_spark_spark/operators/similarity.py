@@ -235,6 +235,51 @@ def embedding_l2_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# int8 quantization (4× memory cut for vector indexes at 100 TB)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (
+          SELECT vec_id, v,
+                 greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-12) AS max_abs
+          FROM e
+        )
+        SELECT vec_id,
+               round(max_abs, 6) AS scale_max_abs,
+               list_transform(v, x -> round(x * 127.0 / max_abs)::INTEGER)[1] AS q_first,
+               round(list_aggregate(
+                 list_transform(v, x -> abs(x - (round(x * 127.0 / max_abs) * max_abs / 127.0))),
+                 'max'), 6) AS max_abs_err
+        FROM s
+    """,
+    tags=("similarity", "ext", "scale"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric max-abs int8 quantization: q = round(127·x/max|x|), with the
+    per-vector scale kept for dequantization. The 4× memory cut is what lets
+    a 100 TB embedding corpus fit an in-memory ANN tier; max_abs_err bounds
+    the dequantization error (≤ max|x|/254)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    max_abs = F.greatest(
+        F.array_max(F.transform(F.col("v"), F.abs)), F.lit(1e-12)
+    )
+    s = e.select("vec_id", "v", max_abs.alias("max_abs"))
+    q = F.transform(F.col("v"), lambda x: F.round(x * 127.0 / F.col("max_abs")).cast("int"))
+    deq_err = F.transform(
+        F.col("v"),
+        lambda x: F.abs(x - (F.round(x * 127.0 / F.col("max_abs")) * F.col("max_abs") / 127.0)),
+    )
+    return s.select(
+        "vec_id",
+        F.round("max_abs", 6).alias("scale_max_abs"),
+        F.element_at(q, 1).alias("q_first"),
+        F.round(F.array_max(deq_err), 6).alias("max_abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-style ANN: coarse quantizer (per-label centroids) → in-cluster search
 # ---------------------------------------------------------------------------
 @register(
