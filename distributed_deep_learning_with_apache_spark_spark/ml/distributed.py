@@ -1,0 +1,220 @@
+"""Distributed neural-net training by synchronous parameter averaging —
+the Spark-native realization of what the reference *declares* but never
+does (SURVEY §0: `build.sbt:30` pulls dl4j-spark, yet no main() ever
+creates a SparkContext; every net trains single-JVM).
+
+Algorithm (the published dl4j-spark / iterative-MapReduce pattern):
+  per epoch:
+    1. broadcast current weights to executors
+    2. each partition runs local minibatch SGD from those weights
+    3. driver averages the partition results weighted by sample count
+Convergence matches single-node SGD for the smooth objectives used here;
+communication is O(model size × epochs), independent of data size — the
+property that makes it viable at 100 TB (data never moves; weights do).
+
+This is one of the few sanctioned RDD/mapPartitions uses in the engine
+(per-partition imperative numeric logic — SURVEY §2.11); everything else
+stays DataFrame-declarative. The MLP itself is plain numpy (public
+textbook backprop), NOT a port of any reference network code.
+
+Reference parity: ML4's 2→10(tanh)→1 sum-regression net
+(`chapter_5/NetworkTrainedToSumNumbersUsingRegression.java:62-84`) and the
+epoch-sweep experiment (`chapter_6/SumNumberOfIterations.java:34-48`) run
+on this trainer in tests/test_distributed_training.py.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+# Executor Python workers don't have this package on sys.path (the driver
+# may run from any cwd), so closures must serialize the helpers BY VALUE,
+# not as references into this module.
+try:  # pragma: no cover - import location varies across pyspark versions
+    from pyspark import cloudpickle as _cp
+except ImportError:
+    import cloudpickle as _cp
+_cp.register_pickle_by_value(sys.modules[__name__])
+
+
+def make_chapter5_dataset(spark: SparkSession, n: int = 2000) -> DataFrame:
+    """Chapter-5 scale parity: inputs uniform-ish in [0,3)
+    (NetworkTrainedToSumNumbersUsingRegression.java:25-30 draws uniform
+    [0,3); integer-derived grid keeps runs deterministic)."""
+    return spark.range(n).select(
+        F.col("id"),
+        (((F.col("id") * 7) % 27) / 9.0).alias("a"),
+        (((F.col("id") * 13) % 21) / 7.0).alias("b"),
+    )
+
+
+def _init_weights(layers: list[int], seed: int) -> list[np.ndarray]:
+    rng = np.random.default_rng(seed)
+    params = []
+    for n_in, n_out in zip(layers, layers[1:]):
+        params.append(rng.normal(0.0, 1.0 / np.sqrt(n_in), size=(n_in, n_out)))
+        params.append(np.zeros(n_out))
+    return params
+
+
+def _forward(params: list[np.ndarray], x: np.ndarray) -> tuple[list[np.ndarray], np.ndarray]:
+    """Hidden layers tanh, linear output. Returns (activations, output)."""
+    acts = [x]
+    h = x
+    n_layers = len(params) // 2
+    for i in range(n_layers):
+        w, b = params[2 * i], params[2 * i + 1]
+        z = h @ w + b
+        h = z if i == n_layers - 1 else np.tanh(z)
+        acts.append(h)
+    return acts, h
+
+
+def _local_sgd(
+    params: list[np.ndarray],
+    x: np.ndarray,
+    y: np.ndarray,
+    lr: float,
+    batch_size: int,
+    seed: int,
+) -> list[np.ndarray]:
+    """Minibatch SGD on MSE from the given start point (one local pass)."""
+    rng = np.random.default_rng(seed)
+    p = [w.copy() for w in params]
+    order = rng.permutation(len(x))
+    n_layers = len(p) // 2
+    for start in range(0, len(x), batch_size):
+        idx = order[start : start + batch_size]
+        xb, yb = x[idx], y[idx]
+        acts, out = _forward(p, xb)
+        grad = 2.0 * (out - yb) / len(xb)  # dMSE/dout
+        for i in reversed(range(n_layers)):
+            w = p[2 * i]
+            a_prev = acts[i]
+            gw = a_prev.T @ grad
+            gb = grad.sum(axis=0)
+            if i > 0:
+                grad = (grad @ w.T) * (1.0 - acts[i] ** 2)  # tanh'
+            p[2 * i] -= lr * gw
+            p[2 * i + 1] -= lr * gb
+    return p
+
+
+class DistributedMLPRegressor:
+    """Parameter-averaging MLP regressor (tanh hidden layers, MSE).
+
+    fit() expects a DataFrame with `features array<double>` and
+    `label double`; data stays partitioned on executors for the whole run.
+    """
+
+    def __init__(
+        self,
+        layers: list[int],
+        epochs: int = 20,
+        lr: float = 0.05,
+        batch_size: int = 64,
+        seed: int = 42,
+    ) -> None:
+        self.layers = layers
+        self.epochs = epochs
+        self.lr = lr
+        self.batch_size = batch_size
+        self.seed = seed
+        self.params: list[np.ndarray] | None = None
+        self.loss_history: list[float] = []
+
+    def fit(self, df: DataFrame) -> "DistributedMLPRegressor":
+        sc = df.sparkSession.sparkContext
+        rdd = df.select("features", "label").rdd.map(
+            lambda r: (np.asarray(r[0], dtype=np.float64), float(r[1]))
+        )
+        rdd = rdd.cache()
+        params = _init_weights(self.layers, self.seed)
+        lr, bs = self.lr, self.batch_size
+
+        for epoch in range(self.epochs):
+            bc = sc.broadcast(params)
+            ep_seed = self.seed + epoch  # same per-partition seed stream each run
+
+            def train_partition(split_idx, rows, _bc=bc, _seed=ep_seed):
+                data = list(rows)
+                if not data:
+                    return
+                x = np.stack([d[0] for d in data])
+                y = np.array([d[1] for d in data]).reshape(-1, 1)
+                p = _local_sgd(_bc.value, x, y, lr, bs, _seed * 1000 + split_idx)
+                _, out = _forward(p, x)
+                loss = float(((out - y) ** 2).mean()) * len(x)
+                yield (p, len(x), loss)
+
+            results = rdd.mapPartitionsWithIndex(train_partition).collect()
+            total = sum(n for _, n, _ in results)
+            params = [
+                sum(p[i] * (n / total) for p, n, _ in results)
+                for i in range(len(params))
+            ]
+            self.loss_history.append(sum(l for _, _, l in results) / total)
+            bc.destroy()
+        rdd.unpersist()
+        self.params = params
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Distributed inference: broadcast final weights, score per batch
+        via an Arrow-vectorized pandas UDF."""
+        assert self.params is not None, "fit first"
+        sc = df.sparkSession.sparkContext
+        bc = sc.broadcast(self.params)
+
+        from pyspark.sql import types as T
+
+        @F.pandas_udf(T.DoubleType())
+        def predict(features: pd.Series) -> pd.Series:
+            import numpy as _np
+
+            x = _np.stack([_np.asarray(v, dtype=_np.float64) for v in features])
+            _, out = _forward(bc.value, x)
+            return pd.Series(out.ravel())
+
+        return df.withColumn("prediction", predict(F.col("features")))
+
+
+@register(
+    "ml_distributed_mlp_sum",
+    oracle=None,  # SGD trajectory; rows-only (MAE asserted in tests)
+    tags=("ml", "distributed", "regression"),
+)
+def ml_distributed_mlp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML4 on the distributed trainer: 2→8(tanh)→1 MLP learns y = a + b via
+    parameter averaging across partitions; returns predictions for the
+    first 20 rows. Inputs are scaled to O(0.1) (tanh-friendly — unscaled
+    inputs up to 11 saturate the hidden layer and stall SGD)."""
+    SCALE = 3.0
+    data = (
+        make_chapter5_dataset(spark)
+        .select(
+            "id",
+            F.array(F.col("a") / SCALE, F.col("b") / SCALE).cast("array<double>").alias("features"),
+            ((F.col("a") + F.col("b")) / SCALE).alias("label"),
+        )
+        .repartition(8)
+    )
+    model = DistributedMLPRegressor(layers=[2, 8, 1], epochs=20, lr=0.1, batch_size=32, seed=42).fit(
+        data
+    )
+    return (
+        model.transform(data)
+        .filter(F.col("id") < 20)
+        .select(
+            "id",
+            F.round(F.col("label") * SCALE, 4).alias("label"),
+            F.round(F.col("prediction") * SCALE, 4).alias("prediction"),
+        )
+    )
