@@ -55,7 +55,16 @@ def register(
 def load_all() -> dict[str, Query]:
     """Import every query-defining module, then return the registry."""
     # Imports are side-effectful (decorators fill REGISTRY).
-    from .operators import asof, dedup, relational, setops, similarity, textpipe, topk  # noqa: F401
+    from .operators import (  # noqa: F401
+        asof,
+        dedup,
+        merge,
+        relational,
+        setops,
+        similarity,
+        textpipe,
+        topk,
+    )
     from .functions import arrays, text  # noqa: F401
     from .sources import binary  # noqa: F401
     from .streaming import events  # noqa: F401
