@@ -549,6 +549,56 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# [EXT] CUBE with grouping flags
+# ---------------------------------------------------------------------------
+@register(
+    "cube_revenue",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "agg"),
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims with per-column GROUPING flags (engine-portable,
+    unlike bit-packed grouping_id)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        _r2(F.sum("l_extendedprice")).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] TPC-H Q2 shape: min-per-group correlated filter
+# ---------------------------------------------------------------------------
+@register(
+    "cheapest_part_per_brand",
+    oracle="""
+        SELECT p.p_brand, p.p_partkey, p.p_retailprice
+        FROM part p
+        JOIN (SELECT p_brand, min(p_retailprice) AS min_price
+              FROM part GROUP BY p_brand) m
+          ON m.p_brand = p.p_brand AND p.p_retailprice = m.min_price
+    """,
+    tags=("relational", "join", "subquery", "tpch"),
+)
+def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: rows matching their group's minimum (correlated-subquery
+    filter as a grouped-derived-table join; AQE reuses the scan)."""
+    p = load_table(spark, sf_dir, "part")
+    m = p.groupBy(F.col("p_brand").alias("b")).agg(F.min("p_retailprice").alias("min_price"))
+    return (
+        p.join(m, (p.p_brand == m.b) & (p.p_retailprice == m.min_price))
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
 # [EXT] TPC-H Q14 shape: conditional-aggregation ratio over a dim join
 # ---------------------------------------------------------------------------
 @register(

@@ -235,6 +235,77 @@ def embedding_l2_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-probe LSH ANN: also search the buckets one bit-flip away
+# ---------------------------------------------------------------------------
+_PROBE_MASKS = [0] + [1 << b for b in range(N_PLANES)]  # self + 4 single-bit flips
+
+
+@register(
+    "ann_lsh_multiprobe",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          {_duck_bucket("embedding::DOUBLE[]")} AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv,
+                     xor(bucket, m) AS probe_bucket
+              FROM e, (SELECT unnest({_PROBE_MASKS}) AS m)
+              WHERE vec_id < {N_QUERIES}),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+          FROM q JOIN e ON q.probe_bucket = e.bucket AND e.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim, rnk FROM (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+          FROM scored
+        ) WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "ext", "lsh"),
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: each query also searches the 4 buckets whose code
+    differs by one hyperplane sign — the standard recall fix (candidates
+    near a hyperplane land just across it). 5× the candidates of single-
+    probe, still ~3× less work than brute force at 16 buckets, and the
+    probe fan-out is an explode + the same equi-join — no new shuffle
+    shape."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    e = e.withColumn("bucket", _bucket_expr(F.col("v")))
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.lit(_PROBE_MASKS)).alias("m"),
+            F.col("bucket").alias("qb"),
+        )
+        .select(
+            "query_id", "qv", F.expr("qb ^ m").alias("probe_bucket")
+        )
+    )
+    scored = e.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("probe_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cosine(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_sim"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # int8 quantization (4× memory cut for vector indexes at 100 TB)
 # ---------------------------------------------------------------------------
 @register(
