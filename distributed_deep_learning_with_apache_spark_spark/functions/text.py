@@ -223,6 +223,58 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# [EXT] TF-IDF scoring, fully declarative (the SQL twin of HashingTF+IDF)
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH posting AS (
+          SELECT doc_id, unnest({DUCK_TOKENS.format(col='text')}) AS tok FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, tok, count(*) AS tf FROM posting GROUP BY doc_id, tok
+        ),
+        df AS (
+          SELECT tok, count(DISTINCT doc_id) AS df FROM posting GROUP BY tok
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.tok,
+                 round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+          FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n
+        )
+        SELECT doc_id, tok, tfidf, rnk FROM (
+          SELECT doc_id, tok, tfidf,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rnk
+          FROM scored
+        ) WHERE rnk <= 3
+    """,
+    tags=("text", "ext"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed TF-IDF — the declarative twin
+    of the HashingTF→IDF MLlib stage (ml_sentiment_tfidf_logreg), with df
+    computed as a broadcastable side aggregate rather than a fitted model."""
+    d = load_table(spark, sf_dir, "documents")
+    posting = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = posting.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = posting.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; documents is dimension-sized at every SF
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.select("doc_id", "tok", "tfidf", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
 # [EXT] document fingerprinting (canonicalized md5; basis of exact dedup)
 # ---------------------------------------------------------------------------
 @register(

@@ -272,6 +272,59 @@ def ml_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# [EXT] KMeans coarse quantizer (the trained IVF cell assignment)
+# ---------------------------------------------------------------------------
+@register(
+    "ml_kmeans_cells",
+    oracle=None,  # iterative clustering; rows-only
+    tags=("ml", "similarity", "ivf"),
+)
+def ml_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans(k=16) over embeddings: the trained coarse quantizer behind a
+    real IVF index (ann_ivf_by_label uses the label column as a stand-in;
+    this trains actual cells). Returns cell sizes + intra-cell cost."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=16, seed=SEED, maxIter=20).fit(vecs)
+    return (
+        model.transform(vecs)
+        .groupBy(F.col("prediction").alias("cell_id"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] tree-ensemble classifier over engineered text features
+# ---------------------------------------------------------------------------
+@register(
+    "ml_gbt_quality",
+    oracle=None,  # iterative boosting; rows-only
+    tags=("ml", "classify", "text"),
+)
+def ml_gbt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GBTClassifier predicting the deterministic quality gate from the
+    engineered text features (the learned twin of text_quality's rule) —
+    rounds out the model family beyond linear/MLP."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    from ..functions.text import text_quality
+
+    feats = text_quality(spark, sf_dir)
+    data = VectorAssembler(
+        inputCols=["n_chars_measured", "n_words", "digit_ratio", "punct_ratio", "stopword_ratio"],
+        outputCol="features",
+    ).transform(feats.withColumn("label", F.col("quality_pass").cast("double")))
+    model = GBTClassifier(maxIter=10, maxDepth=3, seed=SEED).fit(data)
+    return model.transform(data).select("doc_id", "label", "prediction")
+
+
+# ---------------------------------------------------------------------------
 # ML1 embedding step: distributed Word2Vec (the course's pretrained table,
 # trained in-engine)
 # ---------------------------------------------------------------------------

@@ -411,6 +411,87 @@ def near_dup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Connected components over near-dup pairs → dedup clusters
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, {DUCK_SHINGLES} AS sh FROM documents
+        ),
+        posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b
+          WHERE c.shared * 1.0 / (len(sa.sh) + len(sb.sh) - c.shared) >= 0.5
+        ),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT s AS doc FROM edges),
+        reach AS (
+          SELECT doc, doc AS r FROM nodes
+          UNION
+          SELECT e.t AS doc, reach.r
+          FROM reach JOIN edges e ON e.s = reach.doc
+        )
+        SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc
+    """,
+    tags=("dedup", "ext", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the
+    jaccard ≥ 0.5 pair graph; cluster id = min doc_id in the component
+    (the canonical 'keeper').
+
+    Spark side runs label propagation to a fixpoint — each iteration is
+    one equi-join + min-aggregate (the standard large-graph CC pattern:
+    iterations = graph diameter, every step shuffle-partitioned, nothing
+    driver-side except the convergence check). The oracle computes the
+    same fixpoint with a recursive CTE.
+    """
+    pairs = near_dup_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))).toDF(
+        "s", "t"
+    )
+    edges = edges.persist()
+    labels = edges.select(F.col("s").alias("doc")).distinct().withColumn("label", F.col("doc"))
+    while True:
+        neigh = (
+            edges.join(labels, edges.t == labels.doc)
+            .select(F.col("s").alias("doc"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash (16-bit, md5 bit votes — engine-portable)
 # ---------------------------------------------------------------------------
 @register(
