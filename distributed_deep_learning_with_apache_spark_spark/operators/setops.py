@@ -92,6 +92,34 @@ def approx_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_lineitem_measures",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value
+        FROM (
+          SELECT l_orderkey, l_linenumber,
+                 'quantity' AS measure, l_quantity AS value FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        )
+        WHERE l_orderkey <= 100
+    """,
+    tags=("setop", "reshape"),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide measures into (measure, value) long format via
+    stack() — one scan, no join, the inverse of the pivot query."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, 'discount', l_discount)"
+        " AS (measure, value)",
+    ).withColumn("value", F.round("value", 2))
+
+
+@register(
     "sample_seeded",
     oracle=None,  # partitioning-dependent sampling; rows-only (O3/O5)
     tags=("sample",),

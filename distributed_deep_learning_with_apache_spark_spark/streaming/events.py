@@ -197,6 +197,40 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured props: JSON extraction + aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "events_props_json",
+    oracle="""
+        SELECT event_type,
+               round(avg(json_extract(props, '$.k')::INTEGER), 4) AS avg_k,
+               max(json_extract(props, '$.k')::INTEGER) AS max_k,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("streaming", "json", "ext"),
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the JSON props payload with a
+    typed schema (from_json — vectorized, JVM-side; never a Python json.loads)
+    and aggregate the extracted field."""
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))["k"]
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Real Structured Streaming forms (rows-only: driver records row counts)
 # ---------------------------------------------------------------------------
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
