@@ -217,18 +217,27 @@ def ml_mlp_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minmax_scaled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML5 semantics (ImagePreProcessingScaler / MinMaxScaler: x' =
-    (x-min)/(max-min)) as a pure plan: global-window extrema + projection.
-    The MLlib-estimator form is exercised in tests/test_ml.py."""
+    (x-min)/(max-min)) as a pure plan: one global extrema aggregate
+    broadcast back onto the scan. (An unpartitioned window would funnel
+    every row through a single task at scale; the 1-row crossJoin keeps the
+    projection fully parallel.) The MLlib-estimator form is exercised in
+    tests/test_ml.py."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy()
-    def scaled(c):
-        mn, mx = F.min(c).over(w), F.max(c).over(w)
-        return F.round((F.col(c) - mn) / (mx - mn), 6)
-    return li.select(
+    extrema = li.agg(
+        F.min("l_quantity").alias("q_mn"),
+        F.max("l_quantity").alias("q_mx"),
+        F.min("l_extendedprice").alias("p_mn"),
+        F.max("l_extendedprice").alias("p_mx"),
+    )
+    return li.crossJoin(F.broadcast(extrema)).select(
         "l_orderkey",
         "l_linenumber",
-        scaled("l_quantity").alias("qty_scaled"),
-        scaled("l_extendedprice").alias("price_scaled"),
+        F.round((F.col("l_quantity") - F.col("q_mn")) / (F.col("q_mx") - F.col("q_mn")), 6).alias(
+            "qty_scaled"
+        ),
+        F.round(
+            (F.col("l_extendedprice") - F.col("p_mn")) / (F.col("p_mx") - F.col("p_mn")), 6
+        ).alias("price_scaled"),
     )
 
 

@@ -306,6 +306,51 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join_purchase_error",
+    oracle=None,
+    tags=("streaming", "structured", "join"),
+)
+def stream_stream_join_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases matched to errors by
+    the same user within the following hour. Both sides carry watermarks and
+    the join condition bounds event-time distance, so state is evictable —
+    the requirement for unbounded sources (batch twin: range_join shape)."""
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    errors = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "p_user",
+        "p_id",
+        "e_id",
+        _epoch_s("p_ts").alias("purchase_ts_s"),
+        _epoch_s("e_ts").alias("error_ts_s"),
+    )
+    return _run_to_memory(joined, spark, "stream_stream_join_sink", "append")
+
+
+@register(
     "stream_stateful_user_counters",
     oracle=None,
     tags=("streaming", "structured", "stateful"),
