@@ -82,7 +82,7 @@ def vector_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_dim_means",
     oracle="""
-        SELECT pos, round(avg(v), 6) AS dim_mean, count(*) AS n
+        SELECT pos, round(avg(v), 6) + 0.0 AS dim_mean, count(*) AS n
         FROM (SELECT unnest(embedding::DOUBLE[]) AS v,
                      generate_subscripts(embedding, 1) AS pos
               FROM embeddings)
@@ -101,7 +101,7 @@ def embedding_dim_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.posexplode(as_double("embedding")).alias("pos0", "v"))
         .select((F.col("pos0") + 1).alias("pos"), "v")
         .groupBy("pos")
-        .agg(F.round(F.avg("v"), 6).alias("dim_mean"), F.count(F.lit(1)).alias("n"))
+        .agg((F.round(F.avg("v"), 6) + 0.0).alias("dim_mean"), F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -113,7 +113,7 @@ def embedding_dim_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT vec_id,
                list_position(embedding, list_aggregate(embedding, 'max')) - 1 AS argmax_dim,
-               round(list_aggregate(embedding::DOUBLE[], 'max'), 6) AS max_val
+               round(list_aggregate(embedding::DOUBLE[], 'max'), 6) + 0.0 AS max_val
         FROM embeddings
     """,
     tags=("arrays",),
@@ -124,7 +124,7 @@ def embedding_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         (F.array_position(F.col("embedding"), F.array_max("embedding")) - 1).alias("argmax_dim"),
-        F.round(F.array_max(as_double("embedding")), 6).alias("max_val"),
+        (F.round(F.array_max(as_double("embedding")), 6) + 0.0).alias("max_val"),
     )
 
 
@@ -136,7 +136,7 @@ def embedding_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT vec_id,
                len(list_concat(embedding, [label * 1.0::FLOAT])) AS assembled_dim,
-               round(list_aggregate(list_concat(embedding::DOUBLE[], [label * 1.0]), 'sum'), 4) AS assembled_sum
+               round(list_aggregate(list_concat(embedding::DOUBLE[], [label * 1.0]), 'sum'), 4) + 0.0 AS assembled_sum
         FROM embeddings
     """,
     tags=("arrays",),
@@ -148,7 +148,7 @@ def hstack_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size(assembled).alias("assembled_dim"),
-        F.round(F.aggregate(assembled, F.lit(0.0), lambda a, v: a + v), 4).alias("assembled_sum"),
+        (F.round(F.aggregate(assembled, F.lit(0.0), lambda a, v: a + v), 4) + 0.0).alias("assembled_sum"),
     )
 
 

@@ -71,7 +71,7 @@ def _duck_bucket(vec_sql: str) -> str:
                    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
           FROM q JOIN e ON e.vec_id != q.query_id
         )
-        SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim, rnk FROM (
+        SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cosine_sim, rnk FROM (
           SELECT query_id, neighbor_id, cos,
                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
           FROM scored
@@ -105,7 +105,7 @@ def cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select(
             "query_id",
             "neighbor_id",
-            F.round("cos", 6).alias("cosine_sim"),
+            (F.round("cos", 6) + 0.0).alias("cosine_sim"),
             F.row_number().over(w).alias("rnk"),
         )
         .filter(F.col("rnk") <= TOP_K)
@@ -128,7 +128,7 @@ def cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
           FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id != q.query_id
         )
-        SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim, rnk FROM (
+        SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cosine_sim, rnk FROM (
           SELECT query_id, neighbor_id, cos,
                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
           FROM scored
@@ -161,7 +161,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select(
             "query_id",
             "neighbor_id",
-            F.round("cos", 6).alias("cosine_sim"),
+            (F.round("cos", 6) + 0.0).alias("cosine_sim"),
             F.row_number().over(w).alias("rnk"),
         )
         .filter(F.col("rnk") <= TOP_K)
@@ -177,7 +177,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) + 0.0 AS cosine_sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
@@ -199,7 +199,7 @@ def near_dup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos", cos)
         .filter(F.col("cos") >= 0.3)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine_sim"))
+        .select("vec_a", "vec_b", (F.round("cos", 6) + 0.0).alias("cosine_sim"))
     )
 
 
@@ -256,7 +256,7 @@ _PROBE_MASKS = [0] + [1 << b for b in range(N_PLANES)]  # self + 4 single-bit fl
                    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
           FROM q JOIN e ON q.probe_bucket = e.bucket AND e.vec_id != q.query_id
         )
-        SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim, rnk FROM (
+        SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cosine_sim, rnk FROM (
           SELECT query_id, neighbor_id, cos,
                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
           FROM scored
@@ -298,7 +298,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select(
             "query_id",
             "neighbor_id",
-            F.round("cos", 6).alias("cosine_sim"),
+            (F.round("cos", 6) + 0.0).alias("cosine_sim"),
             F.row_number().over(w).alias("rnk"),
         )
         .filter(F.col("rnk") <= TOP_K)
@@ -364,7 +364,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
           FROM q JOIN e ON e.label = q.qlabel AND e.vec_id != q.query_id
         )
-        SELECT query_id, neighbor_id, round(cos, 6) AS cosine_sim, rnk FROM (
+        SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cosine_sim, rnk FROM (
           SELECT query_id, neighbor_id, cos,
                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
           FROM scored
@@ -394,7 +394,7 @@ def ann_ivf_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select(
             "query_id",
             "neighbor_id",
-            F.round("cos", 6).alias("cosine_sim"),
+            (F.round("cos", 6) + 0.0).alias("cosine_sim"),
             F.row_number().over(w).alias("rnk"),
         )
         .filter(F.col("rnk") <= TOP_K)

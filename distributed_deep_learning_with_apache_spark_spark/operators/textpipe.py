@@ -114,20 +114,24 @@ _TOK2VEC_DUCK = f"(ascii(substr(tok, 1, 1)) * 31 + length(tok) * 7) % {N_VECS}"
           FROM posting p JOIN vocab v ON p.tok = v.tok
         ),
         looked_up AS (
-          SELECT k.doc_id, e.embedding
+          SELECT k.doc_id, k.rn, e.embedding
           FROM (SELECT *, {_TOK2VEC_DUCK} AS vec_id FROM kept WHERE rn <= {TRUNCATE_AT}) k
           JOIN embeddings e ON e.vec_id = k.vec_id
         ),
         dims AS (
-          SELECT doc_id, generate_subscripts(embedding, 1) AS dim,
+          SELECT doc_id, rn, generate_subscripts(embedding, 1) AS dim,
                  unnest(embedding::DOUBLE[]) AS v
           FROM looked_up
         ),
         avgs AS (
-          SELECT doc_id, dim, avg(v) AS dim_avg, count(*) AS n FROM dims GROUP BY doc_id, dim
+          -- sum in token order (ORDER BY rn) so the floating-point fold is
+          -- bit-identical to the Spark side's ordered aggregate fold
+          SELECT doc_id, dim, sum(v ORDER BY rn ASC) / count(*) AS dim_avg,
+                 count(*) AS n
+          FROM dims GROUP BY doc_id, dim
         )
         SELECT doc_id,
-               list(round(dim_avg, 6) ORDER BY dim ASC) AS doc_vector,
+               list(round(dim_avg, 6) + 0.0 ORDER BY dim ASC) AS doc_vector,
                min(n) AS n_embedded
         FROM avgs GROUP BY doc_id
     """,
@@ -191,6 +195,6 @@ def doc_embedding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(vs)
     return grouped.select(
         "doc_id",
-        F.transform(sum_vec, lambda s: F.round(s / n, 6)).alias("doc_vector"),
+        F.transform(sum_vec, lambda s: F.round(s / n, 6) + 0.0).alias("doc_vector"),
         n.alias("n_embedded"),
     )

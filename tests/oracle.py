@@ -29,6 +29,8 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0 (equal numerically, formats differently)
         return f"{v:.6f}".rstrip("0").rstrip(".")
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"

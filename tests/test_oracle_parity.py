@@ -36,3 +36,13 @@ def test_rows_only_runs(spark, sf_dir, name):
     n = df.count()
     assert n >= 0
     assert df.columns
+
+
+@pytest.mark.parametrize("name", ["doc_embedding_avg", "anomaly_best_worst", "tfidf_top_terms"])
+def test_run_to_run_determinism(spark, sf_dir, name):
+    # The driver hashes results repeatedly; FP-fold queries must return
+    # bit-identical values across executions in one session.
+    q = REG[name]
+    a = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    assert a == b
