@@ -129,6 +129,34 @@ def embedding_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W2: last-timestep selection via negative indexing
+# (PredictCommentsUsingRNNAndWord2Vec.java:70-71 — probabilities at T-1)
+# ---------------------------------------------------------------------------
+@register(
+    "last_timestep_select",
+    oracle="""
+        SELECT vec_id,
+               embedding[-1]::DOUBLE AS last_value,
+               embedding[1]::DOUBLE AS first_value,
+               list_slice(embedding, -3, -1)::DOUBLE[] AS tail3
+        FROM embeddings
+    """,
+    tags=("arrays", "w2"),
+)
+def last_timestep_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: element_at(col, -1) — select the final timestep of a sequence
+    column (the RNN-output read), plus a tail slice (raw float→double casts
+    are exact, no rounding needed)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.element_at(as_double("embedding"), -1).alias("last_value"),
+        F.element_at(as_double("embedding"), 1).alias("first_value"),
+        F.slice(as_double("embedding"), F.size("embedding") - 2, 3).alias("tail3"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # U3: hstack (feature assembly) + U2: vstack shape checks
 # ---------------------------------------------------------------------------
 @register(

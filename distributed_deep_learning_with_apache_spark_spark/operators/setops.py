@@ -92,6 +92,57 @@ def approx_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_lineitem",
+    oracle="""
+        SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+               count(*) - count(l_quantity) AS n_nulls,
+               count(DISTINCT l_quantity) AS n_distinct,
+               round(min(l_quantity), 4) AS min_val,
+               round(max(l_quantity), 4) AS max_val,
+               round(avg(l_quantity), 4) AS mean_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*), count(*) - count(l_discount),
+               count(DISTINCT l_discount),
+               round(min(l_discount), 4), round(max(l_discount), 4),
+               round(avg(l_discount), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+               count(DISTINCT l_extendedprice),
+               round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+               round(avg(l_extendedprice), 4)
+        FROM lineitem
+    """,
+    tags=("agg", "profiling", "ext"),
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column null/distinct/extrema/mean stats
+    in ONE scan (all columns aggregated together, then unpivoted) — the
+    data-quality report a 100 TB ingest runs before training."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__mean" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val)"
+    )
+
+
+@register(
     "unpivot_lineitem_measures",
     oracle="""
         SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value
