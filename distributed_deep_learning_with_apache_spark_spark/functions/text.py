@@ -23,13 +23,20 @@ from ..sources.catalog import load_table
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
 # DuckDB fragment equivalent to tokens(); keep in sync with tokens() below.
-DUCK_TOKENS = "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t != '')"
+# coalesce: NULL text tokenizes to [] (not NULL) so downstream size()/explode
+# never see NULL arrays — same guard on both engines.
+DUCK_TOKENS = (
+    "list_filter(string_split_regex(lower(coalesce({col}, '')), '[^a-z0-9]+'), t -> t != '')"
+)
 
 
 def tokens(col: Column | str) -> Column:
-    """T1+T2: lowercase, split on non-alphanumerics, drop empties."""
+    """T1+T2: lowercase, split on non-alphanumerics, drop empties.
+    Null-safe: NULL text → empty token array."""
     col = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+    return F.filter(
+        F.split(F.lower(F.coalesce(col, F.lit(""))), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
 
 
 def truncate_tokens(tok: Column, n: int = 256) -> Column:

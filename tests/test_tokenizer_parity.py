@@ -53,3 +53,23 @@ def test_tokenizer_matches_duckdb(spark):
     }
     diffs = {i: (spark_toks[i], duck_toks[i]) for i in spark_toks if spark_toks[i] != duck_toks[i]}
     assert not diffs, f"tokenizer divergence on {len(diffs)} inputs: {dict(list(diffs.items())[:3])}"
+
+
+def test_tokenizer_null_safety(spark):
+    df = spark.createDataFrame([(0, None), (1, ""), (2, "ok text")], "doc_id long, text string")
+    rows = {r.doc_id: list(r.t) for r in df.select("doc_id", tokens("text").alias("t")).collect()}
+    assert rows[0] == [] and rows[1] == []
+    assert rows[2] == ["ok", "text"]
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        __import__("pandas").DataFrame({"doc_id": [0, 1, 2], "text": [None, "", "ok text"]}),
+    )
+    drows = {
+        r[0]: list(r[1])
+        for r in con.execute(
+            f"SELECT doc_id, {DUCK_TOKENS.format(col='text')} FROM documents"
+        ).fetchall()
+    }
+    assert drows == rows

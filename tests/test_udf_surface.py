@@ -60,3 +60,44 @@ def test_grouped_apply_in_pandas_matches_window(spark, sf_dir):
         for r in o.withColumn("rn", F.row_number().over(w)).filter("rn <= 3").collect()
     }
     assert via_pandas == via_window
+
+
+def test_apply_in_pandas_merge_asof_matches_window_asof(spark, sf_dir):
+    # The guide's alternative as-of realization (pd.merge_asof per group via
+    # applyInPandas) must agree with the union+last_value window form.
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+    window_form = {
+        (r.event_id, r.o_orderkey)
+        for r in load_all()["asof_join_latest_order"].fn(spark, sf_dir).collect()
+    }
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    both = e.selectExpr(
+        "user_id AS k", "ts AS t", "event_id", "CAST(NULL AS BIGINT) AS o_orderkey", "0 AS side"
+    ).unionByName(
+        o.selectExpr("o_custkey AS k", "o_orderdate AS t", "CAST(NULL AS BIGINT) AS event_id",
+                     "o_orderkey", "1 AS side")
+    )
+
+    def per_key_asof(pdf):
+        ev = pdf[pdf.side == 0][["event_id", "t"]].sort_values("t")
+        od = (
+            pdf[pdf.side == 1][["o_orderkey", "t"]]
+            .sort_values(["t", "o_orderkey"])  # ties: max orderkey wins via last position
+        )
+        if ev.empty or od.empty:
+            return ev.iloc[0:0][["event_id"]].assign(o_orderkey=[])
+        m = pd.merge_asof(ev, od, on="t", direction="backward")
+        out = m.dropna(subset=["o_orderkey"])[["event_id", "o_orderkey"]]
+        out["o_orderkey"] = out["o_orderkey"].astype("int64")
+        return out
+
+    pandas_form = {
+        (r.event_id, r.o_orderkey)
+        for r in both.groupBy("k")
+        .applyInPandas(per_key_asof, "event_id long, o_orderkey long")
+        .collect()
+    }
+    assert pandas_form == window_form
