@@ -1,0 +1,303 @@
+"""Corpus-curation operators for LLM training-data pipelines ([EXT], §2.13).
+
+Four production curation stages beyond dedup/similarity (see dedup.py,
+similarity.py), each deterministic and DuckDB-oracle-checked:
+
+- benchmark decontamination: n-gram overlap of every training doc against a
+  held-out eval set (the standard "did the benchmark leak into the training
+  corpus?" gate);
+- repetition signals: Gopher-style within-document repetition features
+  (top-token share, duplicate-2-gram fraction) used as quality filters;
+- C4-style chunk dedup: split each doc into fixed-width token chunks and
+  keep only the corpus-wide first occurrence of each chunk;
+- stratified hash sampling: per-language downsampling by a deterministic
+  md5 bucket — reproducible across engines, partitionings, and reruns
+  (unlike Bernoulli `sample`, which is partitioning-dependent; cf.
+  setops.sample_seeded).
+
+Scale posture: the benchmark n-gram set is eval-benchmark-sized (thousands
+of docs) even when the corpus is 100 TB, so it is collapsed to one array
+row and broadcast — the contamination check is then a per-row JVM
+expression with no shuffle at all. Repetition and sampling are pure
+per-row expressions (no shuffle); chunk dedup shuffles once on chunk text,
+which is exactly the minimum any global-dedup semantics needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import DUCK_TOKENS, tokens
+from ..registry import register
+from ..sources.catalog import load_table
+from .dedup import DUCK_SHINGLES, shingles
+
+# Held-out "benchmark" subset: every 19th doc stands in for an eval set.
+BENCH_MOD = 19
+# A doc counts as contaminated when at least half its shingles appear in
+# the benchmark set.
+CONTAM_SHARE = 0.5
+
+_DUCK_TOKS = DUCK_TOKENS.format(col="text")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination by n-gram overlap
+# ---------------------------------------------------------------------------
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+        WITH bench AS (
+          SELECT DISTINCT unnest({DUCK_SHINGLES}) AS gram
+          FROM documents WHERE doc_id % {BENCH_MOD} = 0
+        ),
+        bench_arr AS (SELECT list(gram) AS grams FROM bench),
+        scored AS (
+          SELECT doc_id,
+                 len({DUCK_SHINGLES}) AS n_shingles,
+                 len(list_intersect({DUCK_SHINGLES}, grams)) AS n_overlap
+          FROM documents CROSS JOIN bench_arr WHERE doc_id % {BENCH_MOD} <> 0
+        )
+        SELECT doc_id, n_shingles, n_overlap,
+               round(n_overlap * 1.0 / greatest(n_shingles, 1), 6) AS overlap_share,
+               CASE WHEN n_overlap * 1.0 / greatest(n_shingles, 1) >= {CONTAM_SHARE}
+                    THEN 1 ELSE 0 END AS contaminated
+        FROM scored
+    """,
+    tags=("curation", "ext", "dedup"),
+    bench=True,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training doc, the share of its
+    3-token shingles that also occur in the held-out benchmark subset
+    (doc_id % 19 == 0); docs at ≥ 50% overlap are flagged.
+
+    Scale: the benchmark shingle set is aggregated to ONE array row and
+    broadcast (eval benchmarks stay small no matter how big the corpus
+    is), so contamination scoring is a shuffle-free per-row
+    array_intersect — the same vocab-broadcast pattern as
+    textpipe.doc_embedding_avg. Were the reference set ever too big to
+    broadcast, the fallback is the explode + semi-join + groupBy count
+    plan (one shuffle on gram).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles()
+    bench_arr = (
+        d.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode(sh).alias("gram"))
+        .agg(F.collect_set("gram").alias("grams"))
+    )
+    n_overlap = F.size(F.array_intersect(F.col("sh"), F.col("grams")))
+    share = n_overlap / F.greatest(F.size("sh"), F.lit(1))
+    return (
+        d.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id", sh.alias("sh"))
+        .crossJoin(F.broadcast(bench_arr))
+        .select(
+            "doc_id",
+            F.size("sh").alias("n_shingles"),
+            n_overlap.alias("n_overlap"),
+            F.round(share, 6).alias("overlap_share"),
+            F.when(share >= CONTAM_SHARE, 1).otherwise(0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+@register(
+    "repetition_signals",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+        ),
+        tok_counts AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+          GROUP BY doc_id, tok
+        ),
+        tok_stats AS (
+          SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok
+          FROM tok_counts GROUP BY doc_id
+        ),
+        grams AS (
+          SELECT doc_id,
+                 [t[i] || ' ' || t[i + 1] for i in generate_series(1, greatest(len(t) - 1, 0))] AS g2
+          FROM toks
+        )
+        SELECT s.doc_id,
+               s.n_tok AS n_tokens,
+               round(s.top_c * 1.0 / s.n_tok, 6) AS top_token_share,
+               round(1.0 - len(list_distinct(g.g2)) * 1.0 / greatest(len(g.g2), 1), 6)
+                 AS dup_2gram_frac
+        FROM tok_stats s JOIN grams g ON g.doc_id = s.doc_id
+    """,
+    tags=("curation", "ext", "text"),
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition features (Gopher quality-filter family):
+    most-frequent-token share and duplicate-2-gram fraction.
+
+    The 2-gram stats are pure per-row array expressions (zip_with of two
+    shifted slices — no explode, no shuffle). The token mode needs a real
+    per-(doc, token) count, so that half does one map-side-combinable
+    hash agg; the two halves meet on an equi-join on doc_id. Docs with no
+    tokens drop out (no rows to count), matching the oracle's inner join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+
+    tok_stats = (
+        d.select("doc_id", F.explode(tok).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
+    )
+
+    length = F.greatest(F.size(tok) - 1, F.lit(0))
+    g2 = F.zip_with(
+        F.slice(tok, 1, length), F.slice(tok, 2, length), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    grams = d.select("doc_id", g2.alias("g2"))
+
+    return tok_stats.join(grams, "doc_id").select(
+        "doc_id",
+        F.col("n_tok").alias("n_tokens"),
+        F.round(F.col("top_c") / F.col("n_tok"), 6).alias("top_token_share"),
+        F.round(
+            1.0 - F.size(F.array_distinct("g2")) / F.greatest(F.size("g2"), F.lit(1)), 6
+        ).alias("dup_2gram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style chunk-level exact dedup (keep the corpus-wide first occurrence)
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 8
+
+
+@register(
+    "chunk_dedup_c4",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+        ),
+        chunk_lists AS (
+          SELECT doc_id,
+                 [array_to_string(list_slice(t, i * {CHUNK_TOKENS} + 1, (i + 1) * {CHUNK_TOKENS}), ' ')
+                  for i in generate_series(0, CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS BIGINT) - 1)]
+                   AS chunks
+          FROM toks WHERE len(t) > 0
+        ),
+        chunks AS (
+          SELECT doc_id,
+                 generate_subscripts(chunks, 1) - 1 AS chunk_idx,
+                 unnest(chunks) AS chunk_text
+          FROM chunk_lists
+        ),
+        ranked AS (
+          SELECT doc_id, chunk_idx,
+                 row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id ASC, chunk_idx ASC)
+                   AS rn
+          FROM chunks
+        )
+        SELECT doc_id,
+               count(*) AS n_chunks,
+               sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+               round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS kept_share
+        FROM ranked GROUP BY doc_id
+    """,
+    tags=("curation", "ext", "dedup"),
+)
+def chunk_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup: cut each doc into fixed 8-token chunks and keep
+    only the corpus-wide first occurrence (min (doc_id, chunk_idx)) of each
+    distinct chunk text; report per-doc survival.
+
+    One shuffle, on chunk_text (the window partition key) — the minimum for
+    any global first-wins semantics. Chunk construction is a per-row
+    transform over an index sequence; no self-join, no quadratic stage. At
+    100 TB the chunk_text key space is huge and uniform (hashed strings),
+    so the shuffle is skew-free; AQE coalesces the tail partitions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    n_chunks = F.ceil(F.size("t") / F.lit(float(CHUNK_TOKENS))).cast("long")
+    chunk_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("t"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+    )
+    chunks = (
+        d.select("doc_id", tok.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk_at)).alias(
+                "chunk_idx", "chunk_text"
+            ),
+        )
+    )
+    w = Window.partitionBy("chunk_text").orderBy(F.col("doc_id").asc(), F.col("chunk_idx").asc())
+    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return (
+        chunks.select("doc_id", F.row_number().over(w).alias("rn"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            kept.alias("n_kept"),
+            F.round(kept / F.count(F.lit(1)), 6).alias("kept_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling by md5 bucket
+# ---------------------------------------------------------------------------
+# Per-language keep rates (per-mille). Engine-portable determinism: the
+# bucket is derived from the first two md5 hex chars of the doc_id string —
+# identical in Spark and DuckDB, independent of partitioning.
+LANG_RATES_PERMILLE: dict[str, int] = {"en": 500, "zh": 300, "es": 200, "fr": 200, "de": 100}
+_DEFAULT_PERMILLE = 100
+
+_DUCK_BUCKET = (
+    "(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256"
+    " + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 1000"
+)
+_DUCK_RATE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in LANG_RATES_PERMILLE.items())
+    + f" ELSE {_DEFAULT_PERMILLE} END"
+)
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+        SELECT doc_id, lang, {_DUCK_BUCKET} AS bucket
+        FROM documents
+        WHERE {_DUCK_BUCKET} < {_DUCK_RATE}
+    """,
+    tags=("curation", "ext", "sample"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling at per-language rates (en 50%, zh 30%,
+    es/fr 20%, de 10%) keyed on a deterministic md5 bucket of doc_id.
+
+    Unlike Bernoulli `df.sample` / `sampleBy` (partitioning-dependent RNG,
+    rows-only checkable), the hash gate is a pure per-row predicate:
+    reproducible across engines and reruns, stable under repartitioning,
+    and — critically for pipelines — a rerun after appending data keeps
+    every previously-sampled row. Shuffle-free; the predicate evaluates
+    inside the scan stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 1000
+    rate = F.lit(_DEFAULT_PERMILLE)
+    for lang, permille in reversed(LANG_RATES_PERMILLE.items()):
+        rate = F.when(F.col("lang") == lang, permille).otherwise(rate)
+    return d.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < rate
+    )

@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
     # Imports are side-effectful (decorators fill REGISTRY).
     from .operators import (  # noqa: F401
         asof,
+        curation,
         decision_support,
         dedup,
         merge,
