@@ -312,3 +312,350 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("numcust"), _r2(F.sum("c_acctbal")).alias("totacctbal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: bidirectional nation-pair trade volume.
+# ---------------------------------------------------------------------------
+@register(
+    "nation_trade_volume",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l.l_shipdate) AS l_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+            JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("relational", "join", "multiway"),
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, both directions,
+    by year.
+
+    The two fact tables (lineitem, orders) meet in one shuffled equi-join on
+    orderkey; every dimension (supplier, customer, nation×2) broadcasts. The
+    nation-pair disjunction is applied AFTER the dim joins attach nation
+    names, but Catalyst infers s_nationkey/c_nationkey IN (...) filters from
+    the broadcast join keys at runtime via DPP-style pruning on the dim side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_r2(F.sum("volume")).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: national market share inside a region's market.
+# ---------------------------------------------------------------------------
+@register(
+    "market_share",
+    oracle="""
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / sum(volume), 6) AS mkt_share
+        FROM (
+            SELECT year(o.o_orderdate) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n1.n_name AS supp_nation
+            FROM lineitem l
+            JOIN part p     ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+            JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+            JOIN region r   ON r.r_regionkey = n2.n_regionkey
+            WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+        )
+        GROUP BY o_year
+    """,
+    tags=("relational", "join", "multiway"),
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of PROMO-part revenue sold into the
+    EUROPE customer market, per year — conditional-sum ÷ total-sum in one
+    grouped aggregate (no self-join).
+
+    All five dimensions broadcast; part's p_type filter prunes the fact at
+    the scan-side join probe. The share is computed with sum(CASE)
+    map-side-combinably — one shuffle on o_year total.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: profit by supplier nation and year (cost proxied from retailprice).
+# ---------------------------------------------------------------------------
+@register(
+    "product_type_profit",
+    oracle="""
+        SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+        FROM (
+            SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount)
+                     - 0.8 * p.p_retailprice * l.l_quantity AS amount
+            FROM lineitem l
+            JOIN part p     ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            WHERE p.p_type = 'STANDARD'
+        )
+        GROUP BY nation, o_year
+    """,
+    tags=("relational", "join", "multiway"),
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on STANDARD-type parts by supplier nation and
+    order year. The fixture has no partsupp table, so unit cost is proxied
+    as 80% of p_retailprice (cited in the oracle identically).
+
+    One fact-fact shuffle join (lineitem ⋈ orders on orderkey); part,
+    supplier, nation broadcast. Profit arithmetic stays inside the
+    projection — whole-stage-codegen'd, no UDF.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.8 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        j.select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(_r2(F.sum("amount")).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: top returned-revenue customers in a quarter.
+# ---------------------------------------------------------------------------
+@register(
+    "returned_item_losses",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    tags=("relational", "join", "topk"),
+)
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers with the most returned revenue in
+    1996-H1 (returnflag = 'R'), with their nation.
+
+    Both engines rank on the ROUNDED revenue with c_custkey as tie-break,
+    so the top-20 cut is reproducible across float-summation orders. The
+    plan is a date+flag-pruned fact-fact join, grouped on customer, then
+    TakeOrderedAndProject — the global top-k never materializes a full sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: supplier(s) with the maximum quarterly revenue.
+# ---------------------------------------------------------------------------
+@register(
+    "top_supplier_revenue",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("relational", "subquery", "view"),
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving maximum revenue in
+    1996-Q1. The revenue "view" is computed once and reused for both the
+    max and the final select (Spark: a single DataFrame reference; the
+    scalar max joins back as a 1-row broadcast, never collect()ed).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", _r2(F.col("total_revenue")).alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: the only late supplier on a multi-supplier order.
+# ---------------------------------------------------------------------------
+@register(
+    "lonely_late_suppliers",
+    oracle="""
+        WITH per_supp AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END) AS is_late
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY l.l_orderkey, l.l_suppkey
+        ),
+        per_order AS (
+            SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+            FROM per_supp GROUP BY l_orderkey
+        )
+        SELECT s.s_name, count(*) AS numwait
+        FROM per_supp ps
+        JOIN per_order po ON po.l_orderkey = ps.l_orderkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        WHERE ps.is_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+        GROUP BY s.s_name
+    """,
+    tags=("relational", "join", "subquery"),
+)
+def lonely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper (>60 days
+    after order date) on an order involving at least two suppliers.
+
+    The reference formulation's EXISTS / NOT EXISTS pair is decorrelated
+    into two grouped aggregates over one (orderkey, suppkey) rollup — one
+    fact-fact shuffle plus two cheap reductions, instead of two correlated
+    re-scans of lineitem. The supplier dim broadcasts at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = F.max(
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+        ).otherwise(0)
+    )
+    per_supp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late.alias("is_late"))
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        per_supp.join(per_order, per_supp["l_orderkey"] == per_order["po_orderkey"])
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
