@@ -407,3 +407,121 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return _run_to_memory(dedup, spark, "stream_dedup_sink", "append")
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: signup → first view after → first purchase after that
+# ---------------------------------------------------------------------------
+@register(
+    "events_funnel",
+    oracle="""
+        WITH s AS (
+          SELECT user_id, min(floor(epoch(ts::TIMESTAMP))::BIGINT) AS s_ts
+          FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        v AS (
+          SELECT e.user_id, min(floor(epoch(e.ts::TIMESTAMP))::BIGINT) AS v_ts
+          FROM events e JOIN s ON s.user_id = e.user_id
+          WHERE e.event_type = 'view' AND floor(epoch(e.ts::TIMESTAMP))::BIGINT > s.s_ts
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(floor(epoch(e.ts::TIMESTAMP))::BIGINT) AS p_ts
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND floor(epoch(e.ts::TIMESTAMP))::BIGINT > v.v_ts
+          GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM s) AS n_signup,
+               (SELECT count(*) FROM v) AS n_view_after_signup,
+               (SELECT count(*) FROM p) AS n_purchase_after_view
+    """,
+    tags=("streaming", "funnel", "ext"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel: users who signed up, then viewed strictly
+    after signing up, then purchased strictly after that view.
+
+    Each stage is one conditional min-aggregate joined to the previous
+    stage on user_id — a chain of shuffle equi-joins that AQE typically
+    converts to broadcasts as the funnel narrows. Timestamps are compared
+    at whole-second granularity so the µs-vs-ns parquet precision gap
+    between engines can't flip a strict inequality.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch_s("ts").alias("ts_s")
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("s_ts"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts_s") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("v_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts_s") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after_signup")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_view")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users active N days after their first-seen day
+# ---------------------------------------------------------------------------
+RETENTION_OFFSETS = (0, 1, 7, 14)
+
+
+@register(
+    "events_retention_cohorts",
+    oracle=f"""
+        WITH activity AS (
+          SELECT DISTINCT user_id,
+                 floor(epoch(date_trunc('day', ts::TIMESTAMP)))::BIGINT AS day_s
+          FROM events
+        ),
+        cohort AS (
+          SELECT user_id, min(day_s) AS cohort_day_s FROM activity GROUP BY user_id
+        )
+        SELECT c.cohort_day_s,
+               (a.day_s - c.cohort_day_s) / 86400 AS day_offset,
+               count(DISTINCT a.user_id) AS n_active
+        FROM activity a JOIN cohort c ON c.user_id = a.user_id
+        WHERE (a.day_s - c.cohort_day_s) / 86400 IN ({", ".join(map(str, RETENTION_OFFSETS))})
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "retention", "ext"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention matrix: cohort = the day a user was first seen;
+    n_active = users from that cohort active again exactly 0/1/7/14 days
+    later.
+
+    Two hash aggs (distinct user-days, then per-user min) and one
+    equi-join on user_id — at 100 TB both aggs are map-side combinable and
+    the join co-partitions on user_id, so the whole plan is two shuffles.
+    Day arithmetic is integer epoch math, portable across engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", _epoch_s(F.date_trunc("day", F.col("ts"))).alias("day_s")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day_s").alias("cohort_day_s"))
+    offset = ((F.col("day_s") - F.col("cohort_day_s")) / 86400).cast("long")
+    return (
+        activity.join(cohort, "user_id")
+        .select("user_id", F.col("cohort_day_s"), offset.alias("day_offset"))
+        .filter(F.col("day_offset").isin(*RETENTION_OFFSETS))
+        .groupBy("cohort_day_s", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
