@@ -70,6 +70,7 @@ def load_all() -> dict[str, Query]:
     from .functions import arrays, text  # noqa: F401
     from .sources import binary  # noqa: F401
     from .streaming import events  # noqa: F401
+    from .ml import cnn as ml_cnn  # noqa: F401
     from .ml import distributed as ml_distributed  # noqa: F401
     from .ml import queries as ml_queries  # noqa: F401
 

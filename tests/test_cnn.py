@@ -1,0 +1,62 @@
+"""The conv featurizer's distributed output must equal a local NumPy
+reference exactly, and the CNN-capability pipeline must produce a valid
+confusion matrix (labels are random fixtures, so accuracy is structural —
+same policy as test_ml.py)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from distributed_deep_learning_with_apache_spark_spark.ml.cnn import (
+    KERNELS,
+    N_KERNELS,
+    POOLED,
+    SIDE,
+    conv_featurize,
+)
+from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+from distributed_deep_learning_with_apache_spark_spark.sources.catalog import load_table
+
+REG = load_all()
+
+
+def _reference(x: np.ndarray) -> np.ndarray:
+    """Naive per-element conv → relu → maxpool for one 64-vector."""
+    img = x.reshape(SIDE, SIDE)
+    maps = []
+    for k in KERNELS:
+        k = np.asarray(k, dtype=np.float64)
+        conv = np.zeros((6, 6))
+        for i in range(6):
+            for j in range(6):
+                conv[i, j] = (img[i : i + 3, j : j + 3] * k).sum()
+        relu = np.maximum(conv, 0.0)
+        pool = np.zeros((3, 3))
+        for i in range(3):
+            for j in range(3):
+                pool[i, j] = relu[2 * i : 2 * i + 2, 2 * j : 2 * j + 2].max()
+        maps.append(pool.ravel())
+    return np.concatenate(maps)
+
+
+def test_conv_features_match_numpy_reference(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    sample = {r.vec_id: np.array(r.embedding) for r in e.limit(20).collect()}
+    out = {
+        r.vec_id: np.array(r.features)
+        for r in conv_featurize(e).filter(F.col("vec_id").isin(*sample)).collect()
+    }
+    assert set(out) == set(sample)
+    for vid, x in sample.items():
+        assert out[vid].shape == (POOLED,)
+        np.testing.assert_allclose(out[vid], _reference(x), rtol=0, atol=1e-12)
+
+
+def test_cnn_pipeline_confusion_matrix(spark, sf_dir):
+    rows = REG["ml_cnn_features_mlp"].fn(spark, sf_dir).collect()
+    assert rows, "confusion matrix must be non-empty"
+    assert all(0 <= r.label <= 9 and 0 <= r.prediction <= 9 for r in rows)
+    total = sum(r.n for r in rows)
+    assert total > 0
+    assert N_KERNELS * 9 == POOLED
