@@ -659,3 +659,214 @@ def lonely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: grouped value rollup kept above a global-share threshold.
+# ---------------------------------------------------------------------------
+@register(
+    "important_part_values",
+    oracle="""
+        WITH part_value AS (
+            SELECT l.l_partkey,
+                   sum(l.l_extendedprice * (1 - l.l_discount)) AS value
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'EUROPE'
+            GROUP BY l.l_partkey
+        )
+        SELECT l_partkey, round(value, 2) AS value
+        FROM part_value
+        WHERE value > (SELECT sum(value) * 0.005 FROM part_value)
+    """,
+    tags=("relational", "subquery", "agg"),
+)
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (MNISTAnomalyDetector.java:184-198's group-then-
+    threshold pattern writ relational): per-part shipped value from
+    EUROPE-region suppliers, keeping parts whose value exceeds 0.5% of the
+    regional total. The fixture set has no partsupp table, so lineitem is
+    the part-supplier bridge (same join tree, same HAVING-vs-scalar shape).
+
+    The scalar global total is a second aggregation over the SAME grouped
+    DataFrame (computed once, reused), joined back as a 1-row broadcast —
+    no collect(), no correlated re-scan. At 100 TB: one shuffle for the
+    part rollup; supplier→nation→region is a broadcast chain pre-filtered
+    to one region before touching the fact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    regional_supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey")
+    )
+    part_value = (
+        li.join(F.broadcast(regional_supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    threshold = part_value.agg((F.sum("value") * F.lit(0.005)).alias("cutoff"))
+    return (
+        part_value.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("cutoff"))
+        .select("l_partkey", _r2(F.col("value")).alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: conditional two-way counts over late-shipped lines.
+# ---------------------------------------------------------------------------
+@register(
+    "late_shipment_priority",
+    oracle="""
+        SELECT l.l_returnflag AS ship_class,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_returnflag
+    """,
+    tags=("relational", "join", "agg"),
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: for 1996 lines shipped >30 days after their order
+    date, count urgent/high-priority vs other orders per return-flag class
+    (the fixtures carry no l_shipmode; l_returnflag is the stand-in
+    category). The CASE-WHEN pair is two conditional sums in ONE hash
+    aggregate — one pass, map-side combinable. The year filter pushes into
+    the lineitem scan; the 30-day lateness residual evaluates on the
+    joined row. At scale this is a single fact-fact shuffle on orderkey.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: distinct-count by part attributes with an anti-join exclusion.
+# ---------------------------------------------------------------------------
+@register(
+    "part_supplier_counts",
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#9'
+          AND p.p_type NOT LIKE 'PROMO%'
+          AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("relational", "agg", "distinct", "anti"),
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each surviving
+    (brand, type, size) part class, excluding negative-balance suppliers
+    (the fixture stand-in for the complaints list; no partsupp table, so
+    lineitem is the part-supplier bridge).
+
+    The NOT IN is a left-anti join against a tiny broadcast side (safe
+    here because s_suppkey is never null in the fixture). COUNT(DISTINCT)
+    expands to a two-phase partial-distinct aggregate under AQE — the
+    expensive dedup happens map-side before the shuffle. All three part
+    predicates (inequality, NOT LIKE, IN-list) push into the part scan.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li["l_suppkey"] == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: semi-join against a HAVING-thresholded aggregate subquery.
+# ---------------------------------------------------------------------------
+@register(
+    "promotion_candidate_suppliers",
+    oracle="""
+        WITH shipped AS (
+            SELECT l.l_suppkey, sum(l.l_quantity) AS qty
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_name LIKE 'small%'
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l.l_suppkey
+        )
+        SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l_suppkey FROM shipped
+            WHERE qty > (SELECT max(qty) * 0.5 FROM shipped)
+        )
+    """,
+    tags=("relational", "semi", "subquery"),
+)
+def promotion_candidate_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than half the
+    maximum per-supplier quantity of 'small%' parts during 1996 (the
+    partsupp-availqty comparison re-expressed on the lineitem bridge —
+    same nested structure: IN over an aggregate that itself compares
+    against a scalar subquery).
+
+    Decorrelation: the shipped rollup is computed once; its scalar max
+    joins back as a 1-row broadcast; the surviving supplier keys semi-join
+    the supplier dim. Three nested subqueries become one shuffle plus two
+    broadcasts — nothing is re-scanned per row.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    cutoff = shipped.agg((F.max("qty") * F.lit(0.5)).alias("half_max"))
+    keep = (
+        shipped.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("qty") > F.col("half_max"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(keep), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .select("s_name", _r2(F.col("s_acctbal")).alias("s_acctbal"))
+    )
