@@ -66,6 +66,23 @@ def test_window_shares_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning(o_custkey") <= 1
 
 
+def test_q16_exclusion_and_distinct_plan(spark, sf_dir):
+    # Anti exclusion broadcasts; part predicates reach the part scan;
+    # no sort-merge anywhere (both non-fact sides are broadcast-sized).
+    plan = physical(REG["part_supplier_counts"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters" in plan and "Not(EqualTo(p_brand,Brand#9))" in plan
+
+
+def test_scalar_subquery_shapes_stay_broadcast(spark, sf_dir):
+    # Q11/Q15/Q20 join a 1-row aggregate back in; that must compile to a
+    # broadcast nested-loop over ONE row, never a CartesianProduct.
+    for name in ["important_part_values", "promotion_candidate_suppliers", "top_supplier_revenue"]:
+        plan = physical(REG[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
 def test_events_scan_prunes_props(spark, sf_dir):
     # The tumbling agg never touches the wide props column.
     plan = physical(REG["events_tumbling_hourly"].fn(spark, sf_dir))
