@@ -409,6 +409,93 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(dedup, spark, "stream_dedup_sink", "append")
 
 
+@register(
+    "stream_foreachbatch_merge",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("streaming", "structured", "sink"),
+)
+def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental foreachBatch merge sink — the production pattern for
+    maintaining a keyed aggregate table from a stream (readStream →
+    foreachBatch → key-wise merge into a parquet target).
+
+    The reference's closest artifact is the resettable batch iterator
+    (`Word2VecTransformingIterator.java:161-173`); this is its genuinely
+    streaming realization. Mechanics:
+
+    - events are staged as 4 files and streamed with maxFilesPerTrigger=1,
+      so the query really runs 4 micro-batches;
+    - each batch computes a partial (user_id, count, sum) aggregate —
+      map-side combinable, one shuffle per batch over only that batch's
+      rows, which is what keeps this viable on an unbounded firehose;
+    - the merge step unions the previous target with the batch partial and
+      re-aggregates by key, writing a NEW versioned directory each batch
+      (write-new-then-swap-pointer = the poor man's ACID commit; on a real
+      lakehouse this step is `MERGE INTO`). Counts and sums are additive,
+      so the final table is independent of how rows split across batches —
+      which is exactly what makes it oracle-checkable: the end state must
+      equal the one-shot batch aggregate.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sg_foreachbatch_")
+    staging = os.path.join(base, "staging")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(staging)
+
+    state: dict = {"cur": None}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+        )
+        if state["cur"] is not None:
+            prev = batch_df.sparkSession.read.parquet(state["cur"])
+            partial = (
+                prev.unionByName(partial)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_value").alias("total_value"),
+                )
+            )
+        out = os.path.join(base, f"v{batch_id}")
+        partial.write.mode("overwrite").parquet(out)
+        state["cur"] = out
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    final = spark.read.parquet(state["cur"]).select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+    )
+    # Materialize before the temp target is removed.
+    final = spark.createDataFrame(final.collect(), final.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return final
+
+
 # ---------------------------------------------------------------------------
 # Funnel analysis: signup → first view after → first purchase after that
 # ---------------------------------------------------------------------------

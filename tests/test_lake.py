@@ -1,0 +1,99 @@
+"""Data-lake writer tests: partition pruning, clustering, compaction.
+
+Scale rationale (SURVEY §2.1 sinks, PySpark guide): at 100 TB the layout
+produced by the writer decides every later scan's cost. These tests pin
+the three properties that matter — (1) partitioned layout actually prunes,
+(2) clustered files have disjoint key ranges so footer stats skip files,
+(3) compaction reduces file count without changing data.
+"""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_deep_learning_with_apache_spark_spark.sources.catalog import load_table
+from distributed_deep_learning_with_apache_spark_spark.sources.lake import (
+    compact,
+    write_clustered,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def lineitem(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def _data_files(path):
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.basename(f)[0] not in "._"
+    ]
+
+
+def test_partitioned_write_layout_and_pruning(spark, lineitem, tmp_path):
+    path = str(tmp_path / "part")
+    li = lineitem.select("l_returnflag", "l_orderkey", "l_extendedprice")
+    write_partitioned(li, path, ["l_returnflag"])
+
+    # Hive layout: one directory per flag value, ONE file per directory
+    # (the repartition-before-write collapses the N-tasks × P-values
+    # small-file explosion).
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("l_returnflag=")
+    )
+    assert dirs == ["l_returnflag=A", "l_returnflag=N", "l_returnflag=R"]
+    for d in dirs:
+        assert len(_data_files(os.path.join(path, d))) == 1
+
+    # A filter on the partition column shows up as a partition filter
+    # (pruning), not a post-scan data filter.
+    scan = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters")[1][:200]
+
+    expected = li.filter(F.col("l_returnflag") == "R").count()
+    assert scan.count() == expected
+
+
+def test_clustered_write_disjoint_ranges(spark, lineitem, tmp_path):
+    path = str(tmp_path / "clustered")
+    write_clustered(lineitem.select("l_orderkey", "l_quantity"), path, "l_orderkey", 4)
+
+    files = _data_files(path)
+    assert 1 < len(files) <= 4
+    # Each file's footer min/max on the clustering key must be disjoint:
+    # that is the property that lets a range predicate skip whole files.
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("l_orderkey")
+        mins = [md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
+
+    assert spark.read.parquet(path).count() == lineitem.count()
+
+
+def test_compaction_reduces_files_preserves_rows(spark, lineitem, tmp_path):
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    li = lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+    li.repartition(32).write.parquet(src)
+    assert len(_data_files(src)) == 32
+
+    compact(spark, src, dst, 4)
+    assert len(_data_files(dst)) <= 4
+    assert spark.read.parquet(dst).count() == li.count()
+    # Checksum parity, not just row count.
+    chk = lambda p: spark.read.parquet(p).agg(
+        F.sum("l_orderkey"), F.sum("l_partkey"), F.round(F.sum("l_quantity"), 2)
+    ).collect()[0]
+    assert chk(src) == chk(dst)
