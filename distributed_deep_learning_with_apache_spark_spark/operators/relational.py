@@ -628,3 +628,42 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Statistical aggregates: correlation / covariance / dispersion
+# ---------------------------------------------------------------------------
+@register(
+    "stat_lineitem_correlations",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 5) AS qty_price_corr,
+               round(covar_pop(l_quantity, l_extendedprice), 3) AS qty_price_covar_pop,
+               round(covar_samp(l_quantity, l_extendedprice), 3) AS qty_price_covar_samp,
+               round(stddev_samp(l_extendedprice), 3) AS price_stddev,
+               round(var_samp(l_quantity), 5) AS qty_var
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg", "stats"),
+)
+def stat_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped second-moment statistics: Pearson correlation, population
+    and sample covariance, stddev, variance per return flag.
+
+    The reference's statistics are all first-moment (mean at
+    `ND4JTest.java:46`, min/max at `SparkRDDAPITest.scala:36-37`); these
+    are the [EXT] second-moment completions of that surface. All five are
+    single-pass partial-aggregable (sum/sum-of-products accumulators), so
+    at 100 TB it is one scan + one tiny 3-group reduce; functions whose
+    sample-bias correction differs between engines (skewness, kurtosis)
+    are deliberately excluded from the oracle contract.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 5).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 3).alias("qty_price_covar_pop"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias("qty_price_covar_samp"),
+        F.round(F.stddev_samp("l_extendedprice"), 3).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 5).alias("qty_var"),
+    )

@@ -68,7 +68,7 @@ def load_all() -> dict[str, Query]:
         topk,
     )
     from .functions import arrays, text  # noqa: F401
-    from .sources import binary, lake  # noqa: F401
+    from .sources import binary, formats, lake  # noqa: F401
     from .streaming import events  # noqa: F401
     from .ml import cnn as ml_cnn  # noqa: F401
     from .ml import distributed as ml_distributed  # noqa: F401
