@@ -114,3 +114,67 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("content").alias("content_md5"),
         F.when(F.col("byte_len") >= 256, "large").otherwise("small").alias("size_class"),
     )
+
+
+FRAME_STRIDE = 64
+MAX_FRAMES = 4
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off int, n_frames int, frame_mean float"
+
+
+def sample_frames_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-EXPANDING multimodal transform: one binary payload → up to
+    MAX_FRAMES frame rows (the video frame-sampling shape; audio windowing
+    is the same plumbing). Complements `multimodal_decode_stub`, which is
+    1→1 — here one Arrow batch in yields a differently-sized batch out.
+
+    The frame 'decode' is the stubbed kernel (real one = ffmpeg keyframe
+    extraction, unavailable in this container): frame i = bytes
+    [i*STRIDE, (i+1)*STRIDE) of the payload, feature = mean byte value.
+    Stride/offset arithmetic is real and oracle-checked; at 100 TB this
+    stage is embarrassingly parallel (no shuffle: expansion happens inside
+    the scan's partitions, and Spark only shuffles if a later op asks).
+    """
+    stride, max_frames = FRAME_STRIDE, MAX_FRAMES
+
+    def sample_frames(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "frame_off", "n_frames", "frame_mean")}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                n = min(max_frames, (len(arr) + stride - 1) // stride)
+                for i in range(n):
+                    seg = arr[i * stride : (i + 1) * stride]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_off"].append(i * stride)
+                    out["n_frames"].append(n)
+                    out["frame_mean"].append(float(seg.mean()))
+            yield pd.DataFrame(out)
+
+    return documents_as_binary(spark, sf_dir).mapInPandas(sample_frames, FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+        WITH f AS (
+          SELECT doc_id,
+                 least({MAX_FRAMES}, (octet_length(encode(text)) + {FRAME_STRIDE - 1}) // {FRAME_STRIDE}) AS n_frames,
+                 unnest(generate_series(1, least({MAX_FRAMES}, (octet_length(encode(text)) + {FRAME_STRIDE - 1}) // {FRAME_STRIDE}))) AS gs
+          FROM documents)
+        SELECT doc_id, (gs - 1)::INT AS frame_idx, ((gs - 1) * {FRAME_STRIDE})::INT AS frame_off,
+               n_frames::INT AS n_frames
+        FROM f
+    """,
+    tags=("multimodal", "ext"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked slice of `sample_frames_df`: the expansion topology
+    (which frames exist, at which offsets) must match the SQL unnest. The
+    stubbed per-frame feature is excluded from the contract (it is not
+    SQL-expressible once a real codec replaces it) and is unit-tested
+    against a NumPy reference instead (tests/test_curation.py pattern)."""
+    return sample_frames_df(spark, sf_dir).select("doc_id", "frame_idx", "frame_off", "n_frames")

@@ -139,3 +139,93 @@ def test_random_filter_group_agg_parity(spark, sf_dir, duck, preds, conns, group
 
     ok, msg = compare(df, duck, sql)
     assert ok, f"{sql}\n{msg}"
+
+
+# ---------------------------------------------------------------------------
+# Window top-k fuzz: random partition/order/k, rendered for both engines.
+# Order key includes the unique (l_orderkey, l_linenumber) tail so ranks are
+# total and the comparison is deterministic.
+# ---------------------------------------------------------------------------
+window_groups = st.sampled_from(["l_returnflag", "l_linestatus"])
+order_keys = st.sampled_from(["l_extendedprice", "l_quantity", "l_discount"])
+directions = st.sampled_from(["ASC", "DESC"])
+ks = st.integers(min_value=1, max_value=7)
+
+
+@given(part=window_groups, key=order_keys, direction=directions, k=ks)
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_topk_parity(spark, sf_dir, duck, part, key, direction, k):
+    from pyspark.sql import Window
+
+    order_sql = f"{key} {direction}, l_orderkey ASC, l_linenumber ASC"
+    sql = (
+        f"SELECT {part}, l_orderkey, l_linenumber, {key} AS val FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY {part} ORDER BY {order_sql}) AS rn"
+        f"  FROM lineitem) WHERE rn <= {k}"
+    )
+    key_col = F.col(key).asc() if direction == "ASC" else F.col(key).desc()
+    w = Window.partitionBy(part).orderBy(
+        key_col, F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(part, "l_orderkey", "l_linenumber", F.col(key).alias("val"))
+    )
+    ok, msg = compare(df, duck, sql)
+    assert ok, f"{sql}\n{msg}"
+
+
+# ---------------------------------------------------------------------------
+# Join fuzz: random join type + post-join aggregate, customer ⋈ orders.
+# ---------------------------------------------------------------------------
+join_types = st.sampled_from(["inner", "left", "left_semi", "left_anti"])
+segments = st.sampled_from(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"])
+price_cuts = st.floats(min_value=0.0, max_value=1.0)
+
+
+@given(jt=join_types, seg=segments, cut=price_cuts)
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_join_agg_parity(spark, sf_dir, duck, jt, seg, cut):
+    price = round(1000.0 + cut * 200000.0, 2)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == seg)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > price)
+
+    if jt in ("left_semi", "left_anti"):
+        sql_join = "SEMI" if jt == "left_semi" else "ANTI"
+        sql = (
+            f"SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal FROM ("
+            f"  SELECT c.* FROM customer c {sql_join} JOIN "
+            f"  (SELECT * FROM orders WHERE o_totalprice > {price}) o ON o.o_custkey = c.c_custkey"
+            f"  WHERE c.c_mktsegment = '{seg}') GROUP BY c_nationkey"
+        )
+        joined = c.join(o, c.c_custkey == o.o_custkey, jt)
+        df = joined.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+        )
+    else:
+        outer = "LEFT " if jt == "left" else ""
+        sql = (
+            f"SELECT c_nationkey, count(*) AS n, count(o_orderkey) AS n_orders FROM ("
+            f"  SELECT c.c_nationkey, o.o_orderkey FROM "
+            f"  (SELECT * FROM customer WHERE c_mktsegment = '{seg}') c "
+            f"  {outer}JOIN (SELECT * FROM orders WHERE o_totalprice > {price}) o"
+            f"  ON o.o_custkey = c.c_custkey) GROUP BY c_nationkey"
+        )
+        joined = c.join(o, c.c_custkey == o.o_custkey, jt).select("c_nationkey", "o_orderkey")
+        df = joined.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("n"), F.count("o_orderkey").alias("n_orders")
+        )
+    ok, msg = compare(df, duck, sql)
+    assert ok, f"{sql}\n{msg}"

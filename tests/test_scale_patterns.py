@@ -74,3 +74,82 @@ def test_foreach_batch_sink_exactly_once(spark, sf_dir, tmp_path):
     expected = load_table(spark, sf_dir, "events").count()
     assert written.count() == expected == sum(counts)
     assert written.select("event_id").distinct().count() == expected
+
+
+def test_join_falls_back_to_sort_merge_without_broadcast(spark, sf_dir):
+    """Cluster resilience: with autoBroadcastJoinThreshold off and no
+    broadcast hint, the customer⋈orders join must plan as a sort-merge
+    join (the strategy that survives when neither side fits in memory)
+    and produce identical results to the broadcast plan."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    joined = c.join(o, c.c_custkey == o.o_custkey).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        smj = c.join(o, c.c_custkey == o.o_custkey).groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        )
+        smj.count()  # finalize AQE plan
+        plan = smj._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+        assert sorted(map(tuple, smj.collect())) == sorted(map(tuple, joined.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_frame_sample_kernel_matches_numpy_reference(spark, sf_dir):
+    """The stubbed frame feature (mean byte per 64-byte frame) must match
+    a driver-side NumPy computation on the same payloads."""
+    import numpy as np
+
+    from distributed_deep_learning_with_apache_spark_spark.sources.binary import (
+        FRAME_STRIDE,
+        sample_frames_df,
+    )
+
+    got = {
+        (r.doc_id, r.frame_idx): r.frame_mean
+        for r in sample_frames_df(spark, sf_dir).filter(F.col("doc_id") < 20).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).collect()
+    assert got
+    for row in docs:
+        arr = np.frombuffer(row.text.encode("utf-8"), dtype=np.uint8)
+        for i in range(min(4, (len(arr) + FRAME_STRIDE - 1) // FRAME_STRIDE)):
+            seg = arr[i * FRAME_STRIDE : (i + 1) * FRAME_STRIDE]
+            assert abs(got[(row.doc_id, i)] - float(seg.mean())) < 1e-5
+
+
+def test_rate_source_unbounded_stream(spark):
+    """True unbounded source: the rate source emits rows forever; the query
+    is stopped by the harness, not by source exhaustion — the shape every
+    Kafka-style deployment has. Asserts micro-batches actually progressed."""
+    import time
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "200")
+        .load()
+        .withColumn("bucket", F.col("value") % 4)
+        .groupBy("bucket")
+        .count()
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rate_sink")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("rate_sink").count() > 0:
+                break
+            time.sleep(0.5)
+        assert spark.table("rate_sink").count() > 0
+        assert q.isActive
+    finally:
+        q.stop()
