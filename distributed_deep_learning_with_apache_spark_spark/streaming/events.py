@@ -410,6 +410,50 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_model_scoring",
+    oracle=None,  # iterative fit upstream; rows-only
+    tags=("streaming", "structured", "ml"),
+)
+def stream_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-batch / score-stream: fit LogisticRegression on the embeddings
+    table in batch, then apply the fitted model to a STREAMING read of the
+    same source and aggregate prediction counts.
+
+    This is the standard online-inference deployment (ML6 `net.output` at
+    `PredictCommentsUsingRNNAndWord2Vec.java:69`, realized on an unbounded
+    input): `model.transform` is row-local so it pipelines inside each
+    micro-batch with no extra shuffle; the only stateful operator is the
+    final count. The fitted coefficients ride along as task binaries
+    (broadcast), exactly how a 1000-executor scoring job ships its model.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    as_features = lambda df: df.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    model = LogisticRegression(maxIter=20, regParam=0.01).fit(as_features(e))
+
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["embeddings"])
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    scored = (
+        model.transform(
+            stream.select(
+                array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+            )
+        )
+        .groupBy(F.col("prediction").cast("int").alias("predicted_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _run_to_memory(scored, spark, "stream_model_scoring_sink", "complete")
+
+
+@register(
     "stream_foreachbatch_merge",
     oracle="""
         SELECT user_id,
