@@ -281,6 +281,49 @@ def ml_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# chapter-6 variant: k-fold cross-validation (the robust sweep form)
+# ---------------------------------------------------------------------------
+@register(
+    "ml_cross_validation",
+    oracle=None,  # iterative fits; rows-only
+    tags=("ml", "tuning"),
+)
+def ml_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-fold completion of the chapter-6 sweep: CrossValidator(3-fold,
+    parallelism=4) over the same regParam grid. TrainValidationSplit
+    (`ml_param_sweep`) is the single-split fast path; k-fold is what you
+    run when the validation estimate itself must be low-variance. The grid
+    points train CONCURRENTLY (parallelism) — each fit is a distributed
+    job, so the cluster pipelines folds × grid instead of serializing
+    them."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    data = VectorAssembler(inputCols=["a", "b"], outputCol="features").transform(
+        make_sum_dataset(spark).withColumn("label", F.col("a") + F.col("b"))
+    )
+    lr = LinearRegression(solver="normal")
+    grid = ParamGridBuilder().addGrid(lr.regParam, [0.0, 0.1, 1.0]).build()
+    cv = CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(metricName="rmse"),
+        numFolds=3,
+        parallelism=4,
+        seed=SEED,
+    )
+    model = cv.fit(data)
+    rows = [
+        (float(pm[lr.regParam]), float(m)) for pm, m in zip(grid, model.avgMetrics)
+    ]
+    return spark.createDataFrame(rows, "regParam double, avg_rmse double").select(
+        "regParam", F.round("avg_rmse", 6).alias("avg_rmse")
+    )
+
+
+# ---------------------------------------------------------------------------
 # [EXT] KMeans coarse quantizer (the trained IVF cell assignment)
 # ---------------------------------------------------------------------------
 @register(

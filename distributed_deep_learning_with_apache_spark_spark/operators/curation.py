@@ -301,3 +301,64 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", bucket.alias("bucket")).filter(
         F.col("bucket") < rate
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed nightly curation run: gate → dedup → sample → stats
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+        WITH gated AS (
+          SELECT doc_id, lang, text
+          FROM documents
+          WHERE length(text) >= 100
+            AND len({_DUCK_TOKS}) >= 20
+            AND len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0
+                / greatest(length(text), 1) < 0.1
+        ),
+        deduped AS (
+          SELECT doc_id, lang, text
+          FROM (SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                             ORDER BY doc_id ASC) AS rn
+                FROM gated)
+          WHERE rn = 1
+        ),
+        sampled AS (
+          SELECT doc_id, lang, text FROM deduped WHERE {_DUCK_BUCKET} < 500
+        )
+        SELECT lang, count(*) AS n_docs,
+               sum(len({_DUCK_TOKS}))::BIGINT AS total_tokens
+        FROM sampled GROUP BY lang
+    """,
+    tags=("curation", "ext", "pipeline"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation run: quality gate → exact dedup (first-wins) →
+    deterministic 50% hash sample → per-language corpus stats.
+
+    Each stage is oracle-checked individually above (`text_quality`,
+    `dedup_exact_survivors`, `sample_stratified_hash`); this checks the
+    COMPOSITION, which is what actually ships. One Catalyst plan: the
+    quality gate and the hash-sample are scan-stage predicates (no
+    shuffle), the dedup is the single shuffle (hash of text), the final
+    stats a 5-group agg — so the nightly 100 TB run is one pass over the
+    corpus plus one dedup shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    punct = F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]"))
+    gated = d.filter(
+        (F.length("text") >= 100)
+        & (F.size(tok) >= 20)
+        & (punct / F.greatest(F.length("text"), F.lit(1)) < 0.1)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 1000
+    sampled = deduped.filter(bucket < 500)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tok)).cast("long").alias("total_tokens"),
+    )

@@ -87,3 +87,17 @@ def test_events_scan_prunes_props(spark, sf_dir):
     # The tumbling agg never touches the wide props column.
     plan = physical(REG["events_tumbling_hourly"].fn(spark, sf_dir))
     assert "props" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_curation_pipeline_single_shuffle(spark, sf_dir):
+    """corpus_curation_pipeline's 100 TB claim: quality gate + hash sample
+    are scan-stage predicates, so the whole run is the dedup window
+    exchange plus the tiny final agg exchange — no other shuffles."""
+    from distributed_deep_learning_with_apache_spark_spark.plans import checks
+
+    q = load_all()["corpus_curation_pipeline"]
+    df = q.fn(spark, sf_dir)
+    s = checks.explain_summary(df)
+    assert s["parquet_scans"] == 1, s
+    assert s["exchanges"] <= 2, s  # dedup window + final 5-group agg
+    assert s["cartesian_products"] == 0, s
