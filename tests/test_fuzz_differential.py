@@ -229,3 +229,65 @@ def test_random_join_agg_parity(spark, sf_dir, duck, jt, seg, cut):
         )
     ok, msg = compare(df, duck, sql)
     assert ok, f"{sql}\n{msg}"
+
+
+# ---------------------------------------------------------------------------
+# HAVING fuzz: random post-aggregation predicate.
+# ---------------------------------------------------------------------------
+having_groups = st.sampled_from([["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]])
+having_cuts = st.integers(min_value=0, max_value=3000)
+
+
+@given(groups=having_groups, cut=having_cuts)
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_having_parity(spark, sf_dir, duck, groups, cut):
+    sql = (
+        f"SELECT {', '.join(groups)}, count(*) AS n, round(sum(l_quantity), 2) AS qty "
+        f"FROM lineitem GROUP BY {', '.join(groups)} HAVING count(*) > {cut}"
+    )
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(*groups)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .filter(F.col("n") > cut)
+    )
+    ok, msg = compare(df, duck, sql)
+    assert ok, f"{sql}\n{msg}"
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery fuzz: filter against a scaled global aggregate.
+# ---------------------------------------------------------------------------
+factors = st.floats(min_value=0.5, max_value=1.5)
+agg_cols = st.sampled_from(["l_extendedprice", "l_quantity"])
+
+
+@given(factor=factors, col=agg_cols)
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_scalar_subquery_parity(spark, sf_dir, duck, factor, col):
+    f = round(factor, 4)
+    sql = (
+        f"SELECT l_returnflag, count(*) AS n FROM lineitem "
+        f"WHERE {col} > (SELECT avg({col}) FROM lineitem) * {f} "
+        f"GROUP BY l_returnflag"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    threshold = li.agg((F.avg(col) * f).alias("thr"))
+    df = (
+        li.join(F.broadcast(threshold))
+        .filter(F.col(col) > F.col("thr"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ok, msg = compare(df, duck, sql)
+    assert ok, f"{sql}\n{msg}"
