@@ -284,14 +284,16 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     not n².
     """
     d = load_table(spark, sf_dir, "documents")
-    # The repartition is a materialization barrier: without it Catalyst
-    # collapses this projection into the 8 minhash expressions below and
-    # recomputes the whole shingle build per hash (measured 3.7× slower at
-    # 5k docs). Shipping the shingle arrays once through one shuffle is far
-    # cheaper than 8× expression recompute — same trade at cluster scale.
+    # Two exchanges around the shingle build (same rationale as
+    # near_dup_minhash_verified): the first parallelizes the expensive
+    # projection beyond the scan's single split; the second is the
+    # materialization barrier — without it Catalyst collapses the
+    # projection into the 8 minhash expressions below and recomputes the
+    # whole shingle build per hash (measured 3.7× slower at 5k docs).
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sh = (
-        d.select("doc_id", shingles().alias("sh"))
+        d.repartition(n_part)
+        .select("doc_id", shingles().alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("hs", F.transform(F.col("sh"), F.md5))
         .repartition(n_part)
@@ -372,11 +374,20 @@ def near_dup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     check at test scale.
     """
     d = load_table(spark, sf_dir, "documents")
-    # One shingle build shared (via the repartition barrier) by signature
-    # generation AND verification — not three recomputes.
+    # Two deliberate exchanges around the shingle+md5 projection:
+    # 1. repartition the RAW text first — the documents scan is one split
+    #    per file, and an expensive projection placed before any exchange
+    #    runs single-task; with the exchange first it parallelizes across
+    #    all cores (measured ~1 s single-task at sf0.1);
+    # 2. repartition again AFTER `hs` — the barrier stops Catalyst's
+    #    projection collapse from inlining the shingle tree into all three
+    #    consumers (signatures + both verification sides), so the arrays
+    #    are computed once and the downstream plan references small
+    #    post-exchange attributes instead of an 8×-inlined expression.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sh = (
-        d.select("doc_id", shingles().alias("sh"))
+        d.repartition(n_part)
+        .select("doc_id", shingles().alias("sh"))
         .withColumn("hs", F.transform(F.col("sh"), F.md5))
         .repartition(n_part)
     )

@@ -38,10 +38,19 @@ _DUCK_POSTING = f"""
 
 
 def _posting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, tok, pos): order-preserving token posting list."""
+    """(doc_id, tok, pos): order-preserving token posting list.
+
+    The raw documents are repartitioned BEFORE tokenize+explode: the
+    fixture scan is one split per file, and the expensive projection would
+    otherwise run single-task (a few-MB text shuffle buys full-width
+    parallelism for every consumer of the posting list).
+    """
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")).select(
-        "doc_id", "tok", (F.col("pos0") + 1).alias("pos")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        d.repartition(n_part)
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos0", "tok"))
+        .select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
     )
 
 
@@ -154,8 +163,12 @@ def doc_embedding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan for vocabularies too large to broadcast (SURVEY §7.4.4).
     vocab_arr = _vocab(posting).agg(F.collect_set("tok").alias("vocab"))
     d = load_table(spark, sf_dir, "documents")
+    # Parallelize the tokenize projection beyond the scan's single split
+    # (same rationale as _posting).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     kept_arrays = (
-        d.select("doc_id", tokens("text").alias("toks"))
+        d.repartition(n_part)
+        .select("doc_id", tokens("text").alias("toks"))
         .crossJoin(F.broadcast(vocab_arr))
         .select(
             "doc_id",
