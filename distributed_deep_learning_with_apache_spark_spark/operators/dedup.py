@@ -295,7 +295,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.repartition(n_part)
         .select("doc_id", shingles().alias("sh"))
         .filter(F.size("sh") > 0)
-        .withColumn("hs", F.transform(F.col("sh"), F.md5))
+        .select("doc_id", F.transform(F.col("sh"), F.md5).alias("hs"))
         .repartition(n_part)
     )
 
@@ -384,15 +384,25 @@ def near_dup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    consumers (signatures + both verification sides), so the arrays
     #    are computed once and the downstream plan references small
     #    post-exchange attributes instead of an 8×-inlined expression.
+    #
+    # For exchange reuse to fire, all four consumers (bands a/b, verify
+    # a/b) must see a byte-identical subtree after column pruning. Two
+    # ingredients: the size>0 filter lives INSIDE `sh` (not on the
+    # signature branch), and the verification runs on the md5'd shingles
+    # (`hs`) rather than the raw ones — shingles() is distinct, so
+    # |intersect(hs)| == |intersect(sh)| and the Jaccard is numerically
+    # identical, but now every consumer prunes to exactly (doc_id, hs).
+    # Without both, the build executed 4× (no ReusedExchange in the plan).
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sh = (
         d.repartition(n_part)
         .select("doc_id", shingles().alias("sh"))
-        .withColumn("hs", F.transform(F.col("sh"), F.md5))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.transform(F.col("sh"), F.md5).alias("hs"))
         .repartition(n_part)
     )
 
-    sig = sh.filter(F.size("sh") > 0).select(
+    sig = sh.select(
         "doc_id",
         *[
             F.md5(F.concat(_minhash_expr(2 * b), _minhash_expr(2 * b + 1))).alias(f"band_{b}")
@@ -419,8 +429,8 @@ def near_dup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("shb"))
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     jacc = inter / (F.size("sha") + F.size("shb") - inter)
     return (
