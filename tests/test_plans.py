@@ -89,6 +89,25 @@ def test_events_scan_prunes_props(spark, sf_dir):
     assert "props" not in plan.split("ReadSchema")[1].split("\n")[0]
 
 
+def test_minhash_shingle_build_computes_once(spark, sf_dir):
+    """The near-dup pipeline's expensive shingle+md5 build feeds four
+    consumers (bands a/b, verify a/b); AQE must collapse them onto ONE
+    computed exchange via ReusedExchange. This requires byte-identical
+    subtrees after column pruning — the gate pins that property (it broke
+    silently when verification joined raw shingles while banding used
+    their md5s).
+
+    Note: reuse markers only appear in the FINAL adaptive plan of the
+    executed QueryExecution, so this collects the df itself — a count()
+    would build a separate QE and show the pre-execution plan.
+    """
+    df = REG["near_dup_minhash_verified"].fn(spark, sf_dir)
+    df.collect()
+    plan = physical(df)
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 3, plan.count("ReusedExchange")
+
+
 def test_curation_pipeline_single_shuffle(spark, sf_dir):
     """corpus_curation_pipeline's 100 TB claim: quality gate + hash sample
     are scan-stage predicates, so the whole run is the dedup window
