@@ -267,6 +267,83 @@ factors = st.floats(min_value=0.5, max_value=1.5)
 agg_cols = st.sampled_from(["l_extendedprice", "l_quantity"])
 
 
+# ---------------------------------------------------------------------------
+# Set-operation fuzz: two filtered projections combined with a random set op
+# in both DISTINCT and ALL forms. Exercises Spark's union/subtract/intersect
+# family against the ANSI semantics DuckDB implements.
+# ---------------------------------------------------------------------------
+SET_OPS = {
+    "UNION": lambda a, b: a.union(b).distinct(),
+    "UNION ALL": lambda a, b: a.union(b),
+    "EXCEPT": lambda a, b: a.subtract(b),
+    "EXCEPT ALL": lambda a, b: a.exceptAll(b),
+    "INTERSECT": lambda a, b: a.intersect(b),
+    "INTERSECT ALL": lambda a, b: a.intersectAll(b),
+}
+set_ops = st.sampled_from(sorted(SET_OPS))
+cut_pairs = st.tuples(st.floats(0.0, 1.0), st.floats(0.0, 1.0))
+
+
+@given(op=set_ops, cuts=cut_pairs)
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_set_op_parity(spark, sf_dir, duck, op, cuts):
+    lo = round(1000.0 + cuts[0] * 150000.0, 2)
+    hi = round(1000.0 + cuts[1] * 150000.0, 2)
+    proj = "o_orderpriority, o_orderstatus"
+    sql = (
+        f"SELECT {proj} FROM orders WHERE o_totalprice > {lo} "
+        f"{op} "
+        f"SELECT {proj} FROM orders WHERE o_totalprice > {hi}"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > lo).select("o_orderpriority", "o_orderstatus")
+    b = o.filter(F.col("o_totalprice") > hi).select("o_orderpriority", "o_orderstatus")
+    df = SET_OPS[op](a, b)
+    ok, msg = compare(df, duck, sql)
+    assert ok, f"{sql}\n{msg}"
+
+
+# ---------------------------------------------------------------------------
+# Global sort-limit fuzz: ORDER BY random key/direction with a unique
+# tiebreak, LIMIT k — the TakeOrderedAndProject path. The tiebreak makes the
+# selected row set deterministic across engines.
+# ---------------------------------------------------------------------------
+sort_keys = st.sampled_from(["o_totalprice", "o_orderdate"])
+sort_dirs = st.sampled_from(["ASC", "DESC"])
+limit_ks = st.integers(min_value=1, max_value=25)
+status_filters = st.sampled_from(["F", "O", "P"])
+
+
+@given(key=sort_keys, direction=sort_dirs, k=limit_ks, status=status_filters)
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_sort_limit_parity(spark, sf_dir, duck, key, direction, k, status):
+    sql = (
+        f"SELECT o_orderkey, o_custkey, {key} AS val FROM orders "
+        f"WHERE o_orderstatus = '{status}' "
+        f"ORDER BY {key} {direction}, o_orderkey ASC LIMIT {k}"
+    )
+    key_col = F.col(key).asc() if direction == "ASC" else F.col(key).desc()
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == status)
+        .orderBy(key_col, F.col("o_orderkey").asc())
+        .limit(k)
+        .select("o_orderkey", "o_custkey", F.col(key).alias("val"))
+    )
+    ok, msg = compare(df, duck, sql)
+    assert ok, f"{sql}\n{msg}"
+
+
 @given(factor=factors, col=agg_cols)
 @settings(
     max_examples=10,
