@@ -554,8 +554,14 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-nibble form keeps the hash family bit-identical in the oracle.)
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")).select(
-        "doc_id", F.md5("t").alias("h")
+    # Repartition the raw text first: the per-token md5 + bit extraction is
+    # the expensive part and would otherwise run on the scan's splits (one
+    # task per file here) — the exchange spreads it across all cores.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tok = (
+        d.repartition(n_part)
+        .select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t"))
+        .select("doc_id", F.md5("t").alias("h"))
     )
     bits = tok.select(
         "doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"), "h"
@@ -570,4 +576,99 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = bits.groupBy("doc_id", "b").agg(F.sum(2 * F.col("bit") - 1).alias("vote"))
     return votes.groupBy("doc_id").agg(
         F.sum(F.when(F.col("vote") > 0, F.expr("shiftleft(1, b)")).otherwise(0)).alias("simhash16")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs: banded hamming-distance join
+# ---------------------------------------------------------------------------
+_DUCK_SIMHASH = f"""
+        tok AS (
+          SELECT doc_id, md5(t) AS h
+          FROM (SELECT doc_id, unnest(list_distinct({DUCK_TOKENS.format(col='text')})) AS t FROM documents)
+        ),
+        bits AS (
+          SELECT doc_id, b,
+                 ((strpos('0123456789abcdef', substr(h, 1 + b // 4, 1)) - 1) >> (3 - (b % 4))) & 1 AS bit
+          FROM tok, (SELECT unnest(generate_series(0, 15)) AS b)
+        ),
+        votes AS (
+          SELECT doc_id, b, sum(2 * bit - 1) AS vote FROM bits GROUP BY doc_id, b
+        ),
+        fp AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN vote > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS simhash16
+          FROM votes GROUP BY doc_id
+        )
+"""
+
+HAMMING_MAX = 3  # with 4 bands, any pair at distance ≤ 3 shares a clean band
+
+
+@register(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+        WITH {_DUCK_SIMHASH},
+        bands AS (
+          SELECT doc_id, simhash16, bb.band_id,
+                 (simhash16 >> (4 * bb.band_id)) & 15 AS band_val
+          FROM fp, (SELECT unnest(generate_series(0, 3)) AS band_id) bb
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               bit_count(xor(sa.simhash16, sb.simhash16)) AS hamming
+        FROM cand c
+        JOIN fp sa ON sa.doc_id = c.doc_a
+        JOIN fp sb ON sb.doc_id = c.doc_b
+        WHERE bit_count(xor(sa.simhash16, sb.simhash16)) <= {HAMMING_MAX}
+    """,
+    tags=("dedup", "ext", "scale"),
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band the 16-bit fingerprint into four 4-bit
+    bands; candidates = pairs equal on ANY band (equi-join on (band_id,
+    band_val)); verify hamming(simhash_a, simhash_b) ≤ 3 via bit_count(xor).
+
+    Recall is exact by pigeonhole: ≤ 3 differing bits across 4 bands
+    forces at least one band with zero differing bits, so every qualifying
+    pair appears in some bucket. Scale: the only shuffle keys are band
+    values — bucket size tracks fingerprint collision density, never n²;
+    the verify step is a cheap integer xor/popcount per candidate.
+    (At production scale widen to a 64-bit xxhash64-based fingerprint and
+    more bands; 16-bit md5-nibble form keeps the oracle bit-identical.)
+    """
+    fp = simhash_fingerprints(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash16",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_id"),
+    ).select(
+        "doc_id",
+        "band_id",
+        F.expr("shiftright(simhash16, 4 * band_id) & 15").alias("band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash16").alias("sim_a"))
+    sb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash16").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(hamming <= HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
     )

@@ -48,7 +48,12 @@ def test_topk_is_take_ordered(spark, sf_dir):
 
 
 def test_no_cartesian_in_candidate_joins(spark, sf_dir):
-    for name in ["near_dup_minhash_verified", "near_dup_jaccard", "range_join_events_after_order"]:
+    for name in [
+        "near_dup_minhash_verified",
+        "near_dup_jaccard",
+        "range_join_events_after_order",
+        "simhash_near_dup_pairs",
+    ]:
         plan = physical(REG[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
@@ -102,6 +107,17 @@ def test_minhash_shingle_build_computes_once(spark, sf_dir):
     would build a separate QE and show the pre-execution plan.
     """
     df = REG["near_dup_minhash_verified"].fn(spark, sf_dir)
+    df.collect()
+    plan = physical(df)
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 3, plan.count("ReusedExchange")
+
+
+def test_simhash_fingerprint_build_computes_once(spark, sf_dir):
+    """simhash_near_dup_pairs consumes the fingerprint table four times
+    (bands a/b, verify a/b); the vote-aggregation exchange must be reused,
+    not recomputed — the tokenize+md5 tree is the expensive part."""
+    df = REG["simhash_near_dup_pairs"].fn(spark, sf_dir)
     df.collect()
     plan = physical(df)
     assert "isFinalPlan=true" in plan
