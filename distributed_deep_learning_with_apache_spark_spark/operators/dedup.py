@@ -234,11 +234,35 @@ N_HASHES = 8
 N_BANDS = 4  # rows-per-band = 2
 
 
-def _minhash_expr(k: int, col: str = "hs"):
-    """k-th minhash from precomputed per-shingle digests: min over the
-    16-hex-char window at offset 2k+1 (one md5 per shingle serves all 8
-    hashes — keep in sync with _duck_minhash)."""
-    return F.array_min(F.transform(F.col(col), lambda h: F.substring(h, 2 * k + 1, 16)))
+def _band_signature(sh: DataFrame) -> DataFrame:
+    """(doc_id, hs) → (doc_id, band_0..band_3): all 8 minhashes in ONE
+    fold over the digest array via an F.aggregate struct accumulator,
+    instead of 8 array_min(transform(...)) passes each materializing a
+    fresh array per row. Wall-clock-neutral at sf0.1 (the stage is
+    shingle-build-bound there) but 8× fewer transient array allocations
+    per row, which is what matters under executor memory pressure at
+    scale. Values are bit-identical to the per-k form — same min over
+    the same substrings — so _duck_minhash stays the oracle."""
+    init = F.struct(*[F.lit("￿").alias(f"m{k}") for k in range(N_HASHES)])
+    return sh.select(
+        "doc_id",
+        F.aggregate(
+            "hs",
+            init,
+            lambda acc, h: F.struct(
+                *[
+                    F.least(acc[f"m{k}"], F.substring(h, 2 * k + 1, 16)).alias(f"m{k}")
+                    for k in range(N_HASHES)
+                ]
+            ),
+        ).alias("m"),
+    ).select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col("m")[f"m{2 * b}"], F.col("m")[f"m{2 * b + 1}"])).alias(f"band_{b}")
+            for b in range(N_BANDS)
+        ],
+    )
 
 
 # One md5 per shingle; the k-th hash is the 16-hex-char window at offset
@@ -299,13 +323,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_part)
     )
 
-    sig = sh.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(_minhash_expr(2 * b), _minhash_expr(2 * b + 1))).alias(f"band_{b}")
-            for b in range(N_BANDS)
-        ],
-    )
+    sig = _band_signature(sh)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -402,13 +420,7 @@ def near_dup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_part)
     )
 
-    sig = sh.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(_minhash_expr(2 * b), _minhash_expr(2 * b + 1))).alias(f"band_{b}")
-            for b in range(N_BANDS)
-        ],
-    )
+    sig = _band_signature(sh)
     bands = sig.select(
         "doc_id",
         F.explode(
