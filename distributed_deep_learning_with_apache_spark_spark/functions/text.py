@@ -304,3 +304,105 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(canon).alias("fingerprint"),
         F.md5(F.col("text")).alias("exact_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] BM25 lexical retrieval (the keyword twin of cosine_topk_exact)
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "window", "merge")  # fixed query terms
+BM25_TOPK = 20
+
+_BM25_TF = "len(list_filter({toks}, t -> t = '{term}'))"
+
+
+def _bm25_duck() -> str:
+    toks = DUCK_TOKENS.format(col="text")
+    tf_cols = ", ".join(
+        _BM25_TF.format(toks=toks, term=t) + f" AS tf_{i}" for i, t in enumerate(BM25_QUERY)
+    )
+    score = " + ".join(
+        f"ln(1 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+        f" * tf_{i} * ({BM25_K1} + 1)"
+        f" / (tf_{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / s.avgdl))"
+        for i in range(len(BM25_QUERY))
+    )
+    df_aggs = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(len(BM25_QUERY))
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, len({toks}) AS dl, {tf_cols} FROM documents
+        ),
+        nonempty AS (SELECT * FROM base WHERE dl > 0),
+        s AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl, {df_aggs} FROM nonempty
+        )
+        SELECT doc_id, round({score}, 6) + 0.0 AS bm25
+        FROM nonempty CROSS JOIN s
+        WHERE {score} > 0
+        ORDER BY round({score}, 6) DESC, doc_id ASC
+        LIMIT {BM25_TOPK}
+    """
+
+
+@register(
+    "bm25_topk",
+    oracle=_bm25_duck(),
+    tags=("text", "ext", "retrieval", "scale"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k lexical retrieval for a fixed query — the keyword-search
+    complement to the embedding-space `cosine_topk_exact`; in an LLM-data
+    pipeline this is the standard tool for targeted corpus audits
+    (benchmark leakage probes, topic pulls).
+
+    Scale shape: per-term tf and doc length are scan-stage per-row
+    expressions (the query is a handful of constant terms — no posting
+    list, no explode); the corpus statistics (N, avgdl, per-term df)
+    collapse to ONE row that broadcasts back; the only ordering work is
+    the final top-k, which compiles to TakeOrderedAndProject. So the
+    whole query is one pass over the corpus with no shuffle at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def eq_term(t: str):
+        # NB: must stay single-parameter — a two-arg lambda would be taken
+        # as F.filter's (element, index) form.
+        return lambda x: x == F.lit(t)
+
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, eq_term(t))).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_QUERY)
+        ],
+    ).filter(F.col("dl") > 0)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    score = None
+    for i in range(len(BM25_QUERY)):
+        idf = F.log(1 + (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5))
+        w = (
+            idf
+            * F.col(f"tf_{i}")
+            * (BM25_K1 + 1)
+            / (F.col(f"tf_{i}") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+        )
+        score = w if score is None else score + w
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(score > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )

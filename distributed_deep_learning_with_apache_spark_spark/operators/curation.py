@@ -362,3 +362,74 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tok)).cast("long").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk) for pre-training batch assembly
+# ---------------------------------------------------------------------------
+SEQ_LEN = 256  # context length of the packed training sequences
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+        WITH lens AS (
+          SELECT doc_id, source, len({_DUCK_TOKS}) AS n_tokens FROM documents
+        ),
+        placed AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS stream_offset
+          FROM lens WHERE n_tokens > 0
+        )
+        SELECT doc_id, source, n_tokens, stream_offset,
+               stream_offset // {SEQ_LEN} AS first_bin,
+               (stream_offset + n_tokens - 1) // {SEQ_LEN} AS last_bin,
+               (stream_offset + n_tokens - 1) // {SEQ_LEN}
+                 - stream_offset // {SEQ_LEN} + 1 AS bins_spanned
+        FROM placed
+    """,
+    tags=("curation", "ext", "scale"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: within each source
+    shard, documents are laid end-to-end in doc_id order into one token
+    stream, which is then cut into fixed SEQ_LEN training sequences. Each
+    doc's placement is fully determined by the running token count: its
+    stream offset, the first/last sequence (bin) it lands in, and how many
+    bins it spans (docs crossing a boundary are split, per standard
+    pre-training practice).
+
+    Scale shape: packing is shard-local by design — the window partitions
+    by source, so shards pack in parallel and no global total-order sort
+    exists anywhere (a single corpus-wide stream would serialize the run
+    at 100 TB; per-shard streams are what production pipelines pack).
+    The whole op is one shuffle (the window partition) over
+    (doc_id, source, n_tokens) triples — the text itself never moves.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select("doc_id", "source", F.size(tokens("text")).alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = lens.withColumn(
+        "stream_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    last_tok = F.col("stream_offset") + F.col("n_tokens") - 1
+    first_bin = F.floor(F.col("stream_offset") / SEQ_LEN).cast("long")
+    last_bin = F.floor(last_tok / SEQ_LEN).cast("long")
+    return placed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "stream_offset",
+        first_bin.alias("first_bin"),
+        last_bin.alias("last_bin"),
+        (last_bin - first_bin + 1).alias("bins_spanned"),
+    )

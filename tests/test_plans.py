@@ -113,6 +113,24 @@ def test_minhash_shingle_build_computes_once(spark, sf_dir):
     assert plan.count("ReusedExchange") >= 3, plan.count("ReusedExchange")
 
 
+def test_bm25_is_shuffle_free_topk(spark, sf_dir):
+    """BM25's contract: tf/dl are scan-stage expressions, the corpus stats
+    broadcast back as one row, and the ordering work is the final top-k —
+    so no hash exchange anywhere and the sort compiles to
+    TakeOrderedAndProject."""
+    plan = physical(REG["bm25_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    """Sequence packing is shard-local: one window exchange on source,
+    nothing else (the document text never reaches the shuffle)."""
+    plan = physical(REG["pack_sequences"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "text" not in plan.split("Exchange hashpartitioning")[1].split("\n")[0]
+
+
 def test_simhash_fingerprint_build_computes_once(spark, sf_dir):
     """simhash_near_dup_pairs consumes the fingerprint table four times
     (bands a/b, verify a/b); the vote-aggregation exchange must be reused,
