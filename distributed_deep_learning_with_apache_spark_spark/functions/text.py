@@ -406,3 +406,96 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] inverted-index posting lists (the build step behind lexical search)
+# ---------------------------------------------------------------------------
+POSTING_CAP = 10  # doc ids retained per term in the compact index head
+
+
+@register(
+    "inverted_index_postings",
+    oracle=f"""
+        WITH posting AS (
+          SELECT doc_id, unnest(list_distinct({DUCK_TOKENS.format(col='text')})) AS tok
+          FROM documents
+        )
+        SELECT tok,
+               count(*) AS df,
+               list_slice(list_sort(list(doc_id)), 1, {POSTING_CAP}) AS head_doc_ids
+        FROM posting GROUP BY tok
+    """,
+    tags=("text", "ext", "retrieval"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the inverted index: term → document frequency + the sorted
+    head of its posting list (capped at POSTING_CAP ids — full postings
+    would be written columnar, term-bucketed, not collected).
+
+    Scale shape: one shuffle on term with map-side partial aggregation;
+    posting lists are naturally term-partitioned on disk afterwards, which
+    is exactly the layout a distributed lexical index wants. Skewed terms
+    (stopwords) bound their output by the cap rather than their df.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    posting = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    return posting.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTING_CAP).alias("head_doc_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Zipf rank-frequency fit (corpus health diagnostic)
+# ---------------------------------------------------------------------------
+@register(
+    "zipf_fit",
+    oracle=f"""
+        WITH freq AS (
+          SELECT tok, count(*) AS f
+          FROM (SELECT unnest({DUCK_TOKENS.format(col='text')}) AS tok FROM documents)
+          GROUP BY tok
+        ),
+        ranked AS (
+          SELECT ln(row_number() OVER (ORDER BY f DESC, tok ASC)) AS lnr, ln(f) AS lnf
+          FROM freq
+        )
+        SELECT count(*) AS n_terms,
+               round(covar_pop(lnr, lnf) / var_pop(lnr), 6) + 0.0 AS slope,
+               round(avg(lnf) - covar_pop(lnr, lnf) / var_pop(lnr) * avg(lnr), 6) + 0.0
+                 AS intercept
+        FROM ranked
+    """,
+    tags=("text", "ext", "agg"),
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: least-squares slope/intercept of
+    ln(frequency) against ln(rank) over the term-frequency table. Natural
+    corpora sit near slope −1; a corpus whose slope drifts (template spam,
+    boilerplate floods) fails the health check before training does.
+
+    Scale shape: term counting is the usual map-side-combined agg; the
+    regression runs over the (small) vocabulary table and reduces to one
+    covariance aggregate — the corpus is read once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = freq.select(
+        F.log(F.row_number().over(W.orderBy(F.col("f").desc(), F.col("tok").asc()))).alias("lnr"),
+        F.log("f").alias("lnf"),
+    )
+    slope = F.covar_pop("lnr", "lnf") / F.var_pop("lnr")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg("lnf") - slope * F.avg("lnr"), 6).alias("intercept"),
+    )

@@ -433,3 +433,132 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_bin.alias("last_bin"),
         (last_bin - first_bin + 1).alias("bins_spanned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture resampling: hit target per-source shares exactly
+# ---------------------------------------------------------------------------
+# Target corpus mixture (e.g. boost a curated source, cap raw crawl).
+MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2}
+MIX_DEFAULT_W = 0.5 / 18  # remaining mass spread over the other 18 sources
+
+_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN CAST({w!r} AS DOUBLE)" for s, w in MIX_WEIGHTS.items()
+) + f" ELSE CAST({MIX_DEFAULT_W!r} AS DOUBLE) END"
+
+
+@register(
+    "mix_domains_to_target",
+    oracle=f"""
+        WITH w AS (
+          SELECT source, {_MIX_CASE} AS w, count(*) AS n_docs
+          FROM documents GROUP BY source
+        ),
+        t AS (SELECT min(n_docs / w) AS tstar FROM w),
+        kept AS (
+          SELECT d.source
+          FROM documents d JOIN w USING (source) CROSS JOIN t
+          WHERE {_DUCK_BUCKET} < 1000 * w.w * t.tstar / w.n_docs
+        ),
+        k AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY source),
+        tot AS (SELECT sum(n_kept) AS total FROM k)
+        SELECT w.source,
+               w.n_docs,
+               coalesce(k.n_kept, 0) AS n_kept,
+               round(w.w, 6) + 0.0 AS target_share,
+               round(coalesce(k.n_kept, 0) * 1.0 / tot.total, 6) + 0.0 AS realized_share
+        FROM w LEFT JOIN k USING (source) CROSS JOIN tot
+    """,
+    tags=("curation", "ext", "sample", "scale"),
+)
+def mix_domains_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus to a target per-source mixture (the LLM
+    'data mixing' stage: boost curated sources, cap raw crawl) without
+    replication: the achievable total T* = min_s(n_s / w_s) is the largest
+    corpus hitting the target shares EXACTLY by downsampling alone; each
+    source then keeps a deterministic md5-bucket fraction w_s·T*/n_s of
+    its docs (same reproducibility contract as sample_stratified_hash).
+
+    Scale shape: per-source counts are one tiny map-side-combined agg that
+    broadcasts back; the keep gate is a scan-stage per-row predicate; the
+    report is a sources-sized agg. The corpus itself is never shuffled.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w_expr = F.lit(MIX_DEFAULT_W)
+    for s, w in reversed(MIX_WEIGHTS.items()):
+        w_expr = F.when(F.col("source") == s, F.lit(w)).otherwise(w_expr)
+    wc = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).withColumn("w", w_expr)
+    tstar = wc.agg(F.min(F.col("n_docs") / F.col("w")).alias("tstar"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 1000
+    kept = (
+        d.select("source", bucket.alias("bucket"))
+        .join(F.broadcast(wc), "source")
+        .crossJoin(F.broadcast(tstar))
+        .filter(F.col("bucket") < 1000 * F.col("w") * F.col("tstar") / F.col("n_docs"))
+    )
+    k = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    tot = k.agg(F.sum("n_kept").alias("total"))
+    return (
+        wc.join(k, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.round(F.col("w"), 6).alias("target_share"),
+            F.round(F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("total"), 6).alias(
+                "realized_share"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum quality tiers: ntile bucketing by document length
+# ---------------------------------------------------------------------------
+N_TIERS = 4
+
+
+@register(
+    "quality_tiers",
+    oracle=f"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 len({_DUCK_TOKS}) AS n_words,
+                 ntile({N_TIERS}) OVER (ORDER BY len({_DUCK_TOKS}) DESC, doc_id ASC) AS tier
+          FROM documents
+        )
+        SELECT tier,
+               count(*) AS n_docs,
+               min(n_words) AS min_words,
+               max(n_words) AS max_words,
+               round(avg(n_words), 4) AS avg_words
+        FROM scored GROUP BY tier
+    """,
+    tags=("curation", "ext"),
+)
+def quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: rank every document by a quality signal
+    (token length here) and cut the corpus into N_TIERS equal tiers with
+    ntile — the standard precursor to tier-weighted sampling schedules.
+    The ordering is total (score desc, doc_id asc) so tier assignment is
+    deterministic and engine-portable.
+
+    Scale note: a global ntile needs a total order — fine for a report
+    over per-doc scalars (count + 2 longs per row), but the tier CUTOFFS
+    at 100 TB would come from approxQuantile instead, turning assignment
+    into a scan-stage predicate. This query is the report form.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokens("text"))
+    w = Window.orderBy(F.col("n_words").desc(), F.col("doc_id").asc())
+    scored = d.select("doc_id", n_words.alias("n_words")).withColumn(
+        "tier", F.ntile(N_TIERS).over(w)
+    )
+    return scored.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_words").alias("min_words"),
+        F.max("n_words").alias("max_words"),
+        F.round(F.avg("n_words"), 4).alias("avg_words"),
+    )

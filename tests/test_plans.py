@@ -83,7 +83,12 @@ def test_q16_exclusion_and_distinct_plan(spark, sf_dir):
 def test_scalar_subquery_shapes_stay_broadcast(spark, sf_dir):
     # Q11/Q15/Q20 join a 1-row aggregate back in; that must compile to a
     # broadcast nested-loop over ONE row, never a CartesianProduct.
-    for name in ["important_part_values", "promotion_candidate_suppliers", "top_supplier_revenue"]:
+    for name in [
+        "important_part_values",
+        "promotion_candidate_suppliers",
+        "top_supplier_revenue",
+        "mix_domains_to_target",
+    ]:
         plan = physical(REG[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
 
