@@ -344,6 +344,55 @@ def test_random_sort_limit_parity(spark, sf_dir, duck, key, direction, k, status
     assert ok, f"{sql}\n{msg}"
 
 
+# ---------------------------------------------------------------------------
+# Running-sum + binning fuzz: the pack_sequences plan shape — partitioned
+# cumulative sum over a unique order, integer-divided into bins. Integer
+# measures keep the fold exact, so parity is deterministic regardless of
+# partial-aggregation order.
+# ---------------------------------------------------------------------------
+cum_parts = st.sampled_from(["o_orderstatus", "o_orderpriority"])
+cum_mods = st.integers(min_value=7, max_value=997)
+cum_widths = st.integers(min_value=100, max_value=5000)
+
+
+@given(part=cum_parts, m=cum_mods, width=cum_widths)
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_running_sum_bins_parity(spark, sf_dir, duck, part, m, width):
+    from pyspark.sql import Window
+
+    sql = (
+        f"SELECT o_orderkey, {part} AS part, cumsum, cumsum // {width} AS bin FROM ("
+        f"  SELECT o_orderkey, {part},"
+        f"         CAST(sum(o_custkey % {m}) OVER ("
+        f"           PARTITION BY {part} ORDER BY o_orderkey ASC"
+        f"           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumsum"
+        f"  FROM orders)"
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy(F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", F.col(part).alias("part"), (F.col("o_custkey") % m).alias("v"))
+        .withColumn("cumsum", F.sum("v").over(w).cast("long"))
+        .select(
+            "o_orderkey",
+            "part",
+            "cumsum",
+            F.floor(F.col("cumsum") / width).cast("long").alias("bin"),
+        )
+    )
+    ok, msg = compare(df, duck, sql)
+    assert ok, f"{sql}\n{msg}"
+
+
 @given(factor=factors, col=agg_cols)
 @settings(
     max_examples=10,
