@@ -138,7 +138,13 @@ def embedding_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                embedding[-1]::DOUBLE AS last_value,
                embedding[1]::DOUBLE AS first_value,
-               list_slice(embedding, -3, -1)::DOUBLE[] AS tail3
+               -- serialized micro-units (not a LIST column): the driver's
+               -- pandas hasher can't hash list cells, and float->string
+               -- formatting differs across engines; scaled-int strings are
+               -- bit-portable because the underlying doubles are identical
+               array_to_string(
+                 list_transform(list_slice(embedding, -3, -1)::DOUBLE[],
+                                x -> CAST(round(x * 1000000) AS BIGINT)), ',') AS tail3_micro
         FROM embeddings
     """,
     tags=("arrays", "w2"),
@@ -148,11 +154,14 @@ def last_timestep_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     column (the RNN-output read), plus a tail slice (raw float→double casts
     are exact, no rounding needed)."""
     e = load_table(spark, sf_dir, "embeddings")
+    tail3 = F.slice(as_double("embedding"), F.size("embedding") - 2, 3)
     return e.select(
         "vec_id",
         F.element_at(as_double("embedding"), -1).alias("last_value"),
         F.element_at(as_double("embedding"), 1).alias("first_value"),
-        F.slice(as_double("embedding"), F.size("embedding") - 2, 3).alias("tail3"),
+        F.array_join(
+            F.transform(tail3, lambda v: F.round(v * 1e6).cast("long").cast("string")), ","
+        ).alias("tail3_micro"),
     )
 
 

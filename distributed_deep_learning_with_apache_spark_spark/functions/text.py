@@ -423,7 +423,11 @@ POSTING_CAP = 10  # doc ids retained per term in the compact index head
         )
         SELECT tok,
                count(*) AS df,
-               list_slice(list_sort(list(doc_id)), 1, {POSTING_CAP}) AS head_doc_ids
+               -- serialized (not a LIST column): the driver's pandas-based
+               -- hasher cannot hash list cells, so both engines emit the
+               -- comma-joined head of the posting list as VARCHAR
+               array_to_string(list_slice(list_sort(list(doc_id)), 1, {POSTING_CAP}), ',')
+                 AS head_doc_ids
         FROM posting GROUP BY tok
     """,
     tags=("text", "ext", "retrieval"),
@@ -444,7 +448,12 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return posting.groupBy("tok").agg(
         F.count(F.lit(1)).alias("df"),
-        F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTING_CAP).alias("head_doc_ids"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTING_CAP).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("head_doc_ids"),
     )
 
 

@@ -128,7 +128,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM toks
         )
         SELECT s.doc_id,
-               s.n_tok AS n_tokens,
+               CAST(s.n_tok AS BIGINT) AS n_tokens,
                round(s.top_c * 1.0 / s.n_tok, 6) AS top_token_share,
                round(1.0 - len(list_distinct(g.g2)) * 1.0 / greatest(len(g.g2), 1), 6)
                  AS dup_2gram_frac
@@ -206,7 +206,7 @@ CHUNK_TOKENS = 8
         )
         SELECT doc_id,
                count(*) AS n_chunks,
-               sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS kept_share
         FROM ranked GROUP BY doc_id
     """,

@@ -553,7 +553,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, b, sum(2 * bit - 1) AS vote FROM bits GROUP BY doc_id, b
         )
         SELECT doc_id,
-               sum(CASE WHEN vote > 0 THEN (1 << b) ELSE 0 END) AS simhash16
+               -- CAST: DuckDB integer sum() yields HUGEINT, which the
+               -- driver's pandas-based hasher normalizes via float64 and
+               -- mismatches Spark's BIGINT. BIGINT on both sides.
+               CAST(sum(CASE WHEN vote > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS simhash16
         FROM votes GROUP BY doc_id
     """,
     tags=("dedup", "ext"),

@@ -140,7 +140,12 @@ _TOK2VEC_DUCK = f"(ascii(substr(tok, 1, 1)) * 31 + length(tok) * 7) % {N_VECS}"
           FROM dims GROUP BY doc_id, dim
         )
         SELECT doc_id,
-               list(round(dim_avg, 6) + 0.0 ORDER BY dim ASC) AS doc_vector,
+               -- serialized micro-units (not a LIST column): the driver's
+               -- pandas hasher can't hash list cells; the ordered FP fold on
+               -- both sides makes the raw doubles bit-identical, so the
+               -- scaled-int encoding is engine-portable
+               array_to_string(list(CAST(round(dim_avg * 1000000) AS BIGINT)
+                                    ORDER BY dim ASC), ',') AS doc_vector,
                min(n) AS n_embedded
         FROM avgs GROUP BY doc_id
     """,
@@ -208,6 +213,9 @@ def doc_embedding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(vs)
     return grouped.select(
         "doc_id",
-        F.transform(sum_vec, lambda s: F.round(s / n, 6) + 0.0).alias("doc_vector"),
+        F.array_join(
+            F.transform(sum_vec, lambda s: F.round((s / n) * 1e6).cast("long").cast("string")),
+            ",",
+        ).alias("doc_vector"),
         n.alias("n_embedded"),
     )

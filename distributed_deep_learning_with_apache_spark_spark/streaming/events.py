@@ -158,7 +158,7 @@ def events_latest_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            ROWS UNBOUNDED PRECEDING) AS session_seq
           FROM flagged
         )
-        SELECT user_id, session_seq,
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                floor(epoch(min(ts)::TIMESTAMP))::BIGINT AS session_start_s,
                count(*) AS n_events,
                round(sum(value), 2) AS total_value,
