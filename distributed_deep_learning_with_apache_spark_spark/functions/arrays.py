@@ -231,26 +231,26 @@ def anomaly_best_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
     The MLlib-PCA variant of the same shape is ml_anomaly_pca (rows-only).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    # Centroids via array fold (one row per label, arrays never exploded):
-    # the shuffle carries |labels| rows of 64 doubles instead of rows×64
-    # exploded cells. Collected vectors are ordered by vec_id so the fold
-    # order — hence the floating-point sum — is run-deterministic.
+    # Centroids via posexplode → partial-aggregable avg per (label, dim).
+    # The map-side combine collapses each scan partition to |labels|·dim
+    # partial (sum, count) rows before the exchange, so the shuffle carries
+    # O(|labels|·dim·partitions) regardless of corpus size — no task ever
+    # holds a whole label's vectors (the previous per-label collect_list
+    # fold put every vector of a label in ONE row: an OOM at 100× scale).
+    # round(score, 4) downstream absorbs FP-order noise in the avg.
     vecs = e.select("vec_id", "label", as_double("embedding").alias("v"))
-    dim = F.size(F.element_at(F.col("ordered.v"), 1))
+    cent_long = (
+        vecs.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+    )
+    # Reassemble |labels|·dim rows (tiny, KB-scale) into per-label arrays
+    # for the broadcast join; collect_list here gathers dim scalars per
+    # label, not vectors.
     cent = (
-        vecs.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("ordered"))
-        .select(
-            "label",
-            F.transform(
-                F.aggregate(
-                    F.col("ordered.v"),
-                    F.array_repeat(F.lit(0.0), dim),
-                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-                ),
-                lambda s: s / F.size("ordered"),
-            ).alias("c"),
-        )
+        cent_long.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.col("pc.c").alias("c"))
     )
     scored = (
         vecs.join(F.broadcast(cent), "label")

@@ -406,17 +406,28 @@ def near_dup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # For exchange reuse to fire, all four consumers (bands a/b, verify
     # a/b) must see a byte-identical subtree after column pruning. Two
     # ingredients: the size>0 filter lives INSIDE `sh` (not on the
-    # signature branch), and the verification runs on the md5'd shingles
-    # (`hs`) rather than the raw ones — shingles() is distinct, so
-    # |intersect(hs)| == |intersect(sh)| and the Jaccard is numerically
-    # identical, but now every consumer prunes to exactly (doc_id, hs).
-    # Without both, the build executed 4× (no ReusedExchange in the plan).
+    # signature branch), and the verification runs on hashed shingles
+    # rather than the raw ones — shingles() is distinct, so the
+    # intersection size (hence the Jaccard) is unchanged, but every
+    # consumer prunes to post-exchange hash columns. Without both, the
+    # build executed 4× (no ReusedExchange in the plan).
+    #
+    # Two hash columns from one build: `hs` (md5 — the engine-portable
+    # signature family DuckDB mirrors) feeds the band signatures; `hx`
+    # (xxhash64 longs, Spark-only) feeds the verify joins, whose
+    # array_intersect compares 8-byte longs instead of 32-char strings and
+    # whose candidate-side shuffle shrinks ~6×. The oracle is unchanged:
+    # Jaccard over distinct shingles is hash-agnostic.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sh = (
         d.repartition(n_part)
         .select("doc_id", shingles().alias("sh"))
         .filter(F.size("sh") > 0)
-        .select("doc_id", F.transform(F.col("sh"), F.md5).alias("hs"))
+        .select(
+            "doc_id",
+            F.transform(F.col("sh"), F.md5).alias("hs"),
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hx"),
+        )
         .repartition(n_part)
     )
 
@@ -441,8 +452,8 @@ def near_dup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sha"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("shb"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hx").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hx").alias("shb"))
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     jacc = inter / (F.size("sha") + F.size("shb") - inter)
     return (

@@ -178,3 +178,74 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible once a real codec replaces it) and is unit-tested
     against a NumPy reference instead (tests/test_curation.py pattern)."""
     return sample_frames_df(spark, sf_dir).select("doc_id", "frame_idx", "frame_off", "n_frames")
+
+
+# ---------------------------------------------------------------------------
+# Real PNG decode (S5): seeded PNG corpus -> binaryFile scan -> pixel grids
+# ---------------------------------------------------------------------------
+PIXEL_SCHEMA = (
+    "path string, label int, width int, height int, "
+    "mean_px double, max_px int, bright_x int, bright_y int"
+)
+
+
+def decode_png_dir(spark: SparkSession, root: str) -> DataFrame:
+    """S5 with a REAL codec: directory of PNGs -> binaryFile scan (S4) ->
+    label from parent path (S6) -> Arrow-batched mapInPandas running a
+    from-scratch pure-stdlib PNG decoder (all five scanline filters) ->
+    per-image pixel statistics.  Pixel values are bit-exact what the
+    encoder wrote (asserted in tests/test_png_decode.py).
+
+    Reference: `chapter_4/MnistClassification.java:61-63,143-145`
+    (PNG -> 28x28x1 grid) + `:60` (ParentPathLabelGenerator).
+
+    Scale posture: decode happens inside the scan's partitions — no
+    shuffle; binaryFile splits by file so 1e9 images parallelize across
+    every executor. The Python stage is one Arrow hop; everything
+    downstream (aggregation over the stats) stays JVM-side.
+    """
+    from .pngcodec import make_gray_png_decoder
+
+    decode = make_gray_png_decoder()
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "path", "label", "width", "height",
+                "mean_px", "max_px", "bright_x", "bright_y",
+            )}
+            for path, label, buf in zip(pdf["path"], pdf["label"], pdf["content"]):
+                w, h, px = decode(buf)
+                arr = np.asarray(px, dtype=np.float64).reshape(h, w)
+                bright = float(arr.max())
+                ys, xs = np.nonzero(arr >= bright - 32)
+                out["path"].append(path)
+                out["label"].append(int(label))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_px"].append(float(arr.mean()))
+                out["max_px"].append(int(bright))
+                out["bright_x"].append(int(round(xs.mean())))
+                out["bright_y"].append(int(round(ys.mean())))
+            yield __import__("pandas").DataFrame(out)
+
+    return (
+        read_binary_dir(spark, root + "/*")
+        .select("path", F.col("label").cast("int").alias("label"), "content")
+        .mapInPandas(kernel, PIXEL_SCHEMA)
+    )
+
+
+@register(
+    "image_decode_png",
+    oracle=None,  # inputs are PNG files, not a DuckDB-visible table
+    tags=("multimodal", "image", "ext"),
+)
+def image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the real-PNG decode pipeline over the seeded
+    fixture corpus (written on first use; content-deterministic)."""
+    from .pngcodec import ensure_fixture_corpus
+
+    return decode_png_dir(spark, ensure_fixture_corpus())

@@ -92,14 +92,14 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # ts is TIMESTAMP(NANOS) in the parquet file; Spark reads it as raw
-    # long (legacy.parquet.nanosAsLong) and load_table converts it to a
-    # microsecond TimestampType via floor division — same truncation DuckDB
+    # ts unit varies across fixture generations (TIMESTAMP_NS in some,
+    # TIMESTAMP_US/NTZ in others); load_table sniffs the footer and
+    # normalizes to a microsecond TimestampType — same truncation DuckDB
     # applies casting TIMESTAMP_NS -> TIMESTAMP.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -125,13 +125,39 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Sniff the parquet footer: True when events.ts is TIMESTAMP(NANOS).
+
+    Footer-only read (no row groups), cached per path — the fixture
+    generator has shipped both ns and µs units across rounds and a wrong
+    guess silently scales every timestamp by 1000.
+    """
+    if path not in _EVENTS_TS_NANOS_CACHE:
+        import pyarrow.parquet as pq
+
+        unit = getattr(pq.read_schema(path).field("ts").type, "unit", "us")
+        _EVENTS_TS_NANOS_CACHE[path] = unit == "ns"
+    return _EVENTS_TS_NANOS_CACHE[path]
+
+
+_EVENTS_TS_NANOS_CACHE: dict[str, bool] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its explicit schema."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
-    if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return df
+    if name == "events" and _events_ts_is_nanos(path):
+        # legacy.parquet.nanosAsLong reads TIMESTAMP(NANOS) as raw long;
+        # floor-divide to µs like DuckDB's TIMESTAMP_NS -> TIMESTAMP cast.
+        schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+                for f in TABLE_SCHEMAS[name]
+            ]
+        )
+        df = spark.read.schema(schema).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -6,10 +6,10 @@ The reference has no streaming — its closest artifact is the pull-based
 first in batch-equivalent form (oracle-checkable against DuckDB), then the
 same semantics as real Structured Streaming (rows-only check, memory sink).
 
-Timestamp parity: the events `ts` column is nanosecond-precision parquet;
-Spark truncates to microseconds while DuckDB keeps TIMESTAMP_NS. All
-emitted time values are therefore whole-second BIGINTs
-(floor-of-epoch) so both engines agree bit-for-bit.
+Timestamp parity: the events `ts` parquet unit has varied across fixture
+generations (ns in some, µs in others); the catalog sniffs the footer and
+normalizes to microsecond timestamps. All emitted time values are
+whole-second BIGINTs (floor-of-epoch) so both engines agree bit-for-bit.
 
 Scale posture: tumbling/sliding windows are hash aggs on (bucket, key) —
 map-side combinable, one shuffle; sessionization is a per-user window sort
@@ -235,12 +235,32 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The streaming file source requires a directory; glob-filter to the
-    # events table within the sf_dir.
+    # events table within the sf_dir.  Mirror load_table's ts-unit sniff:
+    # fixture generations have shipped both TIMESTAMP_NS and TIMESTAMP_US.
+    import os
+
+    from pyspark.sql import types as T
+
+    from ..sources.catalog import _events_ts_is_nanos
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if _events_ts_is_nanos(path):
+        schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+                for f in TABLE_SCHEMAS["events"]
+            ]
+        )
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        )
     return (
         spark.readStream.schema(TABLE_SCHEMAS["events"])
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     )
 
 

@@ -44,7 +44,38 @@ def canonical_rows(columns: list[str], rows: list[tuple]) -> list[str]:
     return sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+# Output types the driver's pandas-based hasher cannot normalize portably:
+# DuckDB HUGEINT round-trips through float64 (mismatching Spark's BIGINT)
+# and list/struct/map cells are unhashable.  Round-1 lost 5 driver rows to
+# this class; every oracle must emit only scalar, exactly-representable
+# types.
+_DRIVER_HOSTILE = ("HUGEINT", "UHUGEINT", "[]", "STRUCT", "MAP", "UNION")
+
+
+def hostile_oracle_columns(con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """Columns of the oracle's output whose DuckDB type the driver's hasher
+    mangles (HUGEINT via float64) or rejects (lists/structs/maps)."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [
+        f"{name}: {ctype}"
+        for name, ctype, *_ in desc
+        if any(h in ctype.upper() for h in _DRIVER_HOSTILE)
+    ]
+
+
+def hostile_spark_columns(spark_df) -> list[str]:
+    """Spark output columns with non-scalar types (same driver constraint)."""
+    return [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+    bad = hostile_spark_columns(spark_df) + hostile_oracle_columns(con, sql)
+    if bad:
+        return False, f"driver-hostile output types: {bad}"
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.execute(sql)

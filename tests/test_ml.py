@@ -120,3 +120,36 @@ def test_pca_anomaly_shape(spark, sf_dir):
 def test_word2vec_vector_size(spark, sf_dir):
     out = REG["ml_word2vec_doc_vectors"].fn(spark, sf_dir).first()
     assert len(out.docvec) == 16
+
+
+def test_sequence_sentiment_beats_bag_of_words(spark, sf_dir):
+    """Order-encoded label ('fast' before 'slow'): the positional-encoding
+    model must learn it; a bag-of-words TF-IDF twin on the SAME docs/label
+    must not (the label is invisible to unordered features by
+    construction). This pins the ML1 sequence-mechanism capability."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, IDF, RegexTokenizer
+
+    from distributed_deep_learning_with_apache_spark_spark.ml.queries import (
+        sequence_task_dataset,
+    )
+
+    preds = REG["ml_sentiment_sequence"].fn(spark, sf_dir).collect()
+    acc_seq = sum(1 for r in preds if r.label == r.prediction) / len(preds)
+
+    data = sequence_task_dataset(spark, sf_dir)
+    train, test = data.randomSplit([0.7, 0.3], seed=42)
+    bow = Pipeline(
+        stages=[
+            RegexTokenizer(inputCol="text", outputCol="tokens", pattern="[^a-z0-9]+", gaps=True),
+            HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12),
+            IDF(inputCol="tf", outputCol="features"),
+            LogisticRegression(maxIter=60, regParam=0.001),
+        ]
+    ).fit(train)
+    rows = bow.transform(test).select("label", "prediction").collect()
+    acc_bow = sum(1 for r in rows if r.label == r.prediction) / len(rows)
+
+    assert acc_seq >= 0.9, acc_seq
+    assert acc_seq > acc_bow + 0.15, (acc_seq, acc_bow)

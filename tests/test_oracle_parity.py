@@ -7,7 +7,7 @@ so regressions are caught locally first.
 import pytest
 
 from distributed_deep_learning_with_apache_spark_spark.registry import load_all
-from tests.oracle import compare, duck_connect
+from tests.oracle import compare, duck_connect, hostile_oracle_columns
 
 REG = load_all()
 ORACLE_QUERIES = sorted(name for name, q in REG.items() if q.oracle is not None)
@@ -19,6 +19,16 @@ def duck(sf_dir):
     con = duck_connect(sf_dir)
     yield con
     con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_output_types_driver_safe(duck, name):
+    """No oracle may emit HUGEINT/list/struct columns — the driver's
+    pandas-based hasher mangles or rejects them (round-1 lost 5 rows to
+    this; this gate keeps the class from reappearing). Spark-side types are
+    checked inside compare()."""
+    bad = hostile_oracle_columns(duck, REG[name].oracle)
+    assert not bad, f"{name} oracle emits driver-hostile columns: {bad}"
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
