@@ -562,3 +562,190 @@ def quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_words").alias("max_words"),
         F.round(F.avg("n_words"), 4).alias("avg_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction) — counts + redacted text hash
+# ---------------------------------------------------------------------------
+# The fixture corpus contains no PII, so the query deterministically
+# injects synthetic PII spans (email / IPv4 / phone) derived from doc_id
+# before scrubbing — the injection is part of BOTH engines' queries, so
+# the redaction logic itself is what the oracle checks. Patterns are the
+# standard public scrub set (C4/Gopher-style pre-processing).
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@mail' || (doc_id % 7) ||
+                 '.com or 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN ' call ' || (100 + doc_id % 900) || '-555-' ||
+                           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phone,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_IPV4_RE}', '<IP>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+        FROM aug
+    """,
+    doc="PII redaction: regex scrub of emails/IPs/phones; counts + redacted-text hash.",
+    tags=("curation", "ext", "pii"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-based PII redaction — the standard pre-training scrub stage.
+    Pure per-row JVM expressions (regexp_count / regexp_replace): no
+    shuffle, embarrassingly parallel at any corpus size; the scan's
+    partitioning is the plan."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call "), (F.col("doc_id") % 900 + 100).cast("string"),
+                    F.lit("-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _IPV4_RE, "<IP>",
+        ),
+        _PHONE_RE, "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(_IPV4_RE)).cast("long").alias("n_ip"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("long").alias("n_phone"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a historical fingerprint store
+# ---------------------------------------------------------------------------
+HIST_MOD = 10  # doc_id % 10 < 8 -> "already ingested"; rest -> new batch
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+        WITH hist AS (
+          SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % {HIST_MOD} < 8
+        ),
+        batch AS (
+          SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % {HIST_MOD} >= 8
+        ),
+        fresh AS (
+          SELECT b.doc_id, b.fp,
+                 row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id ASC) AS rn
+          FROM batch b LEFT JOIN hist h ON b.fp = h.fp
+          WHERE h.fp IS NULL
+        )
+        SELECT doc_id, fp FROM fresh WHERE rn = 1
+    """,
+    doc="Continuous-ingest dedup: new batch anti-joined against the historical fingerprint store, then deduped within batch.",
+    tags=("curation", "dedup", "ext", "scale"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-corpus-building shape: each new batch is deduped (a)
+    against everything already ingested via LEFT ANTI join on the content
+    fingerprint, then (b) within itself via first-occurrence window.
+
+    Scale posture: the historical store is fingerprints only (16 bytes/doc,
+    not text), bucketed by fp in a real deployment so the anti-join is
+    co-located with no shuffle of history; the batch side is small by
+    definition. Window state is bounded per fp group.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hist = (
+        d.filter(F.col("doc_id") % HIST_MOD < 8)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") % HIST_MOD >= 8).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    fresh = batch.join(hist, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outlier clipping (winsorization) for numeric feature curation
+# ---------------------------------------------------------------------------
+@register(
+    "clip_outliers_winsorize",
+    oracle="""
+        WITH q AS (
+          SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+                 quantile_cont(l_extendedprice, 0.99) AS hi
+          FROM lineitem
+        )
+        SELECT l.l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l.l_extendedprice < q.lo
+                             OR l.l_extendedprice > q.hi THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clipped,
+               round(avg(least(greatest(l.l_extendedprice, q.lo), q.hi)), 4)
+                 AS clipped_mean
+        FROM lineitem l CROSS JOIN q
+        GROUP BY l.l_returnflag
+    """,
+    doc="Winsorize a numeric column at the 1st/99th percentile; per-group clipped stats.",
+    tags=("curation", "agg", "ext"),
+)
+def clip_outliers_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-curation winsorization: exact 1%/99% quantiles (one
+    aggregate, collapses to a single broadcast row) then per-row clamp +
+    per-group stats — one shuffle total (the final groupBy).
+
+    At 100 TB the exact `percentile` would switch to `approx_percentile`
+    (t-digest sketch, partial-aggregable); exact is kept here because the
+    oracle must agree bit-for-bit and the interpolation definitions match
+    DuckDB's quantile_cont."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return (
+        li.crossJoin(F.broadcast(q))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    (F.col("l_extendedprice") < F.col("lo"))
+                    | (F.col("l_extendedprice") > F.col("hi"))
+                ).cast("long")
+            ).alias("n_clipped"),
+            F.round(F.avg(clipped), 4).alias("clipped_mean"),
+        )
+    )

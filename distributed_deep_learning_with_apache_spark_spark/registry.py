@@ -98,7 +98,6 @@ _DRIVER_PRIORITY = [
     "embedding_quantize_int8",
     "binary_metadata",
     "multimodal_frame_sample",
-    "multimodal_decode_stub",
     "source_csv_orders_agg",
     "source_json_events_agg",
     "lake_partition_pruned_revenue",
@@ -106,8 +105,10 @@ _DRIVER_PRIORITY = [
     "ml_distributed_mlp_sum",
     "ml_regression_sum",
     "minmax_scaled_features",
-    "ml_sentiment_tfidf_logreg",
-    "ml_anomaly_pca",
+    # round-2 additions with full hash oracles — worth early driver rows
+    "pii_scrub",
+    "dedup_incremental",
+    "clip_outliers_winsorize",
     "events_tumbling_hourly",
     "events_sliding_1h_30m",
     "events_latest_per_user_type",

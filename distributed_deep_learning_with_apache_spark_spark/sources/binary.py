@@ -249,3 +249,104 @@ def image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pngcodec import ensure_fixture_corpus
 
     return decode_png_dir(spark, ensure_fixture_corpus())
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup (aHash over REAL decoded pixels)
+# ---------------------------------------------------------------------------
+AHASH_BITS = 49  # 7x7 grid of 4x4-pixel block means
+AHASH_BANDS = 7  # 7 bands x 7 bits: pigeonhole-exact recall at hamming <= 6
+AHASH_HAMMING = 6
+
+
+def image_ahash_df(spark: SparkSession, root: str) -> DataFrame:
+    """(path, label, ahash): decode each PNG (real codec) and compute the
+    average-hash — 7×7 grid of 4×4-pixel block means, bit i set when
+    block_mean_i > image mean. The standard public perceptual-hash
+    construction; jittered variants of an image land within a few bits."""
+    from .pngcodec import make_gray_png_decoder
+
+    decode = make_gray_png_decoder()
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"path": [], "label": [], "ahash": []}
+            for path, label, buf in zip(pdf["path"], pdf["label"], pdf["content"]):
+                w, h, px = decode(buf)
+                arr = np.asarray(px, dtype=np.float64).reshape(h, w)
+                blocks = arr[: 28, : 28].reshape(7, 4, 7, 4).mean(axis=(1, 3))  # [7,7]
+                bits = (blocks > arr.mean()).ravel()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                out["path"].append(path)
+                out["label"].append(int(label))
+                out["ahash"].append(val)
+            yield pd.DataFrame(out)
+
+    return (
+        read_binary_dir(spark, root + "/*")
+        .select("path", F.col("label").cast("int").alias("label"), "content")
+        .mapInPandas(kernel, "path string, label int, ahash long")
+    )
+
+
+@register(
+    "image_phash_neardup",
+    oracle=None,  # inputs are PNG files, not a DuckDB-visible table
+    tags=("multimodal", "image", "dedup", "ext", "scale"),
+)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: aHash each image (scan-stage decode, no
+    shuffle), band the 49-bit hash into 7×7-bit keys, equi-join on
+    (band_idx, band_bits) — any pair within hamming distance 6 shares at
+    least one intact band (pigeonhole), so recall is exact at the
+    threshold — then verify with one xor+bit_count per candidate.
+
+    The same banded-hamming shape as simhash_near_dup_pairs (dedup.py),
+    applied to real decoded image content: work scales with collision
+    density, never O(n²)."""
+    from .pngcodec import ensure_fixture_corpus
+
+    hashes = image_ahash_df(spark, ensure_fixture_corpus())
+    bands = hashes.select(
+        "path",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("ahash"), 7 * b)
+                        .bitwiseAND(F.lit(0x7F))
+                        .alias("band_bits"),
+                    )
+                    for b in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("path", "ahash", "bd.band_idx", "bd.band_bits")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.path") < F.col("b.path")),
+        )
+        .select(
+            F.col("a.path").alias("path_a"),
+            F.col("b.path").alias("path_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(hamming <= AHASH_HAMMING)
+        .select("path_a", "path_b", hamming.cast("int").alias("hamming"))
+    )

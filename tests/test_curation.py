@@ -91,3 +91,62 @@ def test_repetition_signals_bounds_and_repetitive_doc(spark, sf_dir):
         (F.size(F.array_distinct(g2)) / F.size(g2)).alias("distinct_frac")
     ).collect()[0]
     assert row.distinct_frac < 0.05
+
+
+def test_image_phash_neardup_clusters_by_label(spark):
+    """aHash banded-hamming near-dup over REAL decoded pixels: jittered
+    same-glyph images must dominate the pair set (the multimodal analog of
+    the text near-dup recall checks)."""
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+    rows = load_all()["image_phash_neardup"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 50
+    assert all(r.hamming <= 6 for r in rows)
+    same = sum(1 for r in rows if r.path_a.split("/")[-2] == r.path_b.split("/")[-2])
+    assert same / len(rows) >= 0.8, same / len(rows)
+
+
+def test_pii_scrub_properties(spark, sf_dir):
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+    rows = load_all()["pii_scrub"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every doc gets one injected email and one injected IP; phones on
+        # every 3rd doc — the scrub must find exactly what was injected
+        # (the corpus text itself contains none)
+        assert r.n_email == 1, r
+        assert r.n_ip == 1, r
+        assert r.n_phone == (1 if r.doc_id % 3 == 0 else 0), r
+
+
+def test_dedup_incremental_survivors_are_fresh_and_unique(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import load_table
+
+    out = load_all()["dedup_incremental"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    fps = [r.fp for r in rows]
+    assert len(fps) == len(set(fps)), "survivors must be unique by fingerprint"
+    hist = {
+        r.fp
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert not (set(fps) & hist), "no survivor may exist in the historical store"
+
+
+def test_clip_outliers_clips_about_two_percent(spark, sf_dir):
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+    rows = load_all()["clip_outliers_winsorize"].fn(spark, sf_dir).collect()
+    total = sum(r.n for r in rows)
+    clipped = sum(r.n_clipped for r in rows)
+    # 1st + 99th percentile clamp -> ~2% of rows clipped overall
+    assert 0.005 <= clipped / total <= 0.04, clipped / total
