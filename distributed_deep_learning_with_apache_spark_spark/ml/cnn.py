@@ -203,19 +203,32 @@ def _cnn_loss_grads(params, x, y_onehot):
     return loss, [gk, gbk, gw1, gb1, gw2, gb2]
 
 
-def _cnn_local_sgd(params, x, y_onehot, lr, batch_size, seed, freeze_conv=False):
+def _cnn_local_sgd(params, x, y_onehot, lr, batch_size, seed, freeze_conv=False, momentum=0.0):
     """Minibatch SGD from the given start point (one local epoch).
     freeze_conv skips the conv kernel/bias updates (params 0-1) — the
-    frozen-backbone baseline the trained net must beat."""
+    frozen-backbone baseline the trained net must beat.  momentum > 0
+    enables Nesterov momentum (the reference's updater,
+    `MnistClassification.java:101`: Nesterovs(lr, 0.9)); velocity is
+    partition-local and resets each epoch — it never crosses the
+    parameter-averaging barrier, so communication stays O(model size)."""
     rng = np.random.default_rng(seed)
     p = [w.copy() for w in params]
+    vel = [np.zeros_like(w) for w in params]
     order = rng.permutation(len(x))
     first = 2 if freeze_conv else 0
     for start in range(0, len(x), batch_size):
         idx = order[start : start + batch_size]
-        _, grads = _cnn_loss_grads(p, x[idx], y_onehot[idx])
-        for i in range(first, len(p)):
-            p[i] -= lr * grads[i]
+        if momentum > 0.0:
+            # Nesterov: evaluate the gradient at the look-ahead point
+            ahead = [p[i] + momentum * vel[i] for i in range(len(p))]
+            _, grads = _cnn_loss_grads(ahead, x[idx], y_onehot[idx])
+            for i in range(first, len(p)):
+                vel[i] = momentum * vel[i] - lr * grads[i]
+                p[i] += vel[i]
+        else:
+            _, grads = _cnn_loss_grads(p, x[idx], y_onehot[idx])
+            for i in range(first, len(p)):
+                p[i] -= lr * grads[i]
     return p
 
 
@@ -240,6 +253,8 @@ class DistributedConvClassifier:
         batch_size: int = 32,
         seed: int = SEED,
         freeze_conv: bool = False,
+        momentum: float = 0.0,
+        lr_schedule: dict[int, float] | None = None,
     ) -> None:
         self.side = side
         self.n_classes = n_classes
@@ -250,8 +265,19 @@ class DistributedConvClassifier:
         self.batch_size = batch_size
         self.seed = seed
         self.freeze_conv = freeze_conv
+        self.momentum = momentum
+        # {epoch: lr} step schedule — the reference's per-iteration LR map
+        # (`MnistClassification.java:92-97`) rebased to epochs; the last
+        # entry at or below the current epoch wins.
+        self.lr_schedule = lr_schedule
         self.params = None
         self.loss_history: list[float] = []
+
+    def _lr_at(self, epoch: int) -> float:
+        if not self.lr_schedule:
+            return self.lr
+        steps = [e for e in self.lr_schedule if e <= epoch]
+        return self.lr_schedule[max(steps)] if steps else self.lr
 
     def fit(self, df: DataFrame) -> "DistributedConvClassifier":
         sc = df.sparkSession.sparkContext
@@ -268,20 +294,23 @@ class DistributedConvClassifier:
             k = np.asarray(KERNELS, dtype=np.float64)[: self.n_kernels]
             norms = np.linalg.norm(k.reshape(len(k), -1), axis=1)
             params[0] = k / norms[:, None, None]
-        lr, bs, freeze = self.lr, self.batch_size, self.freeze_conv
+        bs, freeze, mom = self.batch_size, self.freeze_conv, self.momentum
 
         for epoch in range(self.epochs):
             bc = sc.broadcast(params)
             ep_seed = self.seed + epoch
+            lr = self._lr_at(epoch)
 
-            def train_partition(split_idx, rows, _bc=bc, _seed=ep_seed):
+            def train_partition(split_idx, rows, _bc=bc, _seed=ep_seed, _lr=lr):
                 data = list(rows)
                 if not data:
                     return
                 x = np.stack([d[0] for d in data])
                 y = np.zeros((len(data), n_classes))
                 y[np.arange(len(data)), [d[1] for d in data]] = 1.0
-                p = _cnn_local_sgd(_bc.value, x, y, lr, bs, _seed * 1000 + split_idx, freeze)
+                p = _cnn_local_sgd(
+                    _bc.value, x, y, _lr, bs, _seed * 1000 + split_idx, freeze, mom
+                )
                 loss, _ = _cnn_loss_grads(p, x, y)
                 yield (p, len(x), loss * len(x))
 
@@ -312,6 +341,29 @@ class DistributedConvClassifier:
             return pd.Series(logits.argmax(axis=1).astype("int32"))
 
         return df.withColumn("prediction", predict(F.col("pixels")))
+
+    def save(self, path: str) -> None:
+        """S15 parity for the custom trainer (the reference persists its
+        net: `MnistClassification.java` writeModel): weights + hyperparams
+        to one .npz — KB-sized, driver-side by design (model artifacts are
+        metadata, not data)."""
+        assert self.params is not None, "fit first"
+        meta = np.array(
+            [self.side, self.n_classes, self.n_kernels, self.hidden], dtype=np.int64
+        )
+        np.savez(
+            path,
+            meta=meta,
+            **{f"p{i}": w for i, w in enumerate(self.params)},
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "DistributedConvClassifier":
+        with np.load(path) as z:
+            side, n_classes, n_kernels, hidden = (int(v) for v in z["meta"])
+            model = cls(side=side, n_classes=n_classes, n_kernels=n_kernels, hidden=hidden)
+            model.params = [z[f"p{i}"] for i in range(6)]
+        return model
 
 
 def png_pixels_df(spark: SparkSession) -> DataFrame:

@@ -676,3 +676,62 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day_s", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming multimodal: binaryFile stream -> real PNG decode -> label counts
+# ---------------------------------------------------------------------------
+@register(
+    "stream_image_decode_counts",
+    oracle=None,  # Structured Streaming over PNG files; rows-only check
+    tags=("streaming", "multimodal", "image", "ext"),
+)
+def stream_image_decode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-ingest multimodal shape: a binaryFile STREAM (new
+    image files appear over time) → the same Arrow-batched real-PNG-decode
+    kernel as the batch path → per-label aggregation, memory sink.
+
+    One pipeline definition serves batch and streaming — the Structured
+    Streaming promise — because the decode is a mapInPandas stage with no
+    batch-only assumptions. At scale the file source discovers new files
+    incrementally (maxFilesPerTrigger bounds per-batch work) and decode
+    stays scan-local; only the tiny label-count state lives in the store.
+    """
+    from pyspark.sql import types as T
+
+    from ..sources.pngcodec import ensure_fixture_corpus, make_gray_png_decoder
+
+    root = ensure_fixture_corpus()
+    decode = make_gray_png_decoder()
+    bin_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"label": [], "mean_px": []}
+            for path, buf in zip(pdf["path"], pdf["content"]):
+                _, _, px = decode(buf)
+                out["label"].append(int(path.rstrip("/").split("/")[-2]))
+                out["mean_px"].append(float(np.mean(px)))
+            yield pd.DataFrame(out)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("pathGlobFilter", "*.png")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .mapInPandas(kernel, "label int, mean_px double")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_images"), F.round(F.avg("mean_px"), 4).alias("avg_px"))
+    )
+    return _run_to_memory(stream, spark, "stream_image_decode_counts", "complete")

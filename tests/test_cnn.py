@@ -104,3 +104,59 @@ def test_trained_conv_confusion_matrix_query(spark, sf_dir):
     total = sum(r.n for r in rows)
     diag = sum(r.n for r in rows if r.label == r.prediction)
     assert total > 0 and diag / total >= 0.8, (diag, total)
+
+
+def test_nesterov_momentum_and_schedule_converge(spark):
+    """Mechanism parity with the reference trainer (Nesterovs(lr, 0.9) +
+    step LR schedule, MnistClassification.java:92-101): the momentum run
+    must converge at least as well as plain SGD in the same epoch budget."""
+    from distributed_deep_learning_with_apache_spark_spark.ml.cnn import (
+        DistributedConvClassifier,
+        png_pixels_df,
+    )
+    from distributed_deep_learning_with_apache_spark_spark.sources.pngcodec import (
+        IMG_SIZE,
+        N_LABELS,
+    )
+
+    data = png_pixels_df(spark).repartition(4, "path").cache()
+    train = data.filter(F.crc32(F.col("path")) % 5 < 4)
+    test = data.filter(F.crc32(F.col("path")) % 5 >= 4)
+    kw = dict(side=IMG_SIZE, n_classes=N_LABELS, epochs=8, seed=42)
+    nesterov = DistributedConvClassifier(
+        momentum=0.9, lr=0.1, lr_schedule={0: 0.1, 4: 0.05, 6: 0.01}, **kw
+    ).fit(train)
+    plain = DistributedConvClassifier(lr=0.1, **kw).fit(train)
+    acc_n = _accuracy(nesterov, test, spark)
+    acc_p = _accuracy(plain, test, spark)
+    data.unpersist()
+    assert nesterov.loss_history[-1] < nesterov.loss_history[0]
+    assert acc_n >= acc_p - 0.02, (acc_n, acc_p)
+    assert acc_n >= 0.85, acc_n
+
+
+def test_conv_model_save_load_roundtrip(spark, tmp_path):
+    """S15 parity for the custom trainer: saved weights reload into an
+    identical predictor."""
+    import numpy as np
+
+    from distributed_deep_learning_with_apache_spark_spark.ml.cnn import (
+        DistributedConvClassifier,
+        png_pixels_df,
+    )
+    from distributed_deep_learning_with_apache_spark_spark.sources.pngcodec import (
+        IMG_SIZE,
+        N_LABELS,
+    )
+
+    data = png_pixels_df(spark).repartition(4, "path").cache()
+    model = DistributedConvClassifier(side=IMG_SIZE, n_classes=N_LABELS, epochs=3).fit(data)
+    path = str(tmp_path / "convnet.npz")
+    model.save(path)
+    loaded = DistributedConvClassifier.load(path)
+    for a, b in zip(model.params, loaded.params):
+        np.testing.assert_array_equal(a, b)
+    orig = sorted((r.path, r.prediction) for r in model.transform(data).collect())
+    rel = sorted((r.path, r.prediction) for r in loaded.transform(data).collect())
+    data.unpersist()
+    assert orig == rel
