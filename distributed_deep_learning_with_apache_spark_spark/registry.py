@@ -87,7 +87,7 @@ _DRIVER_PRIORITY = [
     "profile_lineitem",
     "unpivot_lineitem_measures",
     "approx_stats_lineitem",
-    "sample_seeded",
+    "lake_zorder_stats",
     "cosine_topk_exact",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",

@@ -121,3 +121,98 @@ def lake_partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     out = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering: multi-column data skipping
+# ---------------------------------------------------------------------------
+Z_BITS = 10  # 10 bits per dimension -> 20-bit interleaved key, 1024 buckets/dim
+
+
+def zorder_key(col_a, col_b, max_a, max_b):
+    """Morton interleave of two columns, all JVM-side bit arithmetic.
+
+    Each column is scaled to a Z_BITS-bit integer rank, then bits are
+    interleaved (a in even positions, b in odd). Sorting by the result
+    gives every file a small axis-aligned rectangle of the (a, b) space,
+    so per-file min/max footer stats prune on EITHER column — the
+    multi-column generalization of single-key range clustering
+    (write_clustered), same construction Delta/Iceberg OPTIMIZE ZORDER
+    uses."""
+    scale = (1 << Z_BITS) - 1
+    ra = F.least(F.floor(col_a * scale / max_a), F.lit(scale)).cast("long")
+    rb = F.least(F.floor(col_b * scale / max_b), F.lit(scale)).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(Z_BITS):
+        bit_a = F.shiftrightunsigned(ra, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftrightunsigned(rb, i).bitwiseAND(F.lit(1))
+        z = (
+            z.bitwiseOR(F.shiftleft(bit_a, 2 * i))
+            .bitwiseOR(F.shiftleft(bit_b, 2 * i + 1))
+        )
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, z_col, num_files: int) -> None:
+    """Z-order-clustered parquet write: range-partition + sort on the
+    Morton key so each file covers one compact rectangle of the key
+    space."""
+    (
+        df.withColumn("_z", z_col)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@register(
+    "lake_zorder_stats",
+    oracle="""
+        WITH z AS (
+          SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+                 (SELECT max(l_partkey) FROM lineitem) AS max_p,
+                 (SELECT max(l_suppkey) FROM lineitem) AS max_s
+          FROM lineitem
+        ),
+        keyed AS (
+          SELECT l_orderkey, l_quantity,
+                 least(CAST(floor(l_partkey * 1023.0 / max_p) AS BIGINT), 1023) AS ra,
+                 least(CAST(floor(l_suppkey * 1023.0 / max_s) AS BIGINT), 1023) AS rb
+          FROM z
+        ),
+        morton AS (
+          SELECT l_orderkey, l_quantity,
+                 bit_or((ra >> b & 1) << (2 * b)) | bit_or((rb >> b & 1) << (2 * b + 1)) AS zval
+          FROM keyed, (SELECT unnest(generate_series(0, 9)) AS b)
+          GROUP BY l_orderkey, l_quantity, ra, rb
+        )
+        SELECT CAST(zval // 65536 AS BIGINT) AS z_bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM morton GROUP BY 1
+    """,
+    doc="Morton/Z-order key computation + per-bucket stats (the clustering key the z-order writer sorts by).",
+    tags=("lake", "ext", "scale"),
+)
+def lake_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked half of the z-order path: the Morton key itself
+    (pure bit arithmetic, engine-portable) aggregated into coarse buckets.
+    The file-layout effect of sorting by this key is asserted in
+    tests/test_lake.py (disjoint per-file rectangles -> stats pruning on
+    either column)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    maxes = li.agg(
+        F.max("l_partkey").alias("max_p"), F.max("l_suppkey").alias("max_s")
+    )
+    z = zorder_key(F.col("l_partkey"), F.col("l_suppkey"), F.col("max_p"), F.col("max_s"))
+    return (
+        li.crossJoin(F.broadcast(maxes))
+        .select(F.col("l_quantity"), z.alias("zval"))
+        .groupBy((F.col("zval") / 65536).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )

@@ -97,3 +97,47 @@ def test_compaction_reduces_files_preserves_rows(spark, lineitem, tmp_path):
         F.sum("l_orderkey"), F.sum("l_partkey"), F.round(F.sum("l_quantity"), 2)
     ).collect()[0]
     assert chk(src) == chk(dst)
+
+
+def test_zorder_write_prunes_on_both_columns(spark, lineitem, tmp_path):
+    """Z-order layout: each file's (l_partkey, l_suppkey) bounding
+    rectangle must cover a small fraction of the key plane, so footer
+    stats prune on EITHER column — the property single-key clustering
+    lacks on its second column."""
+    from distributed_deep_learning_with_apache_spark_spark.sources.lake import (
+        write_zordered,
+        zorder_key,
+    )
+
+    li = lineitem.select("l_partkey", "l_suppkey", "l_quantity")
+    mx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    max_p, max_s = mx[0], mx[1]
+    path = str(tmp_path / "zorder")
+    z = zorder_key(F.col("l_partkey"), F.col("l_suppkey"), F.lit(max_p), F.lit(max_s))
+    write_zordered(li, path, z, num_files=16)
+
+    files = _data_files(path)
+    assert len(files) >= 8
+    areas = []
+    for f in files:
+        md = pq.read_metadata(f)
+        lo_p = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi_p = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        lo_s = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        hi_s = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        areas.append(((hi_p - lo_p) / max_p) * ((hi_s - lo_s) / max_s))
+    # Random layout -> every file spans ~the whole plane (area ~1.0).
+    # Z-order -> mean rectangle area a small fraction of it.
+    mean_area = sum(areas) / len(areas)
+    assert mean_area < 0.35, mean_area
+
+    # And a two-sided selective predicate must keep pushdown intact.
+    got = (
+        spark.read.parquet(path)
+        .filter((F.col("l_partkey") < max_p // 10) & (F.col("l_suppkey") < max_s // 10))
+        .count()
+    )
+    want = li.filter(
+        (F.col("l_partkey") < max_p // 10) & (F.col("l_suppkey") < max_s // 10)
+    ).count()
+    assert got == want
