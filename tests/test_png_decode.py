@@ -114,3 +114,83 @@ def test_bright_block_position_tracks_label(spark):
         gy = (r["label"] // 5) * 12 + 4
         assert gx <= r["bright_x"] <= gx + 2 + 8
         assert gy <= r["bright_y"] <= gy + 1 + 8
+
+
+# ---------------------------------------------------------------------------
+# Property-based fuzz: arbitrary images, arbitrary filter choices
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.integers(1, 40),
+        st.integers(1, 40),
+        st.integers(0, 2**32 - 1),
+        st.lists(st.integers(0, 4), min_size=1, max_size=40),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_codec_roundtrip_fuzz(w, h, seed, filters):
+        """Any w×h 8-bit grayscale image, any per-scanline filter choice:
+        decode(encode-with-filters(img)) == img, bit for bit."""
+        rnd = seed
+        img = []
+        for _ in range(h):
+            row = []
+            for _ in range(w):
+                rnd = (1103515245 * rnd + 12345) & 0x7FFFFFFF
+                row.append(rnd % 256)
+            img.append(row)
+        per_line = [filters[y % len(filters)] for y in range(h)]
+        data = _png_multi_filter(img, per_line)
+        dw, dh, px = decode_gray_png(data)
+        assert (dw, dh) == (w, h)
+        assert px == [v for row in img for v in row]
+
+except ImportError:  # pragma: no cover
+    pass
+
+
+def _png_multi_filter(pixels, per_line):
+    """Encoder applying a chosen filter per scanline (fuzz helper)."""
+    h, w = len(pixels), len(pixels[0])
+    raw = b""
+    prev = [0] * w
+    for y in range(h):
+        ftype = per_line[y]
+        cur = pixels[y]
+        line = bytearray([ftype])
+        for x in range(w):
+            a = cur[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line.append((cur[x] - pred) & 0xFF)
+        raw += bytes(line)
+        prev = cur
+    import struct as _s
+    import zlib as _z
+
+    def chunk(tag, payload):
+        return _s.pack(">I", len(payload)) + tag + payload + _s.pack(
+            ">I", _z.crc32(tag + payload) & 0xFFFFFFFF
+        )
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
