@@ -33,6 +33,10 @@ def get_spark(app_name: str = "ddl_spark", cpus: str | None = None) -> SparkSess
         # events.parquet stores TIMESTAMP(NANOS); Spark rejects it unless read
         # as raw long (the catalog converts ns -> microsecond timestamps).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write µs timestamps, not legacy INT96 (pyarrow reads INT96 as
+        # timestamp[ns], which would fool the catalog's ts-unit sniff on
+        # tables this engine itself wrote).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

@@ -133,10 +133,21 @@ def _events_ts_is_nanos(path: str) -> bool:
     guess silently scales every timestamp by 1000.
     """
     if path not in _EVENTS_TS_NANOS_CACHE:
+        import glob
+
         import pyarrow.parquet as pq
 
-        unit = getattr(pq.read_schema(path).field("ts").type, "unit", "us")
-        _EVENTS_TS_NANOS_CACHE[path] = unit == "ns"
+        probe = path
+        if os.path.isdir(path):  # Spark-written dataset: sniff one part file
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            probe = parts[0] if parts else path
+        unit = getattr(pq.read_schema(probe).field("ts").type, "unit", "us")
+        # Legacy INT96 timestamps surface as timestamp[ns] in pyarrow but
+        # Spark reads them natively as µs timestamps — only genuine
+        # INT64/TIMESTAMP(NANOS) needs the nanosAsLong path.
+        schema = pq.ParquetFile(probe).schema
+        phys = {schema.column(i).name: schema.column(i).physical_type for i in range(len(schema.names))}
+        _EVENTS_TS_NANOS_CACHE[path] = unit == "ns" and phys.get("ts") == "INT64"
     return _EVENTS_TS_NANOS_CACHE[path]
 
 

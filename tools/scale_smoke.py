@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""10× scale smoke test: does the plan survive a scale-up, measured.
+
+Builds a ~sf1-equivalent dataset in /tmp by unioning 10 key-shifted
+copies of the sf0.1 tables (every key column offset by i*STRIDE, so
+joins stay consistent within a copy and cardinalities scale ~10×),
+then times a set of heavy headline queries at both scales and prints the
+time ratio. A scale-safe plan shows ~linear growth (ratio ≈ 10 of work on
+32 fixed cores, usually less wall-clock ratio thanks to fixed overheads);
+a quadratic candidate generator or an unbounded per-key state would blow
+past it or OOM.
+
+Usage: python tools/scale_smoke.py [--copies 10]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+from distributed_deep_learning_with_apache_spark_spark.session import get_spark
+from distributed_deep_learning_with_apache_spark_spark.sources.catalog import (
+    TABLE_SCHEMAS,
+    load_table,
+)
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/ddl_spark_scale10"
+STRIDE = 10_000_000
+
+# Key columns to shift per table so each replica is a disjoint, join-
+# consistent universe.
+KEY_COLS = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+QUERIES = [
+    "pricing_summary",
+    "local_supplier_volume",
+    "grouped_best_worst_orders",
+    "events_sessionized",
+    "near_dup_minhash_verified",
+    "anomaly_best_worst",
+    "dedup_exact_survivors",
+]
+
+
+def build(spark, copies: int) -> None:
+    for name in TABLE_SCHEMAS:
+        out = os.path.join(DST, f"{name}.parquet")
+        if os.path.exists(out):
+            continue
+        base = load_table(spark, SRC, name)
+        if not KEY_COLS[name]:  # constant dims: keep one copy
+            base.write.mode("overwrite").parquet(out)
+            continue
+        parts = []
+        for i in range(copies):
+            df = base
+            for c in KEY_COLS[name]:
+                df = df.withColumn(c, F.col(c) + F.lit(i * STRIDE))
+            parts.append(df)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(out)
+
+
+def time_query(fn, spark, sf_dir: str) -> float:
+    fn(spark, sf_dir).count()  # warm (plan + codegen)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    copies = 10
+    if "--copies" in sys.argv:
+        copies = int(sys.argv[sys.argv.index("--copies") + 1])
+    spark = get_spark("scale_smoke")
+    build(spark, copies)
+    report = {}
+    for name in QUERIES:
+        q = load_all()[name]
+        t_small = time_query(q.fn, spark, SRC)
+        t_big = time_query(q.fn, spark, DST)
+        report[name] = {
+            "sf0.1_s": t_small,
+            f"x{copies}_s": t_big,
+            "ratio": round(t_big / t_small, 2),
+        }
+    print(json.dumps({"copies": copies, "queries": report}, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
