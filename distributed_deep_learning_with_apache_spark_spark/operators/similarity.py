@@ -472,3 +472,107 @@ def ann_ivf_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: build once, probe many (with dynamic partition pruning)
+# ---------------------------------------------------------------------------
+IVF_INDEX_ROOT = "/tmp/ddl_spark_ivf_index_v1"
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, root: str | None = None) -> str:
+    """Materialize the IVF layout a production vector store keeps on disk:
+    assignments parquet PARTITIONED BY cell (so probing nprobe cells reads
+    only those directories) + the KB-sized centroid table. Built once per
+    corpus (idempotent marker); amortized across every subsequent query —
+    the ann_ivf_kmeans query instead re-fits per call, which is the right
+    demo shape but not the production shape.
+
+    Same seeded k-means as ann_ivf_kmeans, so both layouts agree
+    (asserted in tests/test_ann_recall.py)."""
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    root = root or os.path.join(
+        IVF_INDEX_ROOT, sf_dir.strip("/").replace("/", "_")
+    )
+    marker = os.path.join(root, "_INDEX_COMPLETE")
+    if os.path.exists(marker):
+        return root
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    feat = e.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=IVF_K, seed=42, maxIter=20).fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", "v", F.col("prediction").alias("cell")
+    )
+    # repartition on cell first: one file per cell directory, not one per
+    # (writer task × cell) — same small-file discipline as lake.py.
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(root, "assignments"))
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, cv array<double>",
+    )
+    centroids.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+@register(
+    "ann_ivf_persisted",
+    oracle=None,  # k-means fit is iterative; layout-equality asserted in tests
+    tags=("similarity", "ext", "ivf", "scale"),
+)
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the PERSISTED IVF index: read centroids (tiny), pick each
+    query's nprobe nearest cells, then join the cell-partitioned
+    assignments on `cell` — Spark's dynamic partition pruning turns the
+    broadcast probe set into a partition filter, so only nprobe/k of the
+    index directories are read at all. This is the at-scale I/O shape:
+    index build amortized, per-query work ∝ probed cells, scan skips the
+    rest of the corpus on disk, not just in memory."""
+    import os
+
+    root = build_ivf_index(spark, sf_dir)
+    assigned = spark.read.parquet(os.path.join(root, "assignments"))
+    centroids = spark.read.parquet(os.path.join(root, "centroids"))
+    l2sq = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, d: acc + d
+    )
+    qw = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    probes = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "cell", l2sq(F.col("qv"), F.col("cv")).alias("d2"))
+        .select("query_id", "qv", "cell", F.row_number().over(qw).alias("cell_rnk"))
+        .filter(F.col("cell_rnk") <= IVF_NPROBE)
+        .select("query_id", "qv", F.col("cell").alias("qcell"))
+    )
+    scored = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            (F.round("cos", 6) + 0.0).alias("cosine_sim"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TOP_K)
+    )

@@ -49,3 +49,17 @@ def test_ivf_kmeans_deterministic(spark, sf_dir):
     a = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
     b = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_persisted_ivf_matches_in_memory_and_prunes_partitions(spark, sf_dir):
+    """The persisted index must return exactly the in-memory IVF results
+    (same seeded quantizer), and its probe join must trigger dynamic
+    partition pruning — only nprobe/k of the index directories read."""
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+    reg = load_all()
+    per = reg["ann_ivf_persisted"].fn(spark, sf_dir)
+    mem = reg["ann_ivf_kmeans"].fn(spark, sf_dir)
+    assert sorted(map(tuple, per.collect())) == sorted(map(tuple, mem.collect()))
+    plan = per._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "probe join must prune index partitions"
