@@ -159,3 +159,34 @@ def test_curation_pipeline_single_shuffle(spark, sf_dir):
     assert s["parquet_scans"] == 1, s
     assert s["exchanges"] <= 2, s  # dedup window + final 5-group agg
     assert s["cartesian_products"] == 0, s
+
+
+def test_pii_scrub_is_shuffle_free(spark, sf_dir):
+    # Per-row regex redaction must stay inside the scan's partitions.
+    plan = physical(REG["pii_scrub"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_winsorize_broadcasts_quantiles(spark, sf_dir):
+    # The 1-row quantile aggregate joins back via broadcast, never a
+    # cartesian/nested-loop over the fact table rows per partition.
+    plan = physical(REG["clip_outliers_winsorize"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_is_anti_join(spark, sf_dir):
+    plan = physical(REG["dedup_incremental"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_key_no_cartesian(spark, sf_dir):
+    # The max_p/max_s 1-row aggregate must broadcast, not nested-loop.
+    plan = physical(REG["lake_zorder_stats"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_image_phash_no_cartesian(spark, sf_dir):
+    plan = physical(REG["image_phash_neardup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
