@@ -749,3 +749,53 @@ def clip_outliers_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(clipped), 4).alias("clipped_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping chunking (RAG / context-window shaping with stride < width)
+# ---------------------------------------------------------------------------
+CHUNK_W = 8  # tokens per chunk
+CHUNK_S = 4  # stride (50% overlap)
+
+
+@register(
+    "chunk_overlapping",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+        ),
+        starts AS (
+          SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), {CHUNK_S})) AS s
+          FROM toks
+        )
+        SELECT doc_id,
+               CAST((s - 1) / {CHUNK_S} AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(t, s, s + {CHUNK_W} - 1)) AS BIGINT) AS n_tok,
+               md5(array_to_string(list_slice(t, s, s + {CHUNK_W} - 1), ' ')) AS chunk_md5
+        FROM starts
+    """,
+    doc="Overlapping token chunking (width 8, stride 4): the RAG/context-window shaping pass.",
+    tags=("curation", "ext", "text"),
+)
+def chunk_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap — the standard RAG indexing /
+    long-document training shape (stride < width keeps boundary context
+    in two chunks). All array expressions inside the scan: the only
+    row-growth is the deliberate ~n/stride expansion, no shuffle at all
+    until a downstream consumer asks."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(CHUNK_S))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("t"), F.col("s"), CHUNK_W)
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / CHUNK_S).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

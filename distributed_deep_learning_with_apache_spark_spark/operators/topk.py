@@ -192,3 +192,45 @@ def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("bal_dense_rank"),
         F.ntile(4).over(w).alias("bal_quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] time-RANGE frame — rolling 7-day revenue per customer
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_7d_customer_revenue",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(count(*) OVER w AS BIGINT) AS n_orders_7d,
+               round(sum(o_totalprice) OVER w, 2) AS revenue_7d
+        FROM orders
+        WINDOW w AS (
+          PARTITION BY o_custkey
+          ORDER BY floor(epoch(o_orderdate::TIMESTAMP))
+          RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+        )
+    """,
+    doc="Rolling 7-day revenue: RANGE frame over event time, the window mechanism ROWS frames can't express.",
+    tags=("window", "ext"),
+)
+def rolling_7d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame:each order's trailing-7-day order count and
+    revenue for its customer. RANGE frames bound by VALUE distance (epoch
+    seconds here), not row count — ties (same timestamp) are frame peers
+    in both engines, which is what makes the hash comparable.
+
+    Scale: one shuffle on o_custkey; frame evaluation is a sliding
+    two-pointer over each partition's sort — linear, bounded state."""
+    o = load_table(spark, sf_dir, "orders")
+    ts = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(ts.asc())
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_7d"),
+    )
