@@ -218,3 +218,127 @@ def ml_distributed_mlp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("prediction") * SCALE, 4).alias("prediction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed autoencoder (ML2 mechanism: reconstruction-error anomaly)
+# ---------------------------------------------------------------------------
+class DistributedAutoencoder:
+    """Parameter-averaging autoencoder — the reference's actual ML2
+    mechanism (`MNISTAnomalyDetector.java:91-109`: 784→250→10→250→784
+    trained with fit(x, x)), realized on the same synchronous
+    parameter-averaging loop as DistributedMLPRegressor: per epoch the
+    weights move, the data never does.
+
+    fit() expects `features array<double>`; the target IS the input.
+    score() returns per-row squared reconstruction error.
+    """
+
+    def __init__(
+        self,
+        layers: list[int],
+        epochs: int = 30,
+        lr: float = 0.02,
+        batch_size: int = 64,
+        seed: int = 42,
+    ) -> None:
+        assert layers[0] == layers[-1], "autoencoder output dim must equal input dim"
+        self.layers = layers
+        self.epochs = epochs
+        self.lr = lr
+        self.batch_size = batch_size
+        self.seed = seed
+        self.params: list[np.ndarray] | None = None
+        self.loss_history: list[float] = []
+
+    def fit(self, df: DataFrame) -> "DistributedAutoencoder":
+        sc = df.sparkSession.sparkContext
+        rdd = df.select("features").rdd.map(
+            lambda r: np.asarray(r[0], dtype=np.float64)
+        ).cache()
+        params = _init_weights(self.layers, self.seed)
+        lr, bs = self.lr, self.batch_size
+
+        for epoch in range(self.epochs):
+            bc = sc.broadcast(params)
+            ep_seed = self.seed + epoch
+
+            def train_partition(split_idx, rows, _bc=bc, _seed=ep_seed):
+                data = list(rows)
+                if not data:
+                    return
+                x = np.stack(data)
+                p = _local_sgd(_bc.value, x, x, lr, bs, _seed * 1000 + split_idx)
+                _, out = _forward(p, x)
+                loss = float(((out - x) ** 2).mean()) * len(x)
+                yield (p, len(x), loss)
+
+            results = rdd.mapPartitionsWithIndex(train_partition).collect()
+            total = sum(n for _, n, _ in results)
+            params = [
+                sum(p[i] * (n / total) for p, n, _ in results)
+                for i in range(len(params))
+            ]
+            self.loss_history.append(sum(l for _, _, l in results) / total)
+            bc.destroy()
+        rdd.unpersist()
+        self.params = params
+        return self
+
+    def score(self, df: DataFrame) -> DataFrame:
+        """Per-row squared reconstruction error (the reference's
+        `net.score(DataSet(x,x))` per example, `:194`)."""
+        assert self.params is not None, "fit first"
+        bc = df.sparkSession.sparkContext.broadcast(self.params)
+
+        from pyspark.sql import types as T
+
+        @F.pandas_udf(T.DoubleType())
+        def recon_err(features: pd.Series) -> pd.Series:
+            import numpy as _np
+
+            x = _np.stack([_np.asarray(v, dtype=_np.float64) for v in features])
+            _, out = _forward(bc.value, x)
+            return pd.Series(((out - x) ** 2).sum(axis=1))
+
+        return df.withColumn("score", recon_err(F.col("features")))
+
+
+@register(
+    "ml_anomaly_autoencoder",
+    oracle=None,  # SGD trajectory; rows-only (mechanism asserted in tests)
+    tags=("ml", "anomaly", "distributed", "flagship"),
+)
+def ml_anomaly_autoencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML2 with the reference's true mechanism, distributed: train a
+    64→16→4→16→64 autoencoder on the embeddings by parameter averaging,
+    score every vector by squared reconstruction error, then the flagship
+    grouped best/worst-5 per label (W1). Completes the trio with
+    anomaly_best_worst (centroid form, oracle-checked) and ml_anomaly_pca
+    (MLlib linear-bottleneck form)."""
+    from pyspark.sql import Window
+
+    from ..sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("features")
+    )
+    model = DistributedAutoencoder(layers=[64, 16, 4, 16, 64], epochs=30, lr=0.02).fit(
+        e.repartition(8)
+    )
+    scored = model.score(e).select(
+        "vec_id", "label", F.round("score", 4).alias("score")
+    )
+    by = Window.partitionBy("label")
+    best = by.orderBy(F.col("score").asc(), F.col("vec_id").asc())
+    worst = by.orderBy(F.col("score").desc(), F.col("vec_id").desc())
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            "score",
+            F.row_number().over(best).alias("rn_best"),
+            F.row_number().over(worst).alias("rn_worst"),
+        )
+        .filter((F.col("rn_best") <= 5) | (F.col("rn_worst") <= 5))
+    )

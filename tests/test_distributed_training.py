@@ -64,3 +64,33 @@ def test_epoch_sweep_improves(spark, sum_data):
         ).fit(sum_data)
         maes.append(_mae(m, sum_data))
     assert maes[1] < maes[0]
+
+
+def test_autoencoder_learns_reconstruction(spark, sf_dir):
+    """ML2 mechanism: training must reduce reconstruction error vs the
+    untrained network, and the flagship query must produce a valid
+    per-label best/worst-5."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from distributed_deep_learning_with_apache_spark_spark.ml.distributed import (
+        DistributedAutoencoder,
+    )
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("features")
+    )
+    model = DistributedAutoencoder(layers=[64, 16, 4, 16, 64], epochs=30, lr=0.02).fit(
+        e.repartition(8)
+    )
+    assert model.loss_history[-1] < model.loss_history[0] * 0.9, model.loss_history
+
+    out = load_all()["ml_anomaly_autoencoder"].fn(spark, sf_dir).collect()
+    assert {r.label for r in out} == set(range(10))
+    assert all(r.score >= 0 for r in out)
+    from collections import Counter
+
+    per = Counter(r.label for r in out)
+    assert all(c <= 10 for c in per.values())
