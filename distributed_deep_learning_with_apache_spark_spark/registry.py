@@ -112,7 +112,7 @@ _DRIVER_PRIORITY = [
     "events_tumbling_hourly",
     "events_sliding_1h_30m",
     "events_latest_per_user_type",
-    "events_props_json",
+    "dq_constraint_checks",
 ]
 
 
@@ -125,6 +125,7 @@ def load_all() -> dict[str, Query]:
         decision_support,
         dedup,
         merge,
+        quality,
         relational,
         setops,
         similarity,

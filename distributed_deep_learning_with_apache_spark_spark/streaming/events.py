@@ -735,3 +735,55 @@ def stream_image_decode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_images"), F.round(F.avg("mean_px"), 4).alias("avg_px"))
     )
     return _run_to_memory(stream, spark, "stream_image_decode_counts", "complete")
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join (batch twin + true streaming form)
+# ---------------------------------------------------------------------------
+@register(
+    "events_enriched_by_segment",
+    oracle="""
+        SELECT c.c_mktsegment AS mktsegment,
+               count(*) AS n_events,
+               round(sum(e.value), 2) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+    """,
+    tags=("streaming", "join", "ext"),
+)
+def events_enriched_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment: events joined to the
+    customer dimension (broadcast) and rolled up by market segment."""
+    from ..sources.catalog import load_table as _lt
+
+    e = load_table(spark, sf_dir, "events")
+    c = _lt(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "stream_static_enrich",
+    oracle=None,  # Structured Streaming execution path; rows-only check
+    tags=("streaming", "structured", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stream-static join — the standard streaming-enrichment shape:
+    an unbounded event stream joined per micro-batch to a static
+    (broadcastable) dimension table, aggregated by segment. The static
+    side is planned once and re-broadcast per batch; no state store is
+    involved for the join itself (unlike stream-stream joins).
+    events_enriched_by_segment is the batch twin (oracle-checked)."""
+    from ..sources.catalog import load_table as _lt
+
+    c = _lt(spark, sf_dir, "customer")
+    agg = (
+        _stream_events(spark, sf_dir)
+        .join(F.broadcast(c), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    return _run_to_memory(agg, spark, "stream_static_enrich_sink", "complete")
