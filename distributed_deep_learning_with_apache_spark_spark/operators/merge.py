@@ -116,3 +116,52 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return old.unionByName(new)
+
+
+@register(
+    "scd2_as_of_lookup",
+    oracle=f"""
+        WITH updates AS ({_DUCK_UPDATES}),
+        bounds AS (
+          SELECT CAST(floor((min(floor(epoch(ts::TIMESTAMP)))
+                           + max(floor(epoch(ts::TIMESTAMP)))) / 2.0) AS BIGINT) AS as_of_s
+          FROM events
+        )
+        SELECT c.c_custkey,
+               round(CASE WHEN u.key IS NOT NULL AND u.update_ts_s <= b.as_of_s
+                          THEN u.new_balance ELSE c.c_acctbal END, 2) AS acctbal_asof,
+               CAST(CASE WHEN u.key IS NOT NULL AND u.update_ts_s <= b.as_of_s
+                         THEN 1 ELSE 0 END AS BIGINT) AS version_asof
+        FROM customer c
+        CROSS JOIN bounds b
+        LEFT JOIN updates u ON u.key = c.c_custkey
+    """,
+    doc="Point-in-time (time-travel) read over the SCD2 history: which version was current at the as-of instant.",
+    tags=("merge", "cdc", "scd2", "ext"),
+)
+def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read side of SCD2 — a time-travel lookup: for a deterministic
+    AS-OF instant (midpoint of the change feed), resolve each customer's
+    then-current version. Plan: the 1-row as-of bound broadcasts, the
+    change feed joins on the merge key — same single-shuffle shape as the
+    MERGE itself, which is what makes point-in-time reads as cheap as
+    current reads on a 100 TB dimension."""
+    c = load_table(spark, sf_dir, "customer")
+    u = _latest_updates(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    ts_s = F.unix_timestamp("ts")
+    bounds = e.agg(
+        F.floor((F.min(ts_s) + F.max(ts_s)) / 2.0).cast("long").alias("as_of_s")
+    )
+    updated = F.col("key").isNotNull() & (F.col("update_ts_s") <= F.col("as_of_s"))
+    return (
+        c.crossJoin(F.broadcast(bounds))
+        .join(u, c.c_custkey == u.key, "left")
+        .select(
+            "c_custkey",
+            F.round(F.when(updated, F.col("new_balance")).otherwise(F.col("c_acctbal")), 2).alias(
+                "acctbal_asof"
+            ),
+            F.when(updated, 1).otherwise(0).cast("long").alias("version_asof"),
+        )
+    )
