@@ -67,3 +67,15 @@ def test_plan_helpers_on_registry_queries(spark, sf_dir):
     )
     s = explain_summary(df)
     assert s["parquet_scans"] >= 2
+
+
+def test_stream_static_enrich_matches_batch_twin(spark, sf_dir):
+    """The streaming enrichment (stream ⋈ broadcast dim per micro-batch)
+    must produce exactly the batch join's rollup once the bounded fixture
+    stream drains — one pipeline definition, two execution modes."""
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+    reg = load_all()
+    got = sorted(map(tuple, reg["stream_static_enrich"].fn(spark, sf_dir).collect()))
+    want = sorted(map(tuple, reg["events_enriched_by_segment"].fn(spark, sf_dir).collect()))
+    assert got == want
