@@ -501,6 +501,10 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, root: str | None = None) -
     marker = os.path.join(root, "_INDEX_COMPLETE")
     if os.path.exists(marker):
         return root
+    # Stage into a process-private dir, then atomically rename into place:
+    # a concurrent process (pytest alongside the driver) must never probe a
+    # half-written index tree.
+    stage = f"{root}.tmp.{os.getpid()}"
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -515,15 +519,25 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, root: str | None = None) -
         assigned.repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(os.path.join(root, "assignments"))
+        .parquet(os.path.join(stage, "assignments"))
     )
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, cv array<double>",
     )
-    centroids.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
-    with open(marker, "w") as f:
+    centroids.write.mode("overwrite").parquet(os.path.join(stage, "centroids"))
+    with open(os.path.join(stage, "_INDEX_COMPLETE"), "w") as f:
         f.write("ok")
+    try:
+        os.rename(stage, root)  # atomic publish (same filesystem)
+    except OSError:
+        import shutil
+
+        if os.path.exists(marker):  # lost the race to a complete index
+            shutil.rmtree(stage, ignore_errors=True)
+        else:  # stale half-built tree from a crashed run: replace it
+            shutil.rmtree(root, ignore_errors=True)
+            os.rename(stage, root)
     return root
 
 

@@ -128,30 +128,35 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 def _events_ts_is_nanos(path: str) -> bool:
     """Sniff the parquet footer: True when events.ts is TIMESTAMP(NANOS).
 
-    Footer-only read (no row groups), cached per path — the fixture
-    generator has shipped both ns and µs units across rounds and a wrong
-    guess silently scales every timestamp by 1000.
+    Footer-only read (no row groups), cached per (path, mtime, size) — the
+    fixture generator has shipped both ns and µs units across rounds and a
+    wrong guess silently scales every timestamp by 1000; keying on mtime
+    means an in-place fixture regeneration invalidates the cache.
     """
-    if path not in _EVENTS_TS_NANOS_CACHE:
-        import glob
+    import glob
 
-        import pyarrow.parquet as pq
+    import pyarrow.parquet as pq
 
-        probe = path
-        if os.path.isdir(path):  # Spark-written dataset: sniff one part file
-            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-            probe = parts[0] if parts else path
+    probe = path
+    if os.path.isdir(path):  # Spark-written dataset: sniff one part file
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no *.parquet part files under {path}")
+        probe = parts[0]
+    st = os.stat(probe)
+    key = (probe, st.st_mtime_ns, st.st_size)
+    if key not in _EVENTS_TS_NANOS_CACHE:
         unit = getattr(pq.read_schema(probe).field("ts").type, "unit", "us")
         # Legacy INT96 timestamps surface as timestamp[ns] in pyarrow but
         # Spark reads them natively as µs timestamps — only genuine
         # INT64/TIMESTAMP(NANOS) needs the nanosAsLong path.
         schema = pq.ParquetFile(probe).schema
         phys = {schema.column(i).name: schema.column(i).physical_type for i in range(len(schema.names))}
-        _EVENTS_TS_NANOS_CACHE[path] = unit == "ns" and phys.get("ts") == "INT64"
-    return _EVENTS_TS_NANOS_CACHE[path]
+        _EVENTS_TS_NANOS_CACHE[key] = unit == "ns" and phys.get("ts") == "INT64"
+    return _EVENTS_TS_NANOS_CACHE[key]
 
 
-_EVENTS_TS_NANOS_CACHE: dict[str, bool] = {}
+_EVENTS_TS_NANOS_CACHE: dict[tuple[str, int, int], bool] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

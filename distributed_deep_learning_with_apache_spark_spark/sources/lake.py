@@ -171,22 +171,25 @@ def write_zordered(df: DataFrame, path: str, z_col, num_files: int) -> None:
     "lake_zorder_stats",
     oracle="""
         WITH z AS (
-          SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
                  (SELECT max(l_partkey) FROM lineitem) AS max_p,
                  (SELECT max(l_suppkey) FROM lineitem) AS max_s
           FROM lineitem
         ),
         keyed AS (
-          SELECT l_orderkey, l_quantity,
+          SELECT l_orderkey, l_linenumber, l_quantity,
                  least(CAST(floor(l_partkey * 1023.0 / max_p) AS BIGINT), 1023) AS ra,
                  least(CAST(floor(l_suppkey * 1023.0 / max_s) AS BIGINT), 1023) AS rb
           FROM z
         ),
+        -- (l_orderkey, l_linenumber) is the lineitem primary key, so this
+        -- GROUP BY keeps exactly one output row per input row even when two
+        -- rows share (l_quantity, ra, rb) — collisions grow with SF.
         morton AS (
           SELECT l_orderkey, l_quantity,
                  bit_or((ra >> b & 1) << (2 * b)) | bit_or((rb >> b & 1) << (2 * b + 1)) AS zval
           FROM keyed, (SELECT unnest(generate_series(0, 9)) AS b)
-          GROUP BY l_orderkey, l_quantity, ra, rb
+          GROUP BY l_orderkey, l_linenumber, l_quantity, ra, rb
         )
         SELECT CAST(zval // 65536 AS BIGINT) AS z_bucket,
                CAST(count(*) AS BIGINT) AS n,
