@@ -153,3 +153,51 @@ def test_sequence_sentiment_beats_bag_of_words(spark, sf_dir):
 
     assert acc_seq >= 0.9, acc_seq
     assert acc_seq > acc_bow + 0.15, (acc_seq, acc_bow)
+
+
+def test_rnn_sentiment_matches_or_beats_positional_baseline(spark, sf_dir):
+    """The trained GRU (ml_sentiment_rnn) must be at least as accurate on
+    the order-encoded label as the engineered positional-encoding model
+    (ml_sentiment_sequence) — the recurrent cell has to LEARN what the
+    positional features hand-encode.  Measured: GRU 0.989 vs positional
+    0.976 at sf0.001 (both deterministic: seeded init, seeded word-dropout
+    stream, modulo-keyed split/partitions)."""
+    rnn_rows = REG["ml_sentiment_rnn"].fn(spark, sf_dir).collect()
+    acc_rnn = sum(1 for r in rnn_rows if r.label == r.prediction) / len(rnn_rows)
+
+    pos_rows = REG["ml_sentiment_sequence"].fn(spark, sf_dir).collect()
+    acc_pos = sum(1 for r in pos_rows if r.label == r.prediction) / len(pos_rows)
+
+    assert acc_rnn >= 0.95, acc_rnn
+    assert acc_rnn >= acc_pos, (acc_rnn, acc_pos)
+
+
+def test_gru_gradients_match_numeric(spark):
+    """BPTT correctness: analytic gradients of every GRU parameter match
+    central finite differences on a tiny batch."""
+    import numpy as np
+
+    from distributed_deep_learning_with_apache_spark_spark.ml.distributed import (
+        _gru_grads,
+        _gru_init,
+    )
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 5, size=(6, 7))
+    mask = (ids != 0).astype(np.float64)
+    y = rng.integers(0, 2, size=(6, 1)).astype(np.float64)
+    p = _gru_init(5, 3, 4, seed=11)
+    loss, g = _gru_grads(p, ids, mask, y)
+    eps = 1e-6
+    for pi in range(len(p)):
+        flat = p[pi].reshape(-1)
+        for k in range(0, flat.size, max(1, flat.size // 5)):  # spot-check ~5 entries
+            orig = flat[k]
+            flat[k] = orig + eps
+            lp, _ = _gru_grads(p, ids, mask, y)
+            flat[k] = orig - eps
+            lm, _ = _gru_grads(p, ids, mask, y)
+            flat[k] = orig
+            num = (lp - lm) / (2 * eps)
+            ana = g[pi].reshape(-1)[k]
+            assert abs(num - ana) < 1e-5 * max(1.0, abs(num)), (pi, k, num, ana)
