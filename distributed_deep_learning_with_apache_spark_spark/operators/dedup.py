@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.text import DUCK_TOKENS, tokens
 from ..registry import register
 from ..sources.catalog import load_table
+from .textpipe import _widen_scan
 
 # --- shared shingle builders (Spark + DuckDB must stay in lockstep) --------
 
@@ -316,7 +317,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole shingle build per hash (measured 3.7× slower at 5k docs).
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sh = (
-        d.repartition(n_part)
+        _widen_scan(d, spark, __import__("os").path.join(sf_dir, "documents.parquet"))
         .select("doc_id", shingles().alias("sh"))
         .filter(F.size("sh") > 0)
         .select("doc_id", F.transform(F.col("sh"), F.md5).alias("hs"))
@@ -420,7 +421,7 @@ def near_dup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Jaccard over distinct shingles is hash-agnostic.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sh = (
-        d.repartition(n_part)
+        _widen_scan(d, spark, __import__("os").path.join(sf_dir, "documents.parquet"))
         .select("doc_id", shingles().alias("sh"))
         .filter(F.size("sh") > 0)
         .select(
@@ -583,9 +584,8 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Repartition the raw text first: the per-token md5 + bit extraction is
     # the expensive part and would otherwise run on the scan's splits (one
     # task per file here) — the exchange spreads it across all cores.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     tok = (
-        d.repartition(n_part)
+        _widen_scan(d, spark, __import__("os").path.join(sf_dir, "documents.parquet"))
         .select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t"))
         .select("doc_id", F.md5("t").alias("h"))
     )

@@ -545,6 +545,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, root: str | None = None) -
     "ann_ivf_persisted",
     oracle=None,  # k-means fit is iterative; layout-equality asserted in tests
     tags=("similarity", "ext", "ivf", "scale"),
+    bench=True,
 )
 def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN over the PERSISTED IVF index: read centroids (tiny), pick each

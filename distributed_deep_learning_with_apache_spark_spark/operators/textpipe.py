@@ -37,19 +37,50 @@ _DUCK_POSTING = f"""
 """
 
 
-def _posting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, tok, pos): order-preserving token posting list.
+def _widen_scan(d: DataFrame, spark: SparkSession, data_path: str | None = None) -> DataFrame:
+    """Repartition raw documents BEFORE tokenize only when the scan is
+    narrower than the session's parallelism.
 
-    The raw documents are repartitioned BEFORE tokenize+explode: the
-    fixture scan is one split per file, and the expensive projection would
-    otherwise run single-task (a few-MB text shuffle buys full-width
-    parallelism for every consumer of the posting list).
+    Locally the fixture is one split per file, so the expensive tokenize
+    projection would run single-task — a few-MB text shuffle buys
+    full-width parallelism (measured at sf0.1: 1.0 s vs 1.5 s without, vs
+    1.7 s tokenizing single-task then exchanging token arrays).  At 100 TB
+    a documents table scans as thousands of splits already, and this gate
+    makes the exchange vanish instead of re-shuffling the full text
+    payload.  Split-count estimate is a driver-side stat of the parquet
+    bytes against maxPartitionBytes (no Spark job, no plan compilation).
     """
-    d = load_table(spark, sf_dir, "documents")
+    import os
+
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if data_path is not None:
+        if os.path.isfile(data_path):
+            nbytes = os.path.getsize(data_path)
+        elif os.path.isdir(data_path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(data_path)
+                for f in fs
+            )
+        else:
+            nbytes = 0
+        max_split = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
+        if nbytes >= n_part * max_split:  # scan is already wide enough
+            return d
+    return d.repartition(n_part)
+
+
+def _posting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, pos): order-preserving token posting list."""
+    import os
+
+    d = _widen_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+    )
     return (
-        d.repartition(n_part)
-        .select("doc_id", F.posexplode(tokens("text")).alias("pos0", "tok"))
+        d.select("doc_id", F.posexplode(tokens("text")).alias("pos0", "tok"))
         .select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
     )
 
@@ -167,13 +198,17 @@ def doc_embedding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs). vocab_filter_truncate above keeps the general semi-join+window
     # plan for vocabularies too large to broadcast (SURVEY §7.4.4).
     vocab_arr = _vocab(posting).agg(F.collect_set("tok").alias("vocab"))
-    d = load_table(spark, sf_dir, "documents")
-    # Parallelize the tokenize projection beyond the scan's single split
-    # (same rationale as _posting).
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Parallelize the tokenize projection beyond the scan's split count
+    # when needed (same gate as _posting; no-op on wide scans).
+    import os
+
+    d = _widen_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+    )
     kept_arrays = (
-        d.repartition(n_part)
-        .select("doc_id", tokens("text").alias("toks"))
+        d.select("doc_id", tokens("text").alias("toks"))
         .crossJoin(F.broadcast(vocab_arr))
         .select(
             "doc_id",

@@ -242,6 +242,7 @@ def decode_png_dir(spark: SparkSession, root: str) -> DataFrame:
     "image_decode_png",
     oracle=None,  # inputs are PNG files, not a DuckDB-visible table
     tags=("multimodal", "image", "ext"),
+    bench=True,
 )
 def image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry for the real-PNG decode pipeline over the seeded
@@ -311,7 +312,13 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     density, never O(n²)."""
     from .pngcodec import ensure_fixture_corpus
 
-    hashes = image_ahash_df(spark, ensure_fixture_corpus())
+    return phash_neardup_over(spark, ensure_fixture_corpus())
+
+
+def phash_neardup_over(spark: SparkSession, root: str) -> DataFrame:
+    """The banded-hamming near-dup pipeline over any PNG corpus root
+    (tools/scale_smoke.py runs it against an N×-larger corpus)."""
+    hashes = image_ahash_df(spark, root)
     bands = hashes.select(
         "path",
         "ahash",

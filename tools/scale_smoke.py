@@ -58,7 +58,58 @@ QUERIES = [
     "near_dup_minhash_verified",
     "anomaly_best_worst",
     "dedup_exact_survivors",
+    "ann_ivf_persisted",
 ]
+
+
+def big_png_corpus(copies: int) -> str:
+    """An N×-larger PNG corpus for the image-phash scale probe: same
+    deterministic generator, `copies`× images per label (idx shifts the
+    glyph jitter, so hash diversity tracks the fixture's)."""
+    from distributed_deep_learning_with_apache_spark_spark.sources.pngcodec import (
+        IMGS_PER_LABEL,
+        N_LABELS,
+        encode_gray_png,
+        synth_image,
+    )
+
+    root = f"/tmp/ddl_spark_png_scale_x{copies}"
+    done = os.path.join(root, ".complete")
+    if os.path.exists(done):
+        return root
+    stage = f"{root}.tmp.{os.getpid()}"
+    for label in range(N_LABELS):
+        d = os.path.join(stage, str(label))
+        os.makedirs(d, exist_ok=True)
+        for i in range(IMGS_PER_LABEL * copies):
+            with open(os.path.join(d, f"img_{i:04d}.png"), "wb") as f:
+                f.write(encode_gray_png(synth_image(label, i)))
+    with open(os.path.join(stage, ".complete"), "w") as f:
+        f.write("ok")
+    os.rename(stage, root)
+    return root
+
+
+def phash_scale_probe(spark, copies: int) -> dict:
+    """image_phash_neardup doesn't read sf_dir (its input is the PNG
+    corpus), so it scales by corpus size instead: fixture (240 imgs) vs
+    copies× images."""
+    from distributed_deep_learning_with_apache_spark_spark.sources.binary import (
+        phash_neardup_over,
+    )
+    from distributed_deep_learning_with_apache_spark_spark.sources.pngcodec import (
+        ensure_fixture_corpus,
+    )
+
+    small_root = ensure_fixture_corpus()
+    big_root = big_png_corpus(copies)
+    t_small = time_query(lambda s, _: phash_neardup_over(s, small_root), spark, SRC)
+    t_big = time_query(lambda s, _: phash_neardup_over(s, big_root), spark, SRC)
+    return {
+        "sf0.1_s": t_small,
+        f"x{copies}_s": t_big,
+        "ratio": round(t_big / t_small, 2),
+    }
 
 
 def build(spark, copies: int) -> None:
@@ -99,7 +150,12 @@ def main() -> None:
     spark = get_spark("scale_smoke")
     build(spark, copies)
     report = {}
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     for name in QUERIES:
+        if only and name not in only:
+            continue
         q = load_all()[name]
         t_small = time_query(q.fn, spark, SRC)
         t_big = time_query(q.fn, spark, DST)
@@ -108,6 +164,8 @@ def main() -> None:
             f"x{copies}_s": t_big,
             "ratio": round(t_big / t_small, 2),
         }
+    if only is None or "image_phash_neardup" in (only or set()):
+        report["image_phash_neardup"] = phash_scale_probe(spark, copies)
     print(json.dumps({"copies": copies, "queries": report}, indent=1))
     spark.stop()
 
