@@ -100,6 +100,7 @@ _DRIVER_PRIORITY = [
     "ml_anomaly_autoencoder",
     "ann_ivf_persisted",
     "image_phash_neardup",
+    "image_frame_sample",
     "sample_seeded",
     "ml_sentiment_tfidf_logreg",
     "ml_anomaly_pca",

@@ -253,6 +253,81 @@ def image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real 1→N frame sampling (scanline windows of REAL decoded PNGs)
+# ---------------------------------------------------------------------------
+FRAME_ROWS = 7  # scanline-window height: 28-row fixture images -> 4 frames
+
+IMAGE_FRAME_SCHEMA = (
+    "path string, label int, frame_idx int, row_off int, "
+    "n_frames int, frame_mean double, frame_max int"
+)
+
+
+def image_frame_sample_df(spark: SparkSession, root: str) -> DataFrame:
+    """The 1→N multimodal expansion with a REAL decode kernel: each PNG
+    decodes (pngcodec, bit-exact) inside its scan partition and emits one
+    row per FRAME_ROWS-scanline window — the video keyframe / audio
+    windowing shape (`sample_frames_df` is the byte-stride twin whose
+    expansion topology is oracle-checked; here the per-frame features are
+    real pixel statistics, asserted against an independent numpy decode in
+    tests/test_png_decode.py).
+
+    Reference: generalizes `chapter_4/MnistClassification.java:61-63`
+    (whole-image decode) to the frame-expansion scan a video corpus needs.
+
+    Scale posture: expansion happens inside binaryFile scan partitions —
+    no shuffle, no Python round-trips beyond the one Arrow hop; output
+    row count is bounded at ceil(height/FRAME_ROWS) per image."""
+    from .pngcodec import make_gray_png_decoder
+
+    decode = make_gray_png_decoder()
+    frame_rows = FRAME_ROWS
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "path", "label", "frame_idx", "row_off",
+                "n_frames", "frame_mean", "frame_max",
+            )}
+            for path, label, buf in zip(pdf["path"], pdf["label"], pdf["content"]):
+                w, h, px = decode(buf)
+                arr = np.asarray(px, dtype=np.float64).reshape(h, w)
+                n = (h + frame_rows - 1) // frame_rows
+                for i in range(n):
+                    band = arr[i * frame_rows : (i + 1) * frame_rows]
+                    out["path"].append(path)
+                    out["label"].append(int(label))
+                    out["frame_idx"].append(i)
+                    out["row_off"].append(i * frame_rows)
+                    out["n_frames"].append(n)
+                    out["frame_mean"].append(float(band.mean()))
+                    out["frame_max"].append(int(band.max()))
+            yield pd.DataFrame(out)
+
+    return (
+        read_binary_dir(spark, root + "/*")
+        .select("path", F.col("label").cast("int").alias("label"), "content")
+        .mapInPandas(kernel, IMAGE_FRAME_SCHEMA)
+    )
+
+
+@register(
+    "image_frame_sample",
+    oracle=None,  # inputs are PNG files, not a DuckDB-visible table
+    tags=("multimodal", "image", "ext"),
+)
+def image_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: real scanline-window frame sampling over the seeded
+    PNG fixture corpus (4 frames per 28-row image)."""
+    from .pngcodec import ensure_fixture_corpus
+
+    return image_frame_sample_df(spark, ensure_fixture_corpus())
+
+
+# ---------------------------------------------------------------------------
 # Image perceptual-hash near-dup (aHash over REAL decoded pixels)
 # ---------------------------------------------------------------------------
 AHASH_BITS = 49  # 7x7 grid of 4x4-pixel block means

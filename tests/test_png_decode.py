@@ -194,3 +194,43 @@ def _png_multi_filter(pixels, per_line):
         + chunk(b"IDAT", _z.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def test_image_frame_sample_real_scanline_windows(spark):
+    """The 1→N frame expansion over REAL decoded pixels: every frame row's
+    mean/max must equal an independent driver-side decode of the same
+    scanline window, and the expansion topology must cover each image
+    exactly (ceil(h/FRAME_ROWS) frames, contiguous offsets)."""
+    import numpy as np
+
+    from distributed_deep_learning_with_apache_spark_spark.sources.binary import (
+        FRAME_ROWS,
+        image_frame_sample_df,
+    )
+
+    root = ensure_fixture_corpus()
+    out = image_frame_sample_df(spark, root).collect()
+    per_image = {}
+    for r in out:
+        per_image.setdefault(r["path"], []).append(r)
+
+    assert len(per_image) == N_LABELS * IMGS_PER_LABEL
+    n_expected = (IMG_SIZE + FRAME_ROWS - 1) // FRAME_ROWS
+
+    checked = 0
+    for path, frames in per_image.items():
+        frames.sort(key=lambda r: r["frame_idx"])
+        assert [f["frame_idx"] for f in frames] == list(range(n_expected))
+        assert all(f["n_frames"] == n_expected for f in frames)
+        assert [f["row_off"] for f in frames] == [i * FRAME_ROWS for i in range(n_expected)]
+        if checked < 8:
+            local = path.replace("file:", "")
+            with open(local, "rb") as fh:
+                w, h, px = decode_gray_png(fh.read())
+            arr = np.asarray(px, dtype=np.float64).reshape(h, w)
+            for f in frames:
+                band = arr[f["row_off"] : f["row_off"] + FRAME_ROWS]
+                assert f["frame_mean"] == pytest.approx(float(band.mean()), abs=0), path
+                assert f["frame_max"] == int(band.max()), path
+            checked += 1
+    assert checked == 8
