@@ -99,6 +99,7 @@ _DRIVER_PRIORITY = [
     "ml_sentiment_rnn",
     "ml_anomaly_autoencoder",
     "ann_ivf_persisted",
+    "ann_pq_adc",
     "image_phash_neardup",
     "image_frame_sample",
     "sample_seeded",

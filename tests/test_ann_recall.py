@@ -63,3 +63,41 @@ def test_persisted_ivf_matches_in_memory_and_prunes_partitions(spark, sf_dir):
     assert sorted(map(tuple, per.collect())) == sorted(map(tuple, mem.collect()))
     plan = per._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "probe join must prune index partitions"
+
+
+def test_pq_adc_recall_and_compression(spark, sf_dir):
+    """PQ/ADC: 16 one-byte codes must stand in for 64-float vectors with
+    non-degenerate recall against the exact cosine baseline, even on the
+    uniform-random worst case (measured 0.76 at sf0.001 / 0.74 at sf0.01;
+    pinned loosely at >= 0.5 — 50x better than the 0.01 random-subset
+    baseline)."""
+    from distributed_deep_learning_with_apache_spark_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_encode_df,
+    )
+
+    exact = _topk_sets(REG["cosine_topk_exact"].fn(spark, sf_dir))
+    pq = REG["ann_pq_adc"].fn(spark, sf_dir)
+    approx = _topk_sets(pq)
+    assert set(pq.columns) == {"query_id", "neighbor_id", "adc_dist", "rnk"}
+    assert len(approx) == N_QUERIES
+
+    hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    recall = hits / (len(exact) * TOP_K)
+    assert recall >= 0.5, f"PQ recall {recall:.2f} degenerate"
+
+    # compression contract: every vector encodes to exactly PQ_M codes,
+    # each in the 8-bit codebook domain
+    codes_df, books = pq_encode_df(spark, sf_dir)
+    rows = codes_df.collect()
+    assert all(len(r.codes) == PQ_M for r in rows)
+    assert all(0 <= c < PQ_K for r in rows for c in r.codes)
+    assert len(books) == PQ_M and all(len(b) == PQ_K for b in books)
+
+
+def test_pq_adc_deterministic(spark, sf_dir):
+    q = REG["ann_pq_adc"]
+    a = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    assert a == b
