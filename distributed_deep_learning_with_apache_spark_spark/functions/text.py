@@ -14,11 +14,23 @@ fragment next to it so oracle queries stay in lockstep.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.catalog import load_table
+
+# Executor Python workers don't have this package on sys.path when the
+# driver runs from an arbitrary cwd, so closures shipped to executors
+# (the BPE mapInPandas kernel) must serialize module helpers BY VALUE —
+# same contract as ml/distributed.py.
+try:  # pragma: no cover - import location varies across pyspark versions
+    from pyspark import cloudpickle as _cp
+except ImportError:
+    import cloudpickle as _cp
+_cp.register_pickle_by_value(sys.modules[__name__])
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
@@ -507,4 +519,226 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         F.round(slope, 6).alias("slope"),
         F.round(F.avg("lnf") - slope * F.avg("lnr"), 6).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality scoring (corpus-statistical fluency gate)
+# ---------------------------------------------------------------------------
+MIN_BIGRAM_FREQ = 30  # corpus floor for a bigram to count as "fluent"
+
+_DUCK_BG_POSTING = f"""
+          SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+          FROM (SELECT doc_id, {DUCK_TOKENS.format(col='text')} AS toks FROM documents)
+"""
+
+
+@register(
+    "bigram_lm_quality",
+    oracle=f"""
+        WITH posting AS ({_DUCK_BG_POSTING}),
+        bg AS (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos ASC) AS bigram
+          FROM posting
+        ),
+        bg2 AS (SELECT doc_id, bigram FROM bg WHERE bigram IS NOT NULL),
+        lm AS (
+          SELECT bigram, CAST(count(*) AS BIGINT) AS bg_count
+          FROM bg2 GROUP BY bigram HAVING count(*) >= {MIN_BIGRAM_FREQ}
+        ),
+        j AS (SELECT b.doc_id, l.bg_count FROM bg2 b LEFT JOIN lm l USING (bigram))
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(count(bg_count) AS BIGINT) AS n_common,
+               round(count(bg_count) * 1.0 / count(*), 6) AS bigram_coverage,
+               round(coalesce(sum(bg_count) * 1.0 / nullif(count(bg_count), 0), 0.0), 6)
+                 AS mean_common_freq
+        FROM j GROUP BY doc_id
+    """,
+    doc="Corpus-statistical fluency score: share of a doc's bigrams that are "
+    "corpus-common — the exact-arithmetic core of perplexity-style filtering.",
+    tags=("text", "ext", "quality"),
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality gate, the engine-portable core of the
+    perplexity-filtering stage every LLM data pipeline runs (cf. CCNet /
+    Gopher quality filters): a doc whose word transitions rarely occur in
+    the corpus is boilerplate/garbled.  Exact integer arithmetic (counts
+    and one final division) instead of log-probs keeps the oracle
+    hash-portable — ln() is not identically rounded across engines.
+
+    Scale: the bigram LM is one map-side-combined hash agg with a
+    frequency floor (dimension-sized — common bigrams are a tiny, slowly
+    growing set), broadcast back; per-doc scoring is an array expression +
+    one agg. Two shuffles total, both on small keys."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    doc_bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    lm = (
+        doc_bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("bg_count"))
+        .filter(F.col("bg_count") >= MIN_BIGRAM_FREQ)
+    )
+    joined = doc_bg.join(F.broadcast(lm), "bigram", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count("bg_count").alias("n_common"),
+        F.round(F.count("bg_count") / F.count(F.lit(1)), 6).alias("bigram_coverage"),
+        F.round(
+            F.coalesce(
+                F.sum("bg_count") / F.nullif(F.count("bg_count"), F.lit(0)), F.lit(0.0)
+            ),
+            6,
+        ).alias("mean_common_freq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE subword tokenization (Sennrich, Haddow, Birch 2016, ACL — "Neural
+# Machine Translation of Rare Words with Subword Units")
+# ---------------------------------------------------------------------------
+BPE_MERGES = 40       # learned merge operations (the fixture vocabulary is
+                      # 31 words; 40 merges fully fuse the frequent head
+                      # while rarer/longer words stay split — the real
+                      # subword regime)
+BPE_WORD_CAP = 10000  # word-frequency table bound for merge learning
+BPE_END = "·"         # end-of-word marker (kept off the [a-z0-9] token alphabet)
+
+
+def _bpe_train(word_counts: list[tuple[str, int]], n_merges: int = BPE_MERGES) -> list[tuple[str, str]]:
+    """Learn BPE merges from a (word, count) table — pure-Python textbook
+    algorithm, deterministic: highest pair count wins, ties break to the
+    lexicographically smallest pair. Driver-side by design: the word
+    FREQUENCY table is dimension-sized (Zipf — the cap keeps it bounded),
+    while the corpus itself never leaves the executors."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts:
+        sym = tuple(list(w) + [BPE_END])
+        vocab[sym] = vocab.get(sym, 0) + c
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best, best_n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if best_n < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply learned merges to one word, lowest-rank-first (standard BPE
+    inference)."""
+    sym = list(word) + [BPE_END]
+    while len(sym) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def train_bpe_on_corpus(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """One map-side-combined word-count agg → bounded top-frequency table
+    collected to the driver → merge learning. The (count DESC, word ASC)
+    order makes the cap deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), F.asc("w"))
+        .limit(BPE_WORD_CAP)
+        .collect()
+    )
+    return _bpe_train([(r["w"], r["count"]) for r in wc])
+
+
+@register(
+    "bpe_tokenize_stats",
+    oracle=None,  # iterative merge learning is not SQL-expressible
+    tags=("text", "ext", "tokenizer"),
+)
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword tokenization end-to-end: learn merges from the corpus
+    (driver-side on the bounded frequency table), broadcast the merge
+    ranks, encode every document in one Arrow hop with a per-batch word
+    cache (Zipf makes the cache hit rate ~99%), and report per-doc
+    subword statistics — the token-budget accounting an LLM data pipeline
+    runs before packing.
+
+    Scale: training cost is O(word-table), independent of corpus size;
+    encoding is map-side only (no shuffle) and output is one bounded row
+    per doc."""
+    merges = train_bpe_on_corpus(spark, sf_dir)
+    ranks = {p: i for i, p in enumerate(merges)}
+    bc = spark.sparkContext.broadcast(ranks)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def encode_docs(batches):
+        cache: dict[str, list[str]] = {}
+        rk = bc.value
+
+        def enc(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = _bpe_encode_word(w, rk)
+            return got
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_words", "n_subwords", "subwords_per_word", "n_singleton_chars")}
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                subs = [s for w in toks for s in enc(w)]
+                n_single = sum(1 for s in subs if len(s.rstrip(BPE_END)) <= 1)
+                out["doc_id"].append(doc_id)
+                out["n_words"].append(len(toks))
+                out["n_subwords"].append(len(subs))
+                out["subwords_per_word"].append(
+                    round(len(subs) / len(toks), 6) if len(toks) else 0.0
+                )
+                out["n_singleton_chars"].append(n_single)
+            yield pd.DataFrame(out)
+
+    return (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .mapInPandas(
+            encode_docs,
+            "doc_id long, n_words int, n_subwords int, subwords_per_word double, n_singleton_chars int",
+        )
     )

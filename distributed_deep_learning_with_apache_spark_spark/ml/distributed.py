@@ -506,6 +506,23 @@ class DistributedGRUClassifier:
         self.params = [a / n_avg for a in avg] if avg is not None else params
         return self
 
+    def save(self, path: str) -> None:
+        """S15 parity (model persistence, like the conv net's): weights +
+        hyperparams to one KB-sized .npz, driver-side by design."""
+        assert self.params is not None, "fit first"
+        meta = np.array(
+            [self.vocab_size, self.emb_dim, self.hidden], dtype=np.int64
+        )
+        np.savez(path, meta=meta, **{f"p{i}": w for i, w in enumerate(self.params)})
+
+    @classmethod
+    def load(cls, path: str) -> "DistributedGRUClassifier":
+        with np.load(path) as z:
+            vocab_size, emb_dim, hidden = (int(v) for v in z["meta"])
+            model = cls(vocab_size=vocab_size, emb_dim=emb_dim, hidden=hidden)
+            model.params = [z[f"p{i}"] for i in range(12)]
+        return model
+
     def transform(self, df: DataFrame) -> DataFrame:
         """Distributed inference: broadcast tail-averaged weights, score
         each Arrow batch with the same forward pass."""

@@ -698,3 +698,101 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= HAMMING_MAX)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Survivor selection: quality-priority retention per near-dup cluster
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cluster_survivors",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, {{DUCK_SHINGLES}} AS sh FROM documents
+        ),
+        posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b
+          WHERE c.shared * 1.0 / (len(sa.sh) + len(sb.sh) - c.shared) >= 0.5
+        ),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT s AS doc FROM edges),
+        reach AS (
+          SELECT doc, doc AS r FROM nodes
+          UNION
+          SELECT e.t AS doc, reach.r
+          FROM reach JOIN edges e ON e.s = reach.doc
+        ),
+        clusters AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc),
+        clustered AS (
+          SELECT c.doc_id, c.cluster_id, length(d.text) AS n_chars,
+                 row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY length(d.text) DESC, c.doc_id ASC
+                 ) AS rn,
+                 CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size
+          FROM clusters c JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, cluster_id, cluster_size, CAST(n_chars AS BIGINT) AS n_chars
+        FROM clustered WHERE rn = 1
+        UNION ALL
+        SELECT d.doc_id, d.doc_id AS cluster_id, 1 AS cluster_size,
+               CAST(length(d.text) AS BIGINT) AS n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters)
+    """.format(DUCK_SHINGLES=DUCK_SHINGLES),
+    doc="Quality-priority survivor per near-dup cluster (keep the longest "
+    "doc, tie-break lowest id) plus all singletons — the retention step "
+    "after clustering.",
+    tags=("dedup", "ext", "curation"),
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention step real near-dedup pipelines run after clustering
+    (cf. CCNet / RefinedWeb: keep one representative per duplicate
+    cluster, preferring the highest-quality member): survivor = longest
+    text per cluster (tie-break lowest doc_id); singleton docs all
+    survive.
+
+    Scale: reuses dedup_clusters' label-propagation output; the survivor
+    pick is one window over clusters (tiny — |clustered docs| rows) and
+    the singleton side is a broadcast anti-join against the cluster
+    membership list."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    clusters = dedup_clusters(spark, sf_dir)
+    clustered = clusters.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    winners = (
+        clustered.select(
+            "doc_id",
+            "cluster_id",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    singletons = (
+        d.join(F.broadcast(clusters.select("doc_id")), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+            "n_chars",
+        )
+    )
+    return winners.unionByName(singletons)

@@ -412,6 +412,76 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# [EXT] explicit GROUPING SETS (the general form rollup/cube specialize)
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("relational", "agg"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-flag totals, per-linestatus totals, and
+    the grand total in ONE pass (an Expand node feeding one hash
+    aggregate), where three separate GROUP BYs would scan lineitem three
+    times. At 100 TB the single-scan property is the point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        _r2(F.sum("l_extendedprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] join-key skew profile (the operational pre-check for 100 TB joins)
+# ---------------------------------------------------------------------------
+@register(
+    "join_key_skew_profile",
+    oracle="""
+        WITH per_key AS (
+          SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+          FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(cnt) AS BIGINT) AS max_cnt,
+               round(avg(cnt), 6) AS avg_cnt,
+               round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+               round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+               round(max(cnt) / avg(cnt), 6) AS skew_ratio
+        FROM per_key
+    """,
+    doc="Key-cardinality skew profile of a join key — the diagnostic that "
+    "decides salting/AQE-skew-join before a 100 TB shuffle.",
+    tags=("relational", "agg", "scale"),
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic for a prospective shuffle key: per-key counts
+    (one map-side-combined agg) collapse to distribution stats — max/avg
+    (the skew ratio AQE's skewJoin threshold reasons about) and exact
+    percentiles. Two aggregations, the second over |distinct keys| rows
+    only; no row-level data survives the first shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.avg("cnt"), 6).alias("avg_cnt"),
+        F.round(F.percentile("cnt", F.lit(0.5)), 6).alias("p50_cnt"),
+        F.round(F.percentile("cnt", F.lit(0.99)), 6).alias("p99_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # [EXT] date/timestamp bucketing — monthly revenue trend
 # ---------------------------------------------------------------------------
 @register(

@@ -92,6 +92,11 @@ _DRIVER_PRIORITY = [
     "events_retention_cohorts",
     "events_enriched_by_segment",
     "stream_foreachbatch_merge",
+    # r3 additions with full hash oracles
+    "bigram_lm_quality",
+    "grouping_sets_revenue",
+    "join_key_skew_profile",
+    "dedup_cluster_survivors",
     # --- never-checked, rows-only (non-SQL-expressible by design) --------
     "image_decode_png",
     "ml_cnn_trained_conv",
@@ -100,6 +105,8 @@ _DRIVER_PRIORITY = [
     "ml_anomaly_autoencoder",
     "ann_ivf_persisted",
     "ann_pq_adc",
+    "bpe_tokenize_stats",
+    "video_keyframe_decode",
     "image_phash_neardup",
     "image_frame_sample",
     "sample_seeded",

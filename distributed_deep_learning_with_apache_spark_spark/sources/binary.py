@@ -3,11 +3,15 @@ feature-extract as Arrow-batched pandas transforms over mapInPandas.
 
 Reference parity: S4/S5 image scan + decode (`MnistClassification.java:
 61-63,142-145` — PNG → 28×28×1 float grid) and S6 label-from-path
-(`ParentPathLabelGenerator`, `:60`). In this container there are no real
-image files or codec libraries, so — per the project contract — the decode
-kernel is STUBBED with a deterministic fake (byte-histogram features),
-while everything Spark-side is real and tested: schema, binary column
-handling, Arrow batch shape, partitioning of the mapInPandas stage.
+(`ParentPathLabelGenerator`, `:60`). No codec LIBRARIES exist in this
+container, so the codecs are from scratch: a pure-stdlib PNG decoder
+(`pngcodec.py`, bit-exact, all five scanline filters) drives the real
+image paths (`image_decode_png`, `image_frame_sample`,
+`image_phash_neardup`) and an indexed video container + parser
+(`videocodec.py`) drives the real video path (`video_keyframe_decode`).
+Only `multimodal_decode_stub` / `sample_frames_df` keep a documented
+deterministic fake kernel — retained as the generic byte-payload shape
+whose expansion topology the DuckDB oracle can check.
 
 `read_binary_dir` is the real-world entry (spark.read.format("binaryFile"))
 for directories of images; the fixture path manufactures binary columns
@@ -432,3 +436,93 @@ def phash_neardup_over(spark: SparkSession, root: str) -> DataFrame:
         cand.filter(hamming <= AHASH_HAMMING)
         .select("path_a", "path_b", hamming.cast("int").alias("hamming"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Real video container decode: PNGV corpus -> keyframe sample -> pixel stats
+# ---------------------------------------------------------------------------
+KEYFRAME_EVERY = 3  # sample every 3rd frame (plus the final frame's index)
+
+VIDEO_FRAME_SCHEMA = (
+    "path string, n_frames int, frame_idx int, width int, height int, "
+    "mean_px double, bright_x int, bright_y int"
+)
+
+
+def video_keyframe_df(spark: SparkSession, root: str, every_k: int = KEYFRAME_EVERY) -> DataFrame:
+    """Real container-decode 1→N scan: binaryFile reads each .pngv video,
+    the PNGV index parses header-only, every k-th frame SEEKS directly to
+    its byte range and PNG-decodes (sources/videocodec.py — from-scratch
+    parser + the existing from-scratch PNG codec; no synthetic kernel
+    left on the video path).
+
+    Scale posture: keyframe sampling reads index + sampled frames only —
+    I/O ∝ frames-kept, the property real containers (MP4 moov/mdat) are
+    built for; decode happens inside the scan's partitions, no shuffle;
+    one Arrow hop."""
+    from .pngcodec import make_gray_png_decoder
+
+    decode = make_gray_png_decoder()
+    k = every_k
+
+    def kernel(batches: Iterator) -> Iterator:
+        # Index parse inlined (not a call into videocodec): this closure
+        # ships to executors by value, and the package is not importable
+        # from Spark's python workers when the driver runs elsewhere.
+        import struct as _struct
+
+        import numpy as np
+        import pandas as pd
+
+        def parse_index(b: bytes) -> list[tuple[int, int]]:
+            if b[:4] != b"PNGV":
+                raise ValueError("not a PNGV container")
+            (n,) = _struct.unpack(">I", b[4:8])
+            raw = _struct.unpack(f">{n + 1}I", b[8 : 8 + 4 * (n + 1)])
+            return [(raw[i], raw[i + 1] - raw[i]) for i in range(n)]
+
+        for pdf in batches:
+            out = {c: [] for c in (
+                "path", "n_frames", "frame_idx", "width", "height",
+                "mean_px", "bright_x", "bright_y",
+            )}
+            for path, buf in zip(pdf["path"], pdf["content"]):
+                buf = bytes(buf)
+                index = parse_index(buf)
+                base = 8 + 4 * (len(index) + 1)
+                for i in range(0, len(index), k):
+                    off, length = index[i]
+                    w, h, px = decode(buf[base + off : base + off + length])
+                    arr = np.asarray(px, dtype=np.float64).reshape(h, w)
+                    bright = float(arr.max())
+                    ys, xs = np.nonzero(arr >= bright - 32)
+                    out["path"].append(path)
+                    out["n_frames"].append(len(index))
+                    out["frame_idx"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_px"].append(float(arr.mean()))
+                    out["bright_x"].append(int(round(xs.mean())))
+                    out["bright_y"].append(int(round(ys.mean())))
+            yield pd.DataFrame(out)
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pngv")
+        .load(root)
+        .select("path", "content")
+        .mapInPandas(kernel, VIDEO_FRAME_SCHEMA)
+    )
+
+
+@register(
+    "video_keyframe_decode",
+    oracle=None,  # inputs are container files, not a DuckDB-visible table
+    tags=("multimodal", "video", "ext"),
+)
+def video_keyframe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: keyframe sampling + real decode over the seeded PNGV
+    video corpus (written on first use; content-deterministic)."""
+    from .videocodec import ensure_video_corpus
+
+    return video_keyframe_df(spark, ensure_video_corpus())

@@ -172,6 +172,27 @@ def test_rnn_sentiment_matches_or_beats_positional_baseline(spark, sf_dir):
     assert acc_rnn >= acc_pos, (acc_rnn, acc_pos)
 
 
+def test_gru_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """S15 parity for the GRU: persisted weights give bit-identical
+    predictions after reload in a fresh object."""
+    from distributed_deep_learning_with_apache_spark_spark.ml.distributed import (
+        DistributedGRUClassifier,
+        _gru_init,
+    )
+
+    m = DistributedGRUClassifier(vocab_size=9)
+    m.params = _gru_init(9, m.emb_dim, m.hidden, seed=5)
+    path = str(tmp_path / "gru.npz")
+    m.save(path)
+    back = DistributedGRUClassifier.load(path)
+    import numpy as np
+
+    assert len(back.params) == len(m.params)
+    for a, b in zip(m.params, back.params):
+        assert np.array_equal(a, b)
+    assert (back.vocab_size, back.emb_dim, back.hidden) == (9, m.emb_dim, m.hidden)
+
+
 def test_gru_gradients_match_numeric(spark):
     """BPTT correctness: analytic gradients of every GRU parameter match
     central finite differences on a tiny batch."""

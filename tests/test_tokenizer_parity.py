@@ -73,3 +73,68 @@ def test_tokenizer_null_safety(spark):
         ).fetchall()
     }
     assert drows == rows
+
+
+# ---------------------------------------------------------------------------
+# BPE subword tokenizer (Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+def test_bpe_learns_textbook_merges():
+    from distributed_deep_learning_with_apache_spark_spark.functions.text import (
+        BPE_END,
+        _bpe_encode_word,
+        _bpe_train,
+    )
+
+    merges = _bpe_train([("lower", 5), ("lowest", 3), ("newer", 6), ("wider", 2)], 10)
+    # the highest-count adjacent pair in the weighted corpus merges first
+    assert merges[0] == ("w", "e")
+    ranks = {p: i for i, p in enumerate(merges)}
+    # frequent in-vocab word fuses fully
+    assert _bpe_encode_word("lower", ranks) == ["lower" + BPE_END]
+    # unseen word decomposes into learned subwords + leftover chars
+    parts = _bpe_encode_word("newest", ranks)
+    assert len(parts) > 1
+    # roundtrip: concatenation restores the word + end marker
+    assert "".join(parts) == "newest" + BPE_END
+
+
+def test_bpe_train_deterministic_under_tie():
+    from distributed_deep_learning_with_apache_spark_spark.functions.text import _bpe_train
+
+    # 'ab' and 'cd' pairs tie at count 3 -> lexicographically smaller wins
+    m1 = _bpe_train([("ab", 3), ("cd", 3)], 1)
+    m2 = _bpe_train([("cd", 3), ("ab", 3)], 1)
+    assert m1 == m2 == [("a", "b")]
+
+
+def test_bpe_corpus_stats_contract(spark, sf_dir):
+    from distributed_deep_learning_with_apache_spark_spark.functions.text import (
+        BPE_END,
+        _bpe_encode_word,
+        train_bpe_on_corpus,
+    )
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+    reg = load_all()
+    rows = reg["bpe_tokenize_stats"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every word yields >= 1 subword; ratio consistent with the counts
+        assert r.n_subwords >= r.n_words
+        if r.n_words:
+            assert r.subwords_per_word == round(r.n_subwords / r.n_words, 6)
+
+    # roundtrip property on the real learned merges
+    merges = train_bpe_on_corpus(spark, sf_dir)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ("fast", "slow", "window", "aggregate"):
+        assert "".join(_bpe_encode_word(w, ranks)) == w + BPE_END
+
+
+def test_bpe_stats_deterministic(spark, sf_dir):
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+    q = load_all()["bpe_tokenize_stats"]
+    a = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    assert a == b
