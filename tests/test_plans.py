@@ -190,3 +190,45 @@ def test_image_phash_no_cartesian(spark, sf_dir):
     plan = physical(REG["image_phash_neardup"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_lm_is_broadcast_join(spark, sf_dir):
+    """The bigram LM (dimension-sized after the frequency floor) must join
+    back by broadcast, not a shuffled sort-merge."""
+    plan = physical(REG["bigram_lm_quality"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_grouping_sets_single_expand_pass(spark, sf_dir):
+    """GROUPING SETS must compile to one Expand feeding one aggregation
+    tree — not a union of three separate scans."""
+    plan = physical(REG["grouping_sets_revenue"].fn(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_skew_profile_two_level_agg(spark, sf_dir):
+    """Per-key counts then distribution stats: no join, no window — two
+    hash aggregations with map-side partials."""
+    plan = physical(REG["join_key_skew_profile"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_survivors_singletons_use_broadcast_anti_join(spark, sf_dir):
+    plan = physical(REG["dedup_cluster_survivors"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_pq_adc_no_cartesian_no_vector_shuffle(spark, sf_dir):
+    """ADC scoring happens in the codes scan's partitions; the only
+    shuffle is the final per-query top-k window."""
+    plan = physical(REG["ann_pq_adc"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_video_keyframe_is_shuffle_free(spark, sf_dir):
+    plan = physical(REG["video_keyframe_decode"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
