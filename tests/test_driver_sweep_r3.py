@@ -47,6 +47,11 @@ NEVER_CHECKED_ORACLE = [
     "events_retention_cohorts",
     "events_enriched_by_segment",
     "stream_foreachbatch_merge",
+    # round-3 additions (oracle-bearing, never driver-checked by definition)
+    "bigram_lm_quality",
+    "grouping_sets_revenue",
+    "join_key_skew_profile",
+    "dedup_cluster_survivors",
 ]
 
 REG = load_all()

@@ -28,6 +28,11 @@ GROUPED_QUERIES = [
     "dedup_exact_survivors",
     "tfidf_top_terms",
     "lang_id",
+    # r3 additions
+    "bigram_lm_quality",
+    "grouping_sets_revenue",
+    "dedup_cluster_survivors",
+    "bpe_tokenize_stats",
 ]
 
 
