@@ -107,6 +107,7 @@ _DRIVER_PRIORITY = [
     "ann_pq_adc",
     "bpe_tokenize_stats",
     "video_keyframe_decode",
+    "audio_window_features",
     "image_phash_neardup",
     "image_frame_sample",
     "sample_seeded",

@@ -526,3 +526,99 @@ def video_keyframe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .videocodec import ensure_video_corpus
 
     return video_keyframe_df(spark, ensure_video_corpus())
+
+
+# ---------------------------------------------------------------------------
+# Real audio decode: WAV corpus -> windowed energy / zero-crossing features
+# ---------------------------------------------------------------------------
+AUDIO_WINDOW_SCHEMA = (
+    "path string, sample_rate int, n_windows int, window_idx int, "
+    "sample_off int, rms double, zero_crossings int, peak int"
+)
+
+
+def audio_window_features_df(spark: SparkSession, root: str) -> DataFrame:
+    """The audio member of the real multimodal family: binaryFile scans
+    each .wav, a from-scratch RIFF chunk-walking parser
+    (sources/wavcodec.py) decodes PCM16, and each fixed-width sample
+    window emits RMS energy, zero-crossing count (integer-exact) and peak
+    amplitude — the windowing shape speech/audio pipelines run before any
+    model.
+
+    Scale posture: identical to the image/video kernels — decode and 1→N
+    expansion inside the scan's partitions, one Arrow hop, no shuffle;
+    output bounded at n_samples/WINDOW rows per clip."""
+    from .wavcodec import WINDOW
+
+    win = WINDOW
+
+    def kernel(batches: Iterator) -> Iterator:
+        # RIFF parse inlined: this closure ships by value; executors can't
+        # import the package when the driver runs from an arbitrary cwd.
+        import struct as _struct
+
+        import numpy as np
+        import pandas as pd
+
+        def parse(buf: bytes):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE file")
+            pos, rate, samples = 12, None, None
+            while pos + 8 <= len(buf):
+                tag = buf[pos : pos + 4]
+                (length,) = _struct.unpack("<I", buf[pos + 4 : pos + 8])
+                payload = buf[pos + 8 : pos + 8 + length]
+                if tag == b"fmt ":
+                    fmt, ch, rate, _, _, bits = _struct.unpack("<HHIIHH", payload[:16])
+                    if (fmt, ch, bits) != (1, 1, 16):
+                        raise ValueError("only PCM16 mono supported")
+                elif tag == b"data":
+                    samples = np.frombuffer(
+                        payload[: length - length % 2], dtype="<i2"
+                    ).astype(np.int64)
+                pos += 8 + length + (length & 1)
+            if rate is None or samples is None:
+                raise ValueError("missing fmt or data chunk")
+            return rate, samples
+
+        for pdf in batches:
+            out = {c: [] for c in (
+                "path", "sample_rate", "n_windows", "window_idx",
+                "sample_off", "rms", "zero_crossings", "peak",
+            )}
+            for path, buf in zip(pdf["path"], pdf["content"]):
+                rate, x = parse(bytes(buf))
+                n_win = len(x) // win
+                for i in range(n_win):
+                    seg = x[i * win : (i + 1) * win]
+                    zc = int(np.count_nonzero(np.signbit(seg[:-1]) != np.signbit(seg[1:])))
+                    out["path"].append(path)
+                    out["sample_rate"].append(rate)
+                    out["n_windows"].append(n_win)
+                    out["window_idx"].append(i)
+                    out["sample_off"].append(i * win)
+                    out["rms"].append(float(np.sqrt((seg.astype(np.float64) ** 2).mean())))
+                    out["zero_crossings"].append(zc)
+                    out["peak"].append(int(np.abs(seg).max()))
+            yield pd.DataFrame(out)
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(root)
+        .select("path", "content")
+        .mapInPandas(kernel, AUDIO_WINDOW_SCHEMA)
+    )
+
+
+@register(
+    "audio_window_features",
+    oracle=None,  # inputs are WAV files, not a DuckDB-visible table
+    tags=("multimodal", "audio", "ext"),
+)
+def audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: windowed audio features over the seeded WAV corpus
+    (written on first use; content-deterministic)."""
+    from .wavcodec import ensure_audio_corpus
+
+    return audio_window_features_df(spark, ensure_audio_corpus())
