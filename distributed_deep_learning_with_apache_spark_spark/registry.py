@@ -108,6 +108,7 @@ _DRIVER_PRIORITY = [
     "bpe_tokenize_stats",
     "video_keyframe_decode",
     "audio_window_features",
+    "source_pngv_connector",
     "image_phash_neardup",
     "image_frame_sample",
     "sample_seeded",
@@ -148,7 +149,7 @@ def load_all() -> dict[str, Query]:
         topk,
     )
     from .functions import arrays, text  # noqa: F401
-    from .sources import binary, formats, lake  # noqa: F401
+    from .sources import binary, formats, lake, pngv_datasource  # noqa: F401
     from .streaming import events  # noqa: F401
     from .ml import cnn as ml_cnn  # noqa: F401
     from .ml import distributed as ml_distributed  # noqa: F401

@@ -85,3 +85,25 @@ def test_spark_keyframe_pipeline_recovers_motion(spark):
             assert frames[1].mean_px == pytest.approx(float(ref.mean()), abs=0)
             checked_px += 1
     assert checked_px == 5
+
+
+def test_pngv_custom_datasource_matches_pipeline(spark):
+    """The Spark-4 Python Data Source connector must return the same
+    decoded stats as the mapInPandas pipeline: one partition per video,
+    keyframe pushdown at the source, bit-identical means."""
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+    from distributed_deep_learning_with_apache_spark_spark.sources.binary import (
+        video_keyframe_df,
+    )
+
+    reg = load_all()
+    conn = reg["source_pngv_connector"].fn(spark, "/root/testdata/sf0.001").collect()
+    pipe = video_keyframe_df(spark, ensure_video_corpus()).collect()
+    # connector paths are bare fs paths; pipeline paths are file: URIs
+    c = {(r.path.split("/")[-1], r.frame_idx): r for r in conn}
+    p = {(r.path.split("/")[-1], r.frame_idx): r for r in pipe}
+    assert set(c) == set(p)
+    assert len(c) == N_VIDEOS * ((FRAMES_PER_VIDEO + 2) // 3)
+    for k, rc in c.items():
+        assert rc.mean_px == p[k].mean_px, k
+        assert rc.n_frames == p[k].n_frames == FRAMES_PER_VIDEO
