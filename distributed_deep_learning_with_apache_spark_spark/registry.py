@@ -109,6 +109,7 @@ _DRIVER_PRIORITY = [
     "video_keyframe_decode",
     "audio_window_features",
     "source_pngv_connector",
+    "stream_custom_source_replay",
     "image_phash_neardup",
     "image_frame_sample",
     "sample_seeded",

@@ -787,3 +787,35 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
     )
     return _run_to_memory(agg, spark, "stream_static_enrich_sink", "complete")
+
+
+@register(
+    "stream_custom_source_replay",
+    oracle=None,  # custom streaming source; rows-only (twin-equality tested)
+    tags=("streaming", "structured", "source", "ext"),
+)
+def stream_custom_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming from a CUSTOM Python data source (streaming/
+    replay_source.py): the events fixture replays through
+    `spark.readStream.format("events_replay")` in deterministic
+    micro-batches, aggregated per event_type — the connector-level
+    exactly-once replay contract (position offsets + readBetweenOffsets)
+    exercised end-to-end. tests/test_streaming_source.py pins the result
+    equal to the batch groupBy twin."""
+    import os
+
+    from .replay_source import register_events_replay_source
+
+    register_events_replay_source(spark)
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("batch_rows", "2000")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    return _run_to_memory(agg, spark, "stream_custom_source_replay_sink", "complete")

@@ -1,0 +1,61 @@
+"""Custom streaming data source: deterministic replay, exactly-once
+offset contract, and equality with the batch twin."""
+
+from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+from distributed_deep_learning_with_apache_spark_spark.sources.catalog import load_table
+
+import pyspark.sql.functions as F
+
+REG = load_all()
+
+
+def test_stream_replay_equals_batch_twin(spark, sf_dir):
+    got = {
+        r.event_type: (r.n_events, r.min_event_id, r.max_event_id)
+        for r in REG["stream_custom_source_replay"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        r.event_type: (r.n_events, r.min_event_id, r.max_event_id)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .collect()
+    }
+    assert got == batch
+
+
+def test_replay_offsets_are_exactly_once(sf_dir):
+    """readBetweenOffsets must re-serve any committed range identically,
+    and consecutive read() calls must partition the stream without gaps
+    or overlaps."""
+    import os
+
+    from distributed_deep_learning_with_apache_spark_spark.streaming.replay_source import (
+        EventsReplayStreamReader,
+    )
+
+    rdr = EventsReplayStreamReader(
+        {"path": os.path.join(sf_dir, "events.parquet"), "batch_rows": "700"}
+    )
+    off = rdr.initialOffset()
+    seen = []
+    offsets = [off]
+    while True:
+        it, nxt = rdr.read(off)
+        rows = list(it)
+        if not rows:
+            break
+        seen.extend(rows)
+        offsets.append(nxt)
+        off = nxt
+    ids = [r[0] for r in seen]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)  # no gaps/dupes
+    # replay any committed range -> identical rows
+    assert len(offsets) >= 3  # at least two non-empty batches at every SF
+    last = min(3, len(offsets) - 1)
+    replay = list(rdr.readBetweenOffsets(offsets[1], offsets[last]))
+    assert replay == seen[700 : offsets[last]["pos"]]
