@@ -799,3 +799,83 @@ def chunk_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_tok"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: padding-waste accounting per power-of-two bucket
+# ---------------------------------------------------------------------------
+_PACK_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+
+def _bucket_case_sql(n: str) -> str:
+    parts = [f"WHEN {n} <= {b} THEN {b}" for b in _PACK_BUCKETS[:-1]]
+    return f"CASE {' '.join(parts)} ELSE {_PACK_BUCKETS[-1]} END"
+
+
+def _bucket_case_spark(n):
+    expr = F.lit(_PACK_BUCKETS[-1])
+    for b in reversed(_PACK_BUCKETS[:-1]):
+        expr = F.when(n <= b, F.lit(b)).otherwise(expr)
+    return expr
+
+
+@register(
+    "length_bucket_packing",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, len({DUCK_TOKENS.format(col='text')}) AS n_tok
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, n_tok, {_bucket_case_sql('n_tok')} AS bucket,
+                 least(n_tok, {_bucket_case_sql('n_tok')}) AS n_tok_capped
+          FROM t
+        )
+        SELECT bucket,
+               count(*) AS n_docs,
+               sum(n_tok_capped)::BIGINT AS sum_tokens,
+               (bucket * count(*))::BIGINT AS capacity,
+               round(1.0 - sum(n_tok_capped) / (bucket * count(*)), 6) + 0.0
+                 AS padding_waste
+        FROM b GROUP BY bucket
+    """,
+    doc="length-bucketed batch packing: per-bucket doc counts and padding waste",
+    tags=("curation", "ext"),
+)
+def length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching for training throughput: assign each
+    document to the smallest power-of-two token bucket that holds it
+    (clamped to [16, 512]; longer docs truncate into the top bucket) and
+    report per-bucket document count, packed token mass, slot capacity and
+    the padding-waste ratio — the quantity a batch scheduler minimizes when
+    it groups like-length sequences instead of padding everything to max
+    length.
+
+    Scale shape: the bucket id is pure per-row expression work inside the
+    scan, then ONE map-side-combinable hash aggregate over ≤6 bucket keys —
+    shuffle volume is 6 rows regardless of corpus size. In the training
+    pipeline the same bucket id is the repartition key that co-locates a
+    bucket's docs onto writers (repartition(bucket) → per-bucket shard
+    files), so the expensive movement happens once and is exactly the
+    movement the batch loader wants.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(tokens("text")).alias("n_tok"))
+    b = t.select(
+        "n_tok",
+        _bucket_case_spark(F.col("n_tok")).alias("bucket"),
+    ).select("bucket", F.least("n_tok", "bucket").alias("n_tok_capped"))
+    agged = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok_capped").cast("long").alias("sum_tokens"),
+    )
+    return agged.select(
+        "bucket",
+        "n_docs",
+        "sum_tokens",
+        (F.col("bucket") * F.col("n_docs")).cast("long").alias("capacity"),
+        (
+            F.round(F.lit(1.0) - F.col("sum_tokens") / (F.col("bucket") * F.col("n_docs")), 6)
+            + 0.0
+        ).alias("padding_waste"),
+    )

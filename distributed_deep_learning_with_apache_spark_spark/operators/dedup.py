@@ -796,3 +796,99 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return winners.unionByName(singletons)
+
+
+# ---------------------------------------------------------------------------
+# Substring-span dedup (suffix-array substring dedup, approximated by
+# fixed-stride character shingles — Lee et al. 2022, arXiv:2107.06499)
+# ---------------------------------------------------------------------------
+SPAN_LEN = 40  # characters per span
+SPAN_STRIDE = 20  # sampling stride (overlapping spans)
+_SPAN_MAX_OFF = 4096  # static offset domain for the oracle's range() table
+
+
+@register(
+    "substring_span_dedup",
+    oracle=f"""
+        WITH g AS (
+          SELECT doc_id, o, substr(text, o + 1, {SPAN_LEN}) AS gram
+          FROM documents CROSS JOIN range(0, {_SPAN_MAX_OFF}, {SPAN_STRIDE}) AS t(o)
+          WHERE o <= length(text) - {SPAN_LEN}
+        ),
+        dup AS (
+          SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+        ),
+        per_doc AS (
+          SELECT g.doc_id,
+                 count(*) AS n_spans,
+                 sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+          FROM g LEFT JOIN dup ON g.gram = dup.gram
+          GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_spans, 0) AS n_spans,
+               coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+               round(coalesce(p.n_dup_spans, 0)
+                     / greatest(coalesce(p.n_spans, 0), 1), 6) + 0.0 AS dup_span_ratio
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+    doc="substring-level dedup signal: cross-document repeated character spans",
+    tags=("dedup", "curation", "ext"),
+)
+def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication (the suffix-array dedup of Lee et al.
+    2022, 'Deduplicating Training Data Makes Language Models Better',
+    approximated distributively): sample overlapping SPAN_LEN-char spans at
+    SPAN_STRIDE from every document, mark a span duplicated when the same
+    characters occur in ANOTHER document, and report per-document
+    counts + duplicated-span ratio — the signal used to cut boilerplate
+    and templated text that document-level (exact/minhash) dedup misses.
+
+    Scale shape: span extraction is per-row array math inside the scan (no
+    shuffle); the only exchange is the hash-aggregate on the span text and
+    the equi-join back — both keyed on the span, so cost is linear in
+    corpus size with a stop-gram cap available exactly as in
+    near_dup_jaccard_stopfiltered. At 100 TB the span key shuffles as an
+    8-byte xxhash64 of the text rather than the 40 raw chars (the same
+    trick the minhash verify join uses); the raw-text key here keeps the
+    DuckDB oracle engine-exact at test SF.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    spans = (
+        d.filter(F.length("text") >= SPAN_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.length("text") - SPAN_LEN, F.lit(SPAN_STRIDE))
+            ).alias("o"),
+            "text",
+        )
+        .select("doc_id", F.expr(f"substring(text, o + 1, {SPAN_LEN})").alias("gram"))
+    )
+    dup = (
+        spans.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("gram")
+    )
+    per_doc = (
+        spans.join(dup.withColumn("is_dup", F.lit(1)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).alias("n_dup_spans"),
+        )
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        (
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0))
+                / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
+                6,
+            )
+            + 0.0
+        ).alias("dup_span_ratio"),
+    )

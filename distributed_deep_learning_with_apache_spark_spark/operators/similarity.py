@@ -747,3 +747,69 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup: cluster, then prune within-cluster)
+# ---------------------------------------------------------------------------
+SEMDEDUP_TAU = 0.35  # fixture-calibrated: prunes ~9% of vectors
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 {_duck_bucket('embedding::DOUBLE[]')} AS cell
+          FROM embeddings
+        ),
+        sim AS (
+          SELECT b.vec_id,
+                 max(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v)))) AS max_sim
+          FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          GROUP BY b.vec_id
+        )
+        SELECT e.vec_id, e.cell,
+               round(coalesce(sim.max_sim, -1.0), 6) + 0.0 AS max_sim_smaller,
+               coalesce(sim.max_sim, -1.0) < {SEMDEDUP_TAU} AS is_kept
+        FROM e LEFT JOIN sim ON e.vec_id = sim.vec_id
+    """,
+    doc="SemDeDup: coarse-cluster embeddings, prune within-cluster cosine near-dups",
+    tags=("similarity", "dedup", "ext"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    assign every embedding to a coarse cluster, compare only within-cluster
+    pairs, and drop any vector whose cosine to a LOWER-id cluster-mate
+    reaches tau — the deterministic min-id survivor rule, so the output is
+    a reproducible keep/drop decision per vector, not just candidate pairs.
+
+    Here the coarse quantizer is the engine-exact 16-cell LSH bucket (the
+    same deterministic hyperplanes as ann_lsh_bucketed); in production it
+    is the persisted IVF k-means assignment (ann_ivf_persisted) with ~100k
+    cells, so the within-cell self-join is an equi-join whose per-cell
+    fan-out is corpus_size/n_cells — quadratic only inside a cell, never
+    across the corpus. The join shuffles on the cell id; a skewed giant
+    cell is handled the same way IVF handles it: split cells until balanced
+    (AQE skew-join locally). Reference parity: generalizes the course's
+    exact-key Word2Vec lookup join (Word2VecTransformingIterator.java:123)
+    to similarity-keyed self-matching.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    e = e.withColumn("cell", _bucket_expr(F.col("v")))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("cell").alias("ca"))
+    sim = (
+        a.join(e, (F.col("ca") == F.col("cell")) & (F.col("id_a") < F.col("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.max(cosine(F.col("va"), F.col("v"))).alias("max_sim"))
+    )
+    return e.join(sim, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        (F.round(F.coalesce("max_sim", F.lit(-1.0)), 6) + 0.0).alias("max_sim_smaller"),
+        (F.coalesce("max_sim", F.lit(-1.0)) < SEMDEDUP_TAU).alias("is_kept"),
+    )

@@ -97,6 +97,9 @@ _DRIVER_PRIORITY = [
     "grouping_sets_revenue",
     "join_key_skew_profile",
     "dedup_cluster_survivors",
+    "semantic_dedup",
+    "substring_span_dedup",
+    "length_bucket_packing",
     # --- never-checked, rows-only (non-SQL-expressible by design) --------
     "image_decode_png",
     "ml_cnn_trained_conv",

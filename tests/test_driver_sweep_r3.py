@@ -52,6 +52,9 @@ NEVER_CHECKED_ORACLE = [
     "grouping_sets_revenue",
     "join_key_skew_profile",
     "dedup_cluster_survivors",
+    "semantic_dedup",
+    "substring_span_dedup",
+    "length_bucket_packing",
 ]
 
 REG = load_all()

@@ -33,6 +33,9 @@ GROUPED_QUERIES = [
     "grouping_sets_revenue",
     "dedup_cluster_survivors",
     "bpe_tokenize_stats",
+    "semantic_dedup",
+    "substring_span_dedup",
+    "length_bucket_packing",
 ]
 
 

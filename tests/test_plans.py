@@ -232,3 +232,26 @@ def test_pq_adc_no_cartesian_no_vector_shuffle(spark, sf_dir):
 def test_video_keyframe_is_shuffle_free(spark, sf_dir):
     plan = physical(REG["video_keyframe_decode"].fn(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_semantic_dedup_is_cell_equijoin(spark, sf_dir):
+    # The within-cluster self-compare must be an equi-join on the cell id,
+    # never an all-pairs product (SemDeDup's whole point at 100 TB).
+    plan = physical(REG["semantic_dedup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_span_dedup_no_cartesian(spark, sf_dir):
+    # Span → dup-gram marking is equi-keyed on the span text; the per-doc
+    # rollup joins back on doc_id. Nothing may degenerate to all-pairs.
+    plan = physical(REG["substring_span_dedup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_length_bucket_packing_single_agg_reads_text_only(spark, sf_dir):
+    # One hash aggregate over ≤6 bucket keys; the scan must prune to the
+    # text column (token counting needs nothing else).
+    plan = physical(REG["length_bucket_packing"].fn(spark, sf_dir))
+    assert "ReadSchema: struct<text:string>" in plan
