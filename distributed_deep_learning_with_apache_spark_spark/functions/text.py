@@ -385,14 +385,21 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # as F.filter's (element, index) form.
         return lambda x: x == F.lit(t)
 
-    base = d.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        *[
-            F.size(F.filter(toks, eq_term(t))).alias(f"tf_{i}")
-            for i, t in enumerate(BM25_QUERY)
-        ],
-    ).filter(F.col("dl") > 0)
+    # Materialize the token array once per row: inlining `toks` into dl and
+    # each per-term tf would re-run lower+split 4× per row (CollapseProject
+    # would otherwise merge the projections and duplicate the expression).
+    base = (
+        d.select("doc_id", toks.alias("tok"))
+        .select(
+            "doc_id",
+            F.size("tok").alias("dl"),
+            *[
+                F.size(F.filter(F.col("tok"), eq_term(t))).alias(f"tf_{i}")
+                for i, t in enumerate(BM25_QUERY)
+            ],
+        )
+        .filter(F.col("dl") > 0)
+    )
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("dl").alias("avgdl"),
@@ -741,4 +748,57 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_docs,
             "doc_id long, n_words int, n_subwords int, subwords_per_word double, n_singleton_chars int",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] Unicode normalization + whitespace hygiene (text cleanup pass)
+# ---------------------------------------------------------------------------
+@register(
+    "text_normalize_nfc",
+    oracle=r"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(nfc_normalize(coalesce(text, '')),
+                    '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+               CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(coalesce(text, '')),
+                    '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        FROM documents
+    """,
+    doc="Unicode NFC normalization + control-char strip + whitespace squash (corpus hygiene).",
+    tags=("text", "curation", "ext"),
+)
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first cleanup pass of a web-scale text pipeline: canonicalize
+    Unicode to NFC (so 'e'+combining-acute and 'é' dedup identically
+    downstream), turn control characters into spaces, squash runs of
+    spaces, trim. Exact-dedup and shingle fingerprints run AFTER this, so
+    it must be byte-deterministic — verified against DuckDB's
+    nfc_normalize.
+
+    Scale shape: NFC has no JVM built-in, so it runs as an Arrow-batched
+    pandas UDF (the documented non-relational edge); everything else —
+    control strip, squash, trim, length — stays JVM-side regexp so the
+    Python surface is exactly one str.map per batch. Shuffle-free.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: no pd.Series annotations — this module's `from __future__ import
+    # annotations` turns them into strings the UDF type inferrer rejects.
+    nfc = pandas_udf(
+        lambda col: col.map(lambda s: None if s is None else unicodedata.normalize("NFC", s)),
+        "string",
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(nfc(F.coalesce(F.col("text"), F.lit(""))), "[\\x00-\\x1F\\x7F]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id", cleaned.alias("norm_text"), F.length(cleaned).cast("long").alias("n_chars_norm")
     )

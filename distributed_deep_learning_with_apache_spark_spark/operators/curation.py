@@ -879,3 +879,117 @@ def length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("padding_waste"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] corpus-level boilerplate detection: top repeated n-grams
+# ---------------------------------------------------------------------------
+NGRAM_N = 3
+NGRAM_TOPK = 50
+
+
+@register(
+    "top_ngrams_boilerplate",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tok FROM documents),
+        g AS (
+          SELECT doc_id, unnest(CASE WHEN len(tok) >= {NGRAM_N}
+              THEN list_transform(generate_series(1, len(tok) - {NGRAM_N - 1}),
+                   i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+              ELSE [] END) AS ngram
+          FROM t
+        )
+        SELECT ngram,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM g GROUP BY ngram
+        ORDER BY n_occurrences DESC, ngram ASC LIMIT {NGRAM_TOPK}
+    """,
+    doc="Corpus-wide top trigrams with occurrence and doc-frequency counts (boilerplate detector).",
+    tags=("curation", "text", "ext", "scale"),
+)
+def top_ngrams_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate sweep a web-scale curation pipeline runs before
+    training: n-grams that recur across many documents (nav bars, cookie
+    banners, license headers) surface at the top and feed a removal list.
+
+    Scale shape: trigram construction is a scan-stage `transform` +
+    `explode` (no Python); the count is a map-side-combinable hash-agg on
+    the ngram string, and `count(DISTINCT doc_id)` expands in the same
+    aggregate; the final top-k compiles to `TakeOrderedAndProject`. Hot
+    n-grams are exactly the rows the partial agg compacts hardest, so the
+    skew works in our favor.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # Materialize the token array ONCE per row before the trigram transform:
+    # inlining `tokens("text")` into each element_at would re-run the
+    # lower+split per trigram element (measured 10× slower at sf0.1).
+    toked = d.select("doc_id", tokens("text").alias("tok"))
+    tok = F.col("tok")
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(tok) >= NGRAM_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tok) - (NGRAM_N - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(tok, i),
+                        F.element_at(tok, i + 1),
+                        F.element_at(tok, i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(NGRAM_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] deterministic per-group reservoir sample (exact k per stratum)
+# ---------------------------------------------------------------------------
+RESERVOIR_K = 5
+
+
+@register(
+    "reservoir_sample_per_group",
+    oracle=f"""
+        SELECT source, doc_id, rk FROM (
+          SELECT source, doc_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS BIGINT) AS rk
+          FROM documents
+        ) WHERE rk <= {RESERVOIR_K}
+    """,
+    doc="Exact-k-per-group uniform sample via md5-priority rank (deterministic reservoir).",
+    tags=("curation", "sample", "ext", "scale"),
+)
+def reservoir_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k docs per source, uniformly at random but fully
+    deterministic: rank rows within each group by the md5 of their key (a
+    fixed pseudo-random priority — the distributed equivalent of reservoir
+    sampling) and keep the top k. Re-running on the same corpus reproduces
+    the same sample; adding rows perturbs only the groups they land in.
+
+    Scale shape: one shuffle on the group key; the rank+filter compiles to
+    `WindowGroupLimit` (partial per-partition top-k before the exchange),
+    so no group ever materializes fully on one task even when a single
+    source dominates the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= RESERVOIR_K)
+    )

@@ -17,7 +17,7 @@ per table at any size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -124,3 +124,136 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# [EXT] distribution drift: Population Stability Index between time slices
+# ---------------------------------------------------------------------------
+PSI_BIN_WIDTH = 25.0
+PSI_N_BINS = 20  # values bin to least(floor(v/25), 19): fixed, SF-independent
+PSI_REF_CUTOFF = "2024-01-08"  # ref = first week, cur = the rest
+
+
+@register(
+    "psi_drift_events",
+    oracle=f"""
+        WITH binned AS (
+          SELECT least(CAST(floor(value / {PSI_BIN_WIDTH}) AS BIGINT), {PSI_N_BINS - 1}) AS bin_id,
+                 CASE WHEN ts < TIMESTAMP '{PSI_REF_CUTOFF}' THEN 1 ELSE 0 END AS is_ref
+          FROM events
+        ),
+        counts AS (
+          SELECT bin_id,
+                 CAST(sum(is_ref) AS BIGINT) AS n_ref,
+                 CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+          FROM binned GROUP BY bin_id
+        ),
+        smoothed AS (
+          SELECT bin_id, n_ref, n_cur,
+                 (n_ref + 0.5) / (sum(n_ref) OVER () + {0.5 * PSI_N_BINS}) AS p_ref,
+                 (n_cur + 0.5) / (sum(n_cur) OVER () + {0.5 * PSI_N_BINS}) AS p_cur
+          FROM counts
+        )
+        SELECT bin_id, n_ref, n_cur,
+               round(p_ref, 6) + 0.0 AS p_ref,
+               round(p_cur, 6) + 0.0 AS p_cur,
+               round((p_ref - p_cur) * ln(p_ref / p_cur), 6) + 0.0 AS psi_term
+        FROM smoothed
+    """,
+    doc="Population Stability Index of events.value, first week vs rest, fixed-width bins.",
+    tags=("quality", "drift", "ext", "scale"),
+)
+def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift check a training-data pipeline runs between ingestion
+    snapshots: bin a metric into fixed-width buckets, compare the reference
+    and current distributions, and report the per-bin PSI terms (the
+    publishing gate sums them and alerts above ~0.2).
+
+    Scale shape: binning is a scan-stage expression, the count is one
+    map-side-combinable hash-agg to ≤{PSI_N_BINS} rows, and the totals are
+    an unpartitioned window over those ≤{PSI_N_BINS} rows — post-agg, so
+    the single-partition window is size-bounded at any SF. Laplace
+    smoothing (+0.5) keeps ln() finite when a bin is empty on one side.
+    """
+    events = load_table(spark, sf_dir, "events")
+    binned = events.select(
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_WIDTH).cast("long"), F.lit(PSI_N_BINS - 1)
+        ).alias("bin_id"),
+        F.when(F.col("ts") < F.lit(PSI_REF_CUTOFF).cast("timestamp"), 1).otherwise(0).alias("is_ref"),
+    )
+    counts = binned.groupBy("bin_id").agg(
+        F.sum("is_ref").cast("long").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+    )
+    w = Window.partitionBy()
+    p_ref = (F.col("n_ref") + 0.5) / (F.sum("n_ref").over(w) + 0.5 * PSI_N_BINS)
+    p_cur = (F.col("n_cur") + 0.5) / (F.sum("n_cur").over(w) + 0.5 * PSI_N_BINS)
+    return counts.select(
+        "bin_id",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6).alias("psi_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] metric anomaly: trailing-window z-score over an hourly error series
+# ---------------------------------------------------------------------------
+Z_WINDOW = 24  # trailing hours used as the baseline (excludes current hour)
+
+
+@register(
+    "events_rate_anomaly_zscore",
+    oracle=f"""
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS hour,
+                 CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_err
+          FROM events GROUP BY date_trunc('hour', ts)
+        ),
+        scored AS (
+          SELECT hour, n_err,
+                 count(*) OVER w AS n_base,
+                 avg(n_err) OVER w AS mu,
+                 stddev_samp(n_err) OVER w AS sd
+          FROM hourly
+          WINDOW w AS (ORDER BY hour ROWS BETWEEN {Z_WINDOW} PRECEDING AND 1 PRECEDING)
+        )
+        SELECT hour, n_err, round((n_err - mu) / sd, 4) + 0.0 AS z
+        FROM scored
+        WHERE n_base = {Z_WINDOW} AND sd > 0
+    """,
+    doc="Hourly error-count z-score vs a trailing 24h baseline (ops monitoring / DQ alerting).",
+    tags=("quality", "drift", "window", "ext"),
+)
+def events_rate_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring query behind a data-quality alert: how anomalous is
+    this hour's error count vs the trailing day? Emits z only for hours
+    with a full 24-hour baseline and nonzero variance, so cold-start rows
+    never produce NULL/∞.
+
+    Scale shape: the hourly rollup is a map-side-combinable hash-agg
+    (cardinality = hours, not events); the trailing window is a ROWS frame
+    over the *aggregated* series ordered by hour. On a cluster this series
+    would be range-partitioned by day with AQE; at bounded test SF it is a
+    single in-memory partition. Integer counts make mean/stddev engine-
+    exact to ~1e-13, far inside the round-4 contract.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.when(F.col("event_type") == "error", 1)).cast("long").alias("n_err")
+    )
+    w = Window.orderBy("hour").rowsBetween(-Z_WINDOW, -1)
+    scored = hourly.select(
+        "hour",
+        "n_err",
+        F.count(F.lit(1)).over(w).alias("n_base"),
+        F.avg("n_err").over(w).alias("mu"),
+        F.stddev_samp("n_err").over(w).alias("sd"),
+    )
+    return (
+        scored.filter((F.col("n_base") == Z_WINDOW) & (F.col("sd") > 0))
+        .select("hour", "n_err", F.round((F.col("n_err") - F.col("mu")) / F.col("sd"), 4).alias("z"))
+    )

@@ -100,6 +100,12 @@ _DRIVER_PRIORITY = [
     "semantic_dedup",
     "substring_span_dedup",
     "length_bucket_packing",
+    "hybrid_retrieval_rrf",
+    "psi_drift_events",
+    "events_rate_anomaly_zscore",
+    "top_ngrams_boilerplate",
+    "reservoir_sample_per_group",
+    "text_normalize_nfc",
     # --- never-checked, rows-only (non-SQL-expressible by design) --------
     "image_decode_png",
     "ml_cnn_trained_conv",
@@ -111,6 +117,7 @@ _DRIVER_PRIORITY = [
     "bpe_tokenize_stats",
     "video_keyframe_decode",
     "audio_window_features",
+    "audio_spectrogram_peaks",
     "source_pngv_connector",
     "stream_custom_source_replay",
     "image_phash_neardup",
@@ -147,6 +154,7 @@ def load_all() -> dict[str, Query]:
         merge,
         quality,
         relational,
+        retrieval,
         setops,
         similarity,
         textpipe,

@@ -55,6 +55,12 @@ NEVER_CHECKED_ORACLE = [
     "semantic_dedup",
     "substring_span_dedup",
     "length_bucket_packing",
+    "hybrid_retrieval_rrf",
+    "psi_drift_events",
+    "events_rate_anomaly_zscore",
+    "top_ngrams_boilerplate",
+    "reservoir_sample_per_group",
+    "text_normalize_nfc",
 ]
 
 REG = load_all()

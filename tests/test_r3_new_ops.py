@@ -1,0 +1,137 @@
+"""Round-3 additions: plan gates + real-Unicode coverage for the hybrid
+retrieval / drift / sampling / normalization operators."""
+
+import os
+import tempfile
+import unicodedata
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from distributed_deep_learning_with_apache_spark_spark.functions.text import text_normalize_nfc
+from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+REG = load_all()
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hybrid_rrf_towers_end_in_topk(spark, sf_dir):
+    # Each tower is a global top-K (TakeOrderedAndProject); the only
+    # nested-loop join is the bounded 1-row query-vector broadcast plus the
+    # K-row full-outer fusion — never a corpus-sized cartesian.
+    plan = physical(REG["hybrid_retrieval_rrf"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_psi_window_runs_post_aggregation(spark, sf_dir):
+    # The unpartitioned totals window must sit ABOVE the bin hash-agg
+    # (bounded to ≤20 rows), never over the raw events scan.
+    plan = physical(REG["psi_drift_events"].fn(spark, sf_dir))
+    assert plan.index("Window") < plan.index("HashAggregate")  # toString is top-down
+
+
+def test_zscore_hourly_agg_before_window(spark, sf_dir):
+    plan = physical(REG["events_rate_anomaly_zscore"].fn(spark, sf_dir))
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_top_ngrams_is_take_ordered(spark, sf_dir):
+    plan = physical(REG["top_ngrams_boilerplate"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # trigram build is scan-stage: no Python eval anywhere in the plan
+    assert "Python" not in plan
+
+
+def test_reservoir_sample_uses_window_group_limit(spark, sf_dir):
+    # Exact-k-per-group must compile to WindowGroupLimit (partial top-k per
+    # partition before the single group-key exchange).
+    plan = physical(REG["reservoir_sample_per_group"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_reservoir_sample_exact_k_per_group(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = REG["reservoir_sample_per_group"].fn(spark, sf_dir)
+    sizes = df.groupBy("source").count().collect()
+    assert sizes, "no groups sampled"
+    assert all(r["count"] <= 5 for r in sizes)
+
+
+def test_nfc_normalize_is_shuffle_free(spark, sf_dir):
+    plan = physical(REG["text_normalize_nfc"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # the one documented Python edge, Arrow-batched
+
+
+def test_nfc_normalization_real_unicode(spark):
+    """The pandas-UDF NFC path must canonicalize combining sequences the
+    same way DuckDB's nfc_normalize does — checked on genuinely non-ASCII
+    inputs (the parquet fixture is ASCII, so this is the real coverage)."""
+    samples = [
+        "éclair",  # e + combining acute -> é
+        "Ångström",  # ring/diaeresis combining sequences
+        "ﬁ ligature\ttab",  # control char -> space
+        "already  normal",
+        "Å",  # ANGSTROM SIGN -> NFC maps to U+00C5
+        None,
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": list(range(len(samples))),
+                    "text": samples,
+                    "lang": ["en"] * len(samples),
+                    "source": ["src0"] * len(samples),
+                    "n_chars": [len(s) if s else 0 for s in samples],
+                }
+            ),
+            os.path.join(td, "documents.parquet"),
+        )
+        got = {r["doc_id"]: r["norm_text"] for r in text_normalize_nfc(spark, td).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        duck = con.execute(
+            r"SELECT trim(regexp_replace(regexp_replace(nfc_normalize(coalesce(?, '')),"
+            r" '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g'))",
+            [s],
+        ).fetchone()[0]
+        assert got[i] == duck, (i, s, got[i], duck)
+        # and both equal Python's own NFC after the same cleanup
+        py = unicodedata.normalize("NFC", s or "")
+        py = "".join(" " if (ord(c) < 0x20 or ord(c) == 0x7F) else c for c in py)
+        while "  " in py:
+            py = py.replace("  ", " ")
+        assert got[i] == py.strip(), (i, s)
+    con.close()
+
+
+def test_psi_total_is_small_on_stationary_fixture(spark, sf_dir):
+    # The events fixture is time-stationary by construction, so total PSI
+    # must land well under the 0.2 alert line — the op would be useless if
+    # a stationary series tripped it.
+    rows = REG["psi_drift_events"].fn(spark, sf_dir).collect()
+    total = sum(r["psi_term"] for r in rows)
+    assert 0.0 <= total < 0.1, total
+
+
+def test_hybrid_rrf_fuses_both_towers(spark, sf_dir):
+    rows = REG["hybrid_retrieval_rrf"].fn(spark, sf_dir).collect()
+    assert rows
+    has_both = [r for r in rows if r["lex_rank"] is not None and r["dense_rank"] is not None]
+    lex_only = [r for r in rows if r["dense_rank"] is None]
+    dense_only = [r for r in rows if r["lex_rank"] is None]
+    # the fused list is a genuine union: at least one doc per shape at test SF
+    assert lex_only or dense_only
+    top = max(rows, key=lambda r: (r["rrf_score"], -r["doc_id"]))
+    if has_both:
+        # a doc ranked by both towers should beat any single-tower doc with
+        # comparable ranks; at minimum the max-score doc is a both-tower doc
+        assert top["lex_rank"] is not None and top["dense_rank"] is not None
