@@ -59,6 +59,11 @@ QUERIES = [
     "anomaly_best_worst",
     "dedup_exact_survivors",
     "ann_ivf_persisted",
+    # round-3 additions
+    "hybrid_retrieval_rrf",
+    "top_ngrams_boilerplate",
+    "psi_drift_events",
+    "reservoir_sample_per_group",
 ]
 
 
