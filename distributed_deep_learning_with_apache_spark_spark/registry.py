@@ -106,6 +106,7 @@ _DRIVER_PRIORITY = [
     "top_ngrams_boilerplate",
     "reservoir_sample_per_group",
     "text_normalize_nfc",
+    "events_props_variant",
     # --- never-checked, rows-only (non-SQL-expressible by design) --------
     "image_decode_png",
     "ml_cnn_trained_conv",

@@ -819,3 +819,110 @@ def stream_custom_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("max_event_id"),
     )
     return _run_to_memory(agg, spark, "stream_custom_source_replay_sink", "complete")
+
+
+# ---------------------------------------------------------------------------
+# [EXT r3] Variant semi-structured path (Spark 4 parse_json / variant_get)
+# ---------------------------------------------------------------------------
+@register(
+    "events_props_variant",
+    oracle="""
+        SELECT event_type,
+               count(json_extract(props, '$.k')) AS n_k,
+               count(DISTINCT json_extract(props, '$.k')::INTEGER) AS n_distinct_k,
+               CAST(sum(json_extract(props, '$.k')::INTEGER) AS BIGINT) AS sum_k,
+               min(json_extract(props, '$.k')::INTEGER) AS min_k
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Semi-structured props via the Variant type: parse_json once, typed variant_get reads.",
+    tags=("streaming", "json", "variant", "ext", "scale"),
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4-native semi-structured path: `parse_json` turns the
+    props payload into a VARIANT (binary-encoded, parsed once at scan
+    time) and `variant_get` does typed field reads — at 100 TB this is
+    the shape that lets the engine shred/prune semi-structured columns
+    instead of re-parsing JSON text per expression, which is why it exists
+    alongside the from_json form (`events_props_json`).
+
+    Scale shape: parse + extract are scan-stage; one map-side-combinable
+    hash-agg on event_type (distinct expands in the same aggregate).
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r3] transformWithStateInPandas (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+def transform_with_state_available() -> bool:
+    """transformWithState's state-server protocol speaks protobuf; this
+    container ships PySpark 4.1 but NOT google.protobuf (and installs are
+    off-limits), so the operator is gated, not registered — a registered
+    query must run everywhere the driver runs. tests/test_streaming_source
+    exercises it under `pytest.importorskip`."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The successor API to applyInPandasWithState
+    (`stream_stateful_user_counters` keeps the classic, fully-runnable
+    form): a StatefulProcessor with an explicit ValueState handle maintains
+    per-user (n_events, total_value) across micro-batches. The handle-based
+    API is what unlocks multiple named states, timers and TTL on a real
+    job; gated on protobuf availability (see
+    `transform_with_state_available`).
+
+    Scale posture: state is per-key and O(1) per user (two numbers), keyed
+    by the shuffle that groupBy induces — the RocksDB-backed store shards
+    with the key space, so state size tracks active users, not events.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle):
+            self._agg = handle.getValueState("agg", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            prev = self._agg.get() if self._agg.exists() else None
+            n, total = prev if prev is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self):
+            pass
+
+    out = (
+        _stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return _run_to_memory(out, spark, "stream_tws_sink", "update")

@@ -61,6 +61,7 @@ NEVER_CHECKED_ORACLE = [
     "top_ngrams_boilerplate",
     "reservoir_sample_per_group",
     "text_normalize_nfc",
+    "events_props_variant",
 ]
 
 REG = load_all()

@@ -36,6 +36,14 @@ GROUPED_QUERIES = [
     "semantic_dedup",
     "substring_span_dedup",
     "length_bucket_packing",
+    # r3 second batch
+    "hybrid_retrieval_rrf",
+    "psi_drift_events",
+    "top_ngrams_boilerplate",
+    "reservoir_sample_per_group",
+    "text_normalize_nfc",
+    "events_rate_anomaly_zscore",
+    "events_props_variant",
 ]
 
 

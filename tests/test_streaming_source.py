@@ -59,3 +59,26 @@ def test_replay_offsets_are_exactly_once(sf_dir):
     last = min(3, len(offsets) - 1)
     replay = list(rdr.readBetweenOffsets(offsets[1], offsets[last]))
     assert replay == seen[700 : offsets[last]["pos"]]
+
+
+def test_transform_with_state_gated_capability(spark, sf_dir):
+    """transformWithStateInPandas needs google.protobuf for its state
+    protocol; this container doesn't ship it, so the op is a gated
+    capability, not a registered query. When protobuf IS present the
+    processor must produce per-user running totals."""
+    import pytest
+
+    from distributed_deep_learning_with_apache_spark_spark.streaming.events import (
+        stream_transform_with_state,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        with pytest.raises(Exception):
+            # without protobuf the state-server handshake fails loudly, not
+            # silently — pin that so the gate stays honest
+            stream_transform_with_state(spark, sf_dir).count()
+        pytest.skip("google.protobuf unavailable in this container")
+    df = stream_transform_with_state(spark, sf_dir)
+    assert df.columns == ["user_id", "n_events", "total_value"]
+    assert df.count() > 0
