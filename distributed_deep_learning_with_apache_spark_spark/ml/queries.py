@@ -459,3 +459,140 @@ def ml_word2vec_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2v = Word2Vec(vectorSize=16, minCount=2, seed=SEED, inputCol="tokens", outputCol="docvec")
     model = w2v.fit(toks)
     return model.transform(toks).select("doc_id", "docvec")
+
+
+# ---------------------------------------------------------------------------
+# [EXT r3] FP-Growth market-basket mining — itemsets of size <=2 are exact
+# SQL, so MLlib's answer is hash-checked against DuckDB
+# ---------------------------------------------------------------------------
+FP_MIN_COUNT = 3  # absolute support; converted to a fraction per corpus
+
+
+@register(
+    "ml_fpgrowth_item_pairs",
+    oracle=f"""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+        singles AS (
+          SELECT l_partkey AS item_a, CAST(NULL AS BIGINT) AS item_b,
+                 CAST(count(*) AS BIGINT) AS freq
+          FROM items GROUP BY l_partkey HAVING count(*) >= {FP_MIN_COUNT}
+        ),
+        pairs AS (
+          SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                 CAST(count(*) AS BIGINT) AS freq
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= {FP_MIN_COUNT}
+        )
+        SELECT * FROM singles UNION ALL SELECT * FROM pairs
+    """,
+    doc="FP-Growth frequent itemsets over order baskets; size<=2 sets hash-checked vs exact SQL.",
+    tags=("ml", "mining", "ext", "scale"),
+)
+def ml_fpgrowth_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining with MLlib FPGrowth over per-order part
+    baskets. FP-Growth is exact (not sampled), so its size-1/size-2
+    itemsets must equal the brute-force SQL counts — a rare chance to
+    hash-check an MLlib algorithm end-to-end. Larger itemsets exist in the
+    model; the query projects the SQL-expressible slice.
+
+    Scale shape: basket build is one collect_set hash-agg on l_orderkey;
+    FP-Growth itself is the distributed PFP algorithm (items partitioned
+    by frequency-list suffix), which is the published way to mine 100 TB
+    of baskets. minSupport is set as an absolute count ({FP_MIN_COUNT})
+    converted to a fraction, so semantics are SF-invariant.
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+    )
+    n_baskets = baskets.count()
+    fp = FPGrowth(
+        itemsCol="items",
+        # ceil(minSupport * n) == FP_MIN_COUNT: nudge below the exact
+        # fraction so float rounding can't push the threshold to +1.
+        minSupport=(FP_MIN_COUNT - 0.5) / n_baskets,
+        minConfidence=0.5,
+    )
+    model = fp.fit(baskets)
+    sets = model.freqItemsets.filter(F.size("items") <= 2)
+    return sets.select(
+        F.array_min("items").alias("item_a"),
+        F.when(F.size("items") == 2, F.array_max("items")).alias("item_b"),
+        F.col("freq").cast("long").alias("freq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r3] ALS implicit-feedback recommender (the remaining MLlib pillar)
+# ---------------------------------------------------------------------------
+@register(
+    "ml_als_recommend",
+    oracle=None,  # iterative factorization; rows-only + affinity tests
+    doc="Implicit-feedback ALS over (user, event_type) interaction counts; top-2 types per user.",
+    tags=("ml", "recommend", "ext"),
+)
+def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative filtering on the events log: interaction strength =
+    per-(user, event_type) count, ALS with implicitPrefs learns latent
+    factors, and each user gets their top-2 event types by predicted
+    affinity. This is the canonical 100 TB recommender shape: ALS is the
+    one MLlib algorithm designed around block-partitioned matrix
+    factorization (user/item blocks shuffle only factor vectors, never the
+    ratings triple-product).
+
+    Determinism: fixed seed + fixed blocking; rows-only at the driver.
+    Honesty note: the fixture's events are uniform across types, so
+    per-user discrimination is noise by construction — this query proves
+    the pipeline shape; the factorization *mechanism* is verified on a
+    blocked preference matrix in tests/test_ml.py::
+    test_als_recovers_block_preference_structure.
+    """
+    from pyspark.ml.recommendation import ALS
+
+    e = load_table(spark, sf_dir, "events")
+    type_ids = F.create_map(
+        *[
+            x
+            for i, t in enumerate(["click", "view", "purchase", "signup", "error"])
+            for x in (F.lit(t), F.lit(i))
+        ]
+    )
+    ratings = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("float").alias("strength"))
+        .select(
+            F.col("user_id").cast("int").alias("user"),
+            type_ids[F.col("event_type")].cast("int").alias("item"),
+            "strength",
+        )
+    )
+    als = ALS(
+        rank=4,
+        maxIter=8,
+        regParam=0.1,
+        implicitPrefs=True,
+        alpha=10.0,
+        seed=SEED,
+        userCol="user",
+        itemCol="item",
+        ratingCol="strength",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(2)
+    return recs.select(
+        F.col("user").cast("long").alias("user_id"),
+        F.posexplode("recommendations").alias("rank_idx", "rec"),
+    ).select(
+        "user_id",
+        (F.col("rank_idx") + 1).cast("long").alias("rnk"),
+        F.col("rec.item").cast("long").alias("event_type_id"),
+        F.round(F.col("rec.rating").cast("double"), 4).alias("affinity"),
+    )

@@ -107,6 +107,7 @@ _DRIVER_PRIORITY = [
     "reservoir_sample_per_group",
     "text_normalize_nfc",
     "events_props_variant",
+    "ml_fpgrowth_item_pairs",
     # --- never-checked, rows-only (non-SQL-expressible by design) --------
     "image_decode_png",
     "ml_cnn_trained_conv",
@@ -119,6 +120,7 @@ _DRIVER_PRIORITY = [
     "video_keyframe_decode",
     "audio_window_features",
     "audio_spectrogram_peaks",
+    "ml_als_recommend",
     "source_pngv_connector",
     "stream_custom_source_replay",
     "image_phash_neardup",

@@ -62,6 +62,7 @@ NEVER_CHECKED_ORACLE = [
     "reservoir_sample_per_group",
     "text_normalize_nfc",
     "events_props_variant",
+    "ml_fpgrowth_item_pairs",
 ]
 
 REG = load_all()

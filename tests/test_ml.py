@@ -222,3 +222,82 @@ def test_gru_gradients_match_numeric(spark):
             num = (lp - lm) / (2 * eps)
             ana = g[pi].reshape(-1)[k]
             assert abs(num - ana) < 1e-5 * max(1.0, abs(num)), (pi, k, num, ana)
+
+
+# ---------------------------------------------------------------------------
+# r3: FP-Growth + ALS (the remaining MLlib pillars)
+# ---------------------------------------------------------------------------
+def test_fpgrowth_pairs_match_bruteforce(spark, sf_dir):
+    # The oracle gate already hash-checks this; here pin the MLlib-vs-SQL
+    # equivalence explicitly on the pair slice (regression guard if the
+    # minSupport fraction-vs-count conversion ever drifts).
+    from pyspark.sql import functions as F
+
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import load_table
+
+    reg = load_all()
+    got = {
+        (r["item_a"], r["item_b"]): r["freq"]
+        for r in reg["ml_fpgrowth_item_pairs"].fn(spark, sf_dir).collect()
+        if r["item_b"] is not None
+    }
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    brute = {
+        (r["ia"], r["ib"]): r["freq"]
+        for r in (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("ia"), F.col("b.l_partkey").alias("ib")
+            )
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") >= 3)
+        ).collect()
+    }
+    assert got == brute
+
+
+def test_als_recommend_structure_and_determinism(spark, sf_dir):
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+    reg = load_all()
+    rows = reg["ml_als_recommend"].fn(spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+        assert 0 <= r["event_type_id"] <= 4
+        assert r["affinity"] == r["affinity"]  # not NaN
+    assert all(len(v) == 2 for v in by_user.values())
+    again = reg["ml_als_recommend"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_als_recovers_block_preference_structure(spark):
+    """The mechanism test the uniform fixture can't provide: on a blocked
+    interaction matrix (user block i interacts only with item block i),
+    implicit ALS must recommend within-block items first."""
+    from pyspark.ml.recommendation import ALS
+    from pyspark.sql import functions as F
+
+    interactions = [
+        (u, it, 5.0)
+        for u in range(40)
+        for it in ([0, 1] if u < 20 else [2, 3])
+    ]
+    df = spark.createDataFrame(interactions, "user int, item int, strength float")
+    als = ALS(
+        rank=2, maxIter=10, regParam=0.1, implicitPrefs=True, alpha=10.0,
+        seed=7, userCol="user", itemCol="item", ratingCol="strength",
+    )
+    recs = als.fit(df).recommendForAllUsers(2).collect()
+    assert len(recs) == 40
+    for r in recs:
+        block = {0, 1} if r["user"] < 20 else {2, 3}
+        top = {x["item"] for x in r["recommendations"]}
+        assert top == block, (r["user"], top)

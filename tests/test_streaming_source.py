@@ -82,3 +82,27 @@ def test_transform_with_state_gated_capability(spark, sf_dir):
     df = stream_transform_with_state(spark, sf_dir)
     assert df.columns == ["user_id", "n_events", "total_value"]
     assert df.count() > 0
+
+
+def test_streaming_state_ops_run_on_rocksdb_provider(spark, sf_dir):
+    """At 100 TB/day the HDFS-backed in-memory state store is not viable;
+    RocksDB is the production state backend (incremental checkpoints,
+    state spills to local disk). Pin that our stateful operators run
+    unmodified under it."""
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+    reg = load_all()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        n_win = reg["stream_tumbling_counts"].fn(spark, sf_dir).count()
+        n_state = reg["stream_stateful_user_counters"].fn(spark, sf_dir).count()
+        assert n_win > 0 and n_state > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
