@@ -108,6 +108,7 @@ _DRIVER_PRIORITY = [
     "text_normalize_nfc",
     "events_props_variant",
     "ml_fpgrowth_item_pairs",
+    "events_hourly_gapfill",
     # --- never-checked, rows-only (non-SQL-expressible by design) --------
     "image_decode_png",
     "ml_cnn_trained_conv",

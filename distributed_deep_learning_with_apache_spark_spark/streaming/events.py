@@ -926,3 +926,68 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(out, spark, "stream_tws_sink", "update")
+
+
+# ---------------------------------------------------------------------------
+# [EXT r3] time-series resample: dense hourly spine with gap flags
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+        WITH bounds AS (
+          SELECT date_trunc('hour', min(ts)) AS a, date_trunc('hour', max(ts)) AS b FROM events
+        ),
+        spine AS (SELECT unnest(generate_series(a, b, INTERVAL 1 HOUR)) AS hour FROM bounds),
+        types AS (SELECT DISTINCT event_type FROM events),
+        counts AS (
+          SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT s.hour, t.event_type,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS n_events,
+               CASE WHEN c.n IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM spine s
+        CROSS JOIN types t
+        LEFT JOIN counts c ON c.h = s.hour AND c.event_type = t.event_type
+    """,
+    doc="Dense hourly (hour x event_type) grid with zero-filled gaps — the resample step before any time-series model.",
+    tags=("streaming", "time", "resample", "ext"),
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling with gap materialization: a downstream forecaster (or the
+    z-score monitor) needs EVERY hour present, including the ones with no
+    events — absence is the signal. Build the dense (hour × type) spine
+    from the observed bounds, left-join the real counts, zero-fill.
+
+    Scale shape: the spine derives from one global min/max agg (1 row) and
+    explodes to hours×types — thousands of rows per month regardless of
+    event volume, so the crossJoin is bounded by calendar time, never by
+    data. The only full-size pass is the counts hash-agg; the grid join is
+    a broadcast of the (small) grid against the (aggregated) counts.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("a"),
+        F.date_trunc("hour", F.max("ts")).alias("b"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("a"), F.col("b"), F.expr("interval 1 hour"))).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    counts = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grid = spine.crossJoin(F.broadcast(types))
+    return (
+        grid.join(
+            counts,
+            (grid.hour == counts.h) & (grid.event_type == counts.event_type),
+            "left",
+        )
+        .select(
+            grid.hour,
+            grid.event_type,
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+    )

@@ -63,6 +63,7 @@ NEVER_CHECKED_ORACLE = [
     "text_normalize_nfc",
     "events_props_variant",
     "ml_fpgrowth_item_pairs",
+    "events_hourly_gapfill",
 ]
 
 REG = load_all()
