@@ -64,6 +64,10 @@ QUERIES = [
     "top_ngrams_boilerplate",
     "psi_drift_events",
     "reservoir_sample_per_group",
+    "ml_fpgrowth_item_pairs",
+    "events_hourly_gapfill",
+    "events_props_variant",
+    "events_rate_anomaly_zscore",
 ]
 
 
