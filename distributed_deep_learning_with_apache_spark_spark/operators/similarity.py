@@ -496,8 +496,13 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, root: str | None = None) -
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # Cache key includes the source file identity so a regenerated fixture
+    # invalidates the index (mtime-keying, same as catalog's ts-unit sniff
+    # and the lake snapshot table).
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     root = root or os.path.join(
-        IVF_INDEX_ROOT, sf_dir.strip("/").replace("/", "_")
+        IVF_INDEX_ROOT,
+        f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}",
     )
     marker = os.path.join(root, "_INDEX_COMPLETE")
     if os.path.exists(marker):

@@ -109,6 +109,7 @@ _DRIVER_PRIORITY = [
     "events_props_variant",
     "ml_fpgrowth_item_pairs",
     "events_hourly_gapfill",
+    "lake_snapshot_time_travel",
     # --- never-checked, rows-only (non-SQL-expressible by design) --------
     "image_decode_png",
     "ml_cnn_trained_conv",

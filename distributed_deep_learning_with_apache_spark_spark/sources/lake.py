@@ -219,3 +219,142 @@ def lake_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r3] Snapshot-manifest table format: append / delete / time travel
+# ---------------------------------------------------------------------------
+# The core mechanic of Iceberg/Delta, built from plain parquet + JSON so
+# the engine-side behaviors — snapshot isolation, time travel, immutable
+# data files — are demonstrable without a table-format library (none is
+# installed here). A snapshot is a JSON manifest listing the exact data
+# files that make up one table version; data files are never mutated, so
+# reading an old manifest IS time travel, and a writer that crashes before
+# publishing its manifest leaves readers untouched (atomic rename).
+# Production formats add file-level column stats to prune which files a
+# delete must rewrite; here deletes rewrite the live set wholesale, which
+# preserves the semantics at test scale and is documented as the delta.
+
+import glob as _glob
+import json as _json
+import os as _os
+
+SNAP_ROOT = "/tmp/ddl_spark_snapshot_v1"
+SNAP_DELETE_BELOW = 50_000.0  # v3 deletes orders cheaper than this
+
+
+def _snap_write_data(df: DataFrame, root: str, tag: str) -> list[str]:
+    """Write immutable data files under data/<tag>/; return ROOT-RELATIVE
+    paths (manifests must survive the staging-dir rename at publish)."""
+    out = _os.path.join(root, "data", tag)
+    df.write.mode("overwrite").parquet(out)
+    return sorted(
+        _os.path.relpath(f, root) for f in _glob.glob(_os.path.join(out, "*.parquet"))
+    )
+
+
+def _snap_commit(root: str, version: int, files: list[str], op: str) -> None:
+    """Publish a snapshot manifest atomically (tmp file + rename)."""
+    manifest = {"version": version, "operation": op, "files": files}
+    path = _os.path.join(root, f"snap_v{version}.json")
+    tmp = f"{path}.tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f)
+    _os.rename(tmp, path)
+
+
+def read_snapshot(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Time travel: a table version is exactly its manifest's file list."""
+    with open(_os.path.join(root, f"snap_v{version}.json")) as f:
+        manifest = _json.load(f)
+    return spark.read.parquet(*(_os.path.join(root, f) for f in manifest["files"]))
+
+
+def ensure_snapshot_table(spark: SparkSession, sf_dir: str, base: str = SNAP_ROOT) -> str:
+    """Build the three-version orders table once per sf_dir (idempotent,
+    atomic publish — same discipline as the media fixture builders):
+
+    - v1 append: even-keyed orders
+    - v2 append: the odd-keyed rest (v1's files are REUSED, not rewritten)
+    - v3 delete: copy-on-write removal of orders below SNAP_DELETE_BELOW
+    """
+    # Cache key includes the source file's identity: a regenerated fixture
+    # must invalidate the table (same mtime-keying discipline as
+    # catalog._events_ts_is_nanos, per round-2 ADVICE).
+    st = _os.stat(_os.path.join(sf_dir, "orders.parquet"))
+    slug = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}"
+    root = _os.path.join(base, slug)
+    done = _os.path.join(root, ".complete")
+    if _os.path.exists(done):
+        return root
+    stage = f"{root}.tmp.{_os.getpid()}"
+    _os.makedirs(stage, exist_ok=True)
+
+    orders = load_table(spark, sf_dir, "orders")
+    f1 = _snap_write_data(orders.filter(F.col("o_orderkey") % 2 == 0), stage, "add_even")
+    _snap_commit(stage, 1, f1, "append")
+    f2 = _snap_write_data(orders.filter(F.col("o_orderkey") % 2 == 1), stage, "add_odd")
+    _snap_commit(stage, 2, f1 + f2, "append")  # append = parent files + new
+    live = spark.read.parquet(*(_os.path.join(stage, f) for f in f1 + f2)).filter(
+        F.col("o_totalprice") >= SNAP_DELETE_BELOW
+    )
+    f3 = _snap_write_data(live, stage, "delete_cheap")
+    _snap_commit(stage, 3, f3, "delete")  # copy-on-write: fresh file set
+
+    with open(_os.path.join(stage, ".complete"), "w") as f:
+        f.write("ok")
+    try:
+        _os.rename(stage, root)
+    except OSError:
+        import shutil
+
+        if _os.path.exists(done):
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            shutil.rmtree(root, ignore_errors=True)
+            _os.rename(stage, root)
+    return root
+
+
+@register(
+    "lake_snapshot_time_travel",
+    oracle=f"""
+        SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2) FROM orders
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
+        FROM orders WHERE o_totalprice >= {SNAP_DELETE_BELOW}
+    """,
+    doc="Manifest-based snapshot table: append/append/delete history, each version read as-of.",
+    tags=("lake", "snapshot", "cdc", "ext", "scale"),
+)
+def lake_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read all three versions of the snapshot table AS OF their commit —
+    the file-level time travel that SCD2 (`scd2_as_of_lookup`) provides at
+    row level. The v1/v2 read proves appended files compose without
+    rewriting history; the v3 read proves the delete's copy-on-write file
+    set excludes exactly the deleted rows. Each version's numbers must
+    hash-match SQL over the source table.
+
+    Scale shape: manifests list files, so planning cost is O(files in
+    version), reads are ordinary pruned parquet scans, and concurrent
+    readers of old versions are untouched by new commits (immutable data
+    + atomic manifest rename).
+    """
+    root = ensure_snapshot_table(spark, sf_dir)
+    parts = []
+    for v in (1, 2, 3):
+        parts.append(
+            read_snapshot(spark, root, v).agg(
+                F.lit(v).cast("long").alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -64,6 +64,7 @@ NEVER_CHECKED_ORACLE = [
     "events_props_variant",
     "ml_fpgrowth_item_pairs",
     "events_hourly_gapfill",
+    "lake_snapshot_time_travel",
 ]
 
 REG = load_all()

@@ -141,3 +141,32 @@ def test_zorder_write_prunes_on_both_columns(spark, lineitem, tmp_path):
         (F.col("l_partkey") < max_p // 10) & (F.col("l_suppkey") < max_s // 10)
     ).count()
     assert got == want
+
+
+def test_snapshot_manifests_reuse_and_isolate_files(spark, sf_dir):
+    """Table-format semantics, asserted at the file level: append commits
+    REUSE the parent's data files (no history rewrite), the copy-on-write
+    delete publishes a disjoint file set, and old versions stay readable
+    and unchanged after later commits (immutability = time travel)."""
+    import json
+    import os
+
+    from distributed_deep_learning_with_apache_spark_spark.sources.lake import (
+        ensure_snapshot_table,
+        read_snapshot,
+    )
+
+    root = ensure_snapshot_table(spark, sf_dir)
+    manifests = {}
+    for v in (1, 2, 3):
+        with open(os.path.join(root, f"snap_v{v}.json")) as f:
+            manifests[v] = json.load(f)
+    f1, f2, f3 = (set(manifests[v]["files"]) for v in (1, 2, 3))
+    assert f1 < f2, "append must reuse v1's files and add new ones"
+    assert f3.isdisjoint(f2), "copy-on-write delete must publish fresh files"
+    n1, n2, n3 = (read_snapshot(spark, root, v).count() for v in (1, 2, 3))
+    assert n1 < n2 and n3 < n2
+    # time travel after later commits: v2 still returns the full pre-delete set
+    assert read_snapshot(spark, root, 2).count() == n2
+    # a crashed writer's unpublished manifest must be invisible
+    assert not [p for p in os.listdir(root) if p.endswith(".tmp")]
