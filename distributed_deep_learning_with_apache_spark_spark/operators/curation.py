@@ -993,3 +993,52 @@ def reservoir_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", "doc_id", F.row_number().over(w).cast("long").alias("rk"))
         .filter(F.col("rk") <= RESERVOIR_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+WSAMPLE_K = 50
+# Knuth multiplicative hash -> pseudo-uniform u in (0,1): pure integer
+# arithmetic both engines compute exactly (max product ~1.3e13 << 2^53).
+WSAMPLE_MULT = 2654435761
+WSAMPLE_MOD = 1048576  # 2^20
+
+
+@register(
+    "sample_weighted_quality",
+    oracle=f"""
+        SELECT doc_id, source, n_chars,
+               round(ln((((doc_id * {WSAMPLE_MULT} + 12345) % {WSAMPLE_MOD}) + 1)
+                        / {WSAMPLE_MOD + 1}.0) / n_chars, 6) + 0.0 AS es_key
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY ln((((doc_id * {WSAMPLE_MULT} + 12345) % {WSAMPLE_MOD}) + 1)
+                    / {WSAMPLE_MOD + 1}.0) / n_chars DESC, doc_id ASC
+        LIMIT {WSAMPLE_K}
+    """,
+    doc="Weighted sample without replacement: Efraimidis-Spirakis keys from a portable integer hash, weight = n_chars.",
+    tags=("curation", "sample", "ext", "scale"),
+)
+def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling — the standard way a training-data
+    pipeline up-samples high-quality documents without replacement:
+    Efraimidis-Spirakis assigns each row the key ln(u)/w (u pseudo-uniform,
+    w = weight, here n_chars) and the global top-k by key IS a weighted
+    sample without replacement. Deterministic: u derives from a
+    multiplicative integer hash of the key, exact on both engines, so the
+    sample is reproducible run-to-run and engine-to-engine.
+
+    Scale shape: the key is a scan-stage expression and the top-k compiles
+    to `TakeOrderedAndProject` — one pass, no shuffle beyond the k-row
+    merge, works identically at 5e2 or 5e9 docs.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (((F.col("doc_id") * WSAMPLE_MULT + 12345) % WSAMPLE_MOD) + 1) / float(WSAMPLE_MOD + 1)
+    es_key = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars", es_key.alias("k"))
+        .orderBy(F.col("k").desc(), F.col("doc_id").asc())
+        .limit(WSAMPLE_K)
+        .select("doc_id", "source", "n_chars", F.round("k", 6).alias("es_key"))
+    )

@@ -110,6 +110,8 @@ _DRIVER_PRIORITY = [
     "ml_fpgrowth_item_pairs",
     "events_hourly_gapfill",
     "lake_snapshot_time_travel",
+    "events_value_interpolate",
+    "sample_weighted_quality",
     # --- never-checked, rows-only (non-SQL-expressible by design) --------
     "image_decode_png",
     "ml_cnn_trained_conv",

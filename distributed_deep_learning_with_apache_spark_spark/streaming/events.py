@@ -991,3 +991,157 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r3] time-series linear interpolation over the dense spine
+# ---------------------------------------------------------------------------
+@register(
+    "events_value_interpolate",
+    oracle="""
+        WITH bounds AS (
+          SELECT date_trunc('hour', min(ts)) AS a, date_trunc('hour', max(ts)) AS b FROM events
+        ),
+        spine AS (SELECT unnest(generate_series(a, b, INTERVAL 1 HOUR)) AS hour FROM bounds),
+        types AS (SELECT DISTINCT event_type FROM events),
+        obs AS (
+          -- integer-exact bases (module discipline): per-row cent-scaling is
+          -- a scalar op on identical doubles, so S and n are the same exact
+          -- BIGINTs on both engines; every double below derives from them
+          -- via identical scalar expressions -> bit-identical, and no IEEE
+          -- double can sit exactly on a .00005 boundary, so round(,4) is
+          -- tie-rule-proof
+          SELECT date_trunc('hour', ts) AS h, event_type,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT s.hour, t.event_type,
+                 CAST(floor(epoch(s.hour)) / 3600 AS BIGINT) AS hx, o.s AS sv, o.n AS nn
+          FROM spine s CROSS JOIN types t
+          LEFT JOIN obs o ON o.h = s.hour AND o.event_type = t.event_type
+        ),
+        ctx AS (
+          SELECT hour, event_type, hx, sv, nn,
+                 last_value(sv IGNORE NULLS) OVER wp AS p_s,
+                 last_value(nn IGNORE NULLS) OVER wp AS p_n,
+                 max(CASE WHEN sv IS NOT NULL THEN hx END) OVER wp AS p_h,
+                 first_value(sv IGNORE NULLS) OVER wn AS n_s,
+                 first_value(nn IGNORE NULLS) OVER wn AS n_n,
+                 min(CASE WHEN sv IS NOT NULL THEN hx END) OVER wn AS n_h
+          FROM grid
+          WINDOW wp AS (PARTITION BY event_type ORDER BY hx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 wn AS (PARTITION BY event_type ORDER BY hx
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        )
+        SELECT hour, event_type,
+               -- floor-based half-up rounding: identical IEEE ops on
+               -- identical bits, so the engines cannot disagree (their
+               -- native round() implementations differ near boundaries)
+               floor(sv / (100.0 * nn) * 10000 + 0.5) / 10000.0 AS v_obs,
+               floor((CASE
+                 WHEN sv IS NOT NULL THEN sv / (100.0 * nn)
+                 WHEN p_s IS NOT NULL AND n_s IS NOT NULL
+                   THEN p_s / (100.0 * p_n)
+                        + (n_s / (100.0 * n_n) - p_s / (100.0 * p_n))
+                          * (hx - p_h) / (n_h - p_h)
+                 WHEN p_s IS NOT NULL THEN p_s / (100.0 * p_n)
+                 ELSE n_s / (100.0 * n_n) END) * 10000 + 0.5) / 10000.0 AS v_filled,
+               CASE WHEN sv IS NULL THEN 1 ELSE 0 END AS is_interpolated
+        FROM ctx
+    """,
+    doc="Linear interpolation of the hourly mean-value series across gap hours (edge hours forward/back fill).",
+    tags=("streaming", "time", "resample", "window", "ext"),
+)
+def events_value_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-series sibling of `events_hourly_gapfill`: where that op
+    zero-fills counts (absence is signal), a *measurement* series needs
+    gaps bridged — linear interpolation between the nearest observed
+    neighbors, forward/back fill at the series edges. This is the feature
+    a forecaster or sensor pipeline trains on.
+
+    Scale shape: the dense grid is calendar-bounded (hours × types); both
+    context windows are per-type ordered frames over that *aggregated*
+    grid, so the sort cost is hours-not-events; IGNORE-NULLS last/first
+    are O(1)-per-row running values, not per-row rescans.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("a"),
+        F.date_trunc("hour", F.max("ts")).alias("b"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("a"), F.col("b"), F.expr("interval 1 hour"))).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    # Integer-exact bases: cent-scale per row (scalar op on identical
+    # doubles -> identical BIGINTs on both engines), carry (sum, count)
+    # through the windows, and derive every emitted double from those
+    # integers with the same scalar expression the oracle uses. No IEEE
+    # double sits exactly on a .00005 boundary, so round(,4) of identical
+    # doubles is tie-rule-proof — this is what makes linear interpolation
+    # hash-portable where a naive avg() fold is not.
+    obs = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), "event_type").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("sv"),
+        F.count(F.lit(1)).cast("long").alias("nn"),
+    )
+    g = spine.crossJoin(F.broadcast(types))
+    grid = (
+        g.join(obs, (g.hour == obs.h) & (g.event_type == obs.event_type), "left")
+        .select(
+            g.hour,
+            g.event_type,
+            F.floor(F.unix_timestamp(g.hour) / 3600).cast("long").alias("hx"),
+            "sv",
+            "nn",
+        )
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ctx = grid.select(
+        "hour",
+        "event_type",
+        "hx",
+        "sv",
+        "nn",
+        F.last("sv", ignorenulls=True).over(wp).alias("p_s"),
+        F.last("nn", ignorenulls=True).over(wp).alias("p_n"),
+        F.max(F.when(F.col("sv").isNotNull(), F.col("hx"))).over(wp).alias("p_h"),
+        F.first("sv", ignorenulls=True).over(wn).alias("n_s"),
+        F.first("nn", ignorenulls=True).over(wn).alias("n_n"),
+        F.min(F.when(F.col("sv").isNotNull(), F.col("hx"))).over(wn).alias("n_h"),
+    )
+    v = F.col("sv") / (100.0 * F.col("nn"))
+    pv = F.col("p_s") / (100.0 * F.col("p_n"))
+    nv = F.col("n_s") / (100.0 * F.col("n_n"))
+    filled = (
+        F.when(F.col("sv").isNotNull(), v)
+        .when(
+            F.col("p_s").isNotNull() & F.col("n_s").isNotNull(),
+            pv + (nv - pv) * (F.col("hx") - F.col("p_h")) / (F.col("n_h") - F.col("p_h")),
+        )
+        .when(F.col("p_s").isNotNull(), pv)
+        .otherwise(nv)
+    )
+    def half_up_4(col):
+        # explicit floor-based half-up: IEEE-identical across engines,
+        # unlike native round() whose boundary behavior differs
+        return F.floor(col * 10000 + 0.5) / 10000.0
+
+    return ctx.select(
+        "hour",
+        "event_type",
+        half_up_4(v).alias("v_obs"),
+        half_up_4(filled).alias("v_filled"),
+        F.when(F.col("sv").isNull(), 1).otherwise(0).alias("is_interpolated"),
+    )

@@ -65,6 +65,8 @@ NEVER_CHECKED_ORACLE = [
     "ml_fpgrowth_item_pairs",
     "events_hourly_gapfill",
     "lake_snapshot_time_travel",
+    "events_value_interpolate",
+    "sample_weighted_quality",
 ]
 
 REG = load_all()

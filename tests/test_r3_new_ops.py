@@ -135,3 +135,54 @@ def test_hybrid_rrf_fuses_both_towers(spark, sf_dir):
         # a doc ranked by both towers should beat any single-tower doc with
         # comparable ranks; at minimum the max-score doc is a both-tower doc
         assert top["lex_rank"] is not None and top["dense_rank"] is not None
+
+
+def test_interpolation_semantics_on_constructed_gap(spark, sf_dir):
+    """Pin the interpolation math itself: interpolated points must lie on
+    the straight line between their observed neighbors, and observed
+    points pass through unchanged."""
+    rows = REG["events_value_interpolate"].fn(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    checked = 0
+    for series in by_type.values():
+        series.sort(key=lambda r: r["hour"])
+        for i, r in enumerate(series):
+            if r["is_interpolated"] == 0:
+                assert r["v_filled"] == r["v_obs"]
+                continue
+            assert r["v_obs"] is None
+            prev = next((s for s in reversed(series[:i]) if s["is_interpolated"] == 0), None)
+            nxt = next((s for s in series[i + 1 :] if s["is_interpolated"] == 0), None)
+            if prev is None or nxt is None:
+                # edge: forward/back fill
+                anchor = prev or nxt
+                assert abs(r["v_filled"] - anchor["v_filled"]) < 1e-9
+                continue
+            span = (nxt["hour"] - prev["hour"]).total_seconds()
+            frac = (r["hour"] - prev["hour"]).total_seconds() / span
+            expect = prev["v_filled"] + (nxt["v_filled"] - prev["v_filled"]) * frac
+            assert abs(r["v_filled"] - expect) < 5e-4, (r, expect)
+            checked += 1
+    assert checked > 0, "no interior gaps in fixture — test vacuous"
+
+
+def test_weighted_sample_skews_toward_weight(spark, sf_dir):
+    """Efraimidis-Spirakis with weight = n_chars must over-represent long
+    docs relative to the corpus mean, deterministically."""
+    from pyspark.sql import functions as F
+
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import load_table
+
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    samp = REG["sample_weighted_quality"].fn(spark, sf_dir)
+    samp_mean = samp.agg(F.avg("n_chars")).first()[0]
+    assert samp_mean > corpus_mean, (samp_mean, corpus_mean)
+    # and the plan is a shuffle-free global top-k
+    plan = physical(samp)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
