@@ -153,3 +153,42 @@ def test_rate_source_unbounded_stream(spark):
         assert q.isActive
     finally:
         q.stop()
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """At 100 TB a hot join key is routine; the engine's answer is AQE's
+    runtime skew-join splitting. Force tiny skew thresholds on a join
+    where 80% of the left side shares one key and assert the FINAL
+    adaptive plan carries the skew=true sort-merge-join marker — i.e. the
+    hot partition was actually split, not just tolerated."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 8, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 2_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = left.join(right, "k")
+        n = len(j.collect())  # same Dataset: its QueryExecution holds the final plan
+        assert n == 160_400
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the hot partition"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
