@@ -513,6 +513,9 @@ def ml_fpgrowth_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_set("l_partkey").alias("items"))
     )
     n_baskets = baskets.count()
+    if n_baskets == 0:
+        # partition-pruned-to-nothing case: no baskets -> no itemsets
+        return spark.createDataFrame([], "item_a bigint, item_b bigint, freq bigint")
     fp = FPGrowth(
         itemsCol="items",
         # ceil(minSupport * n) == FP_MIN_COUNT: nudge below the exact

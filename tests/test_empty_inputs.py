@@ -44,6 +44,10 @@ GROUPED_QUERIES = [
     "text_normalize_nfc",
     "events_rate_anomaly_zscore",
     "events_props_variant",
+    "events_hourly_gapfill",
+    "events_value_interpolate",
+    "sample_weighted_quality",
+    "ml_fpgrowth_item_pairs",
 ]
 
 
