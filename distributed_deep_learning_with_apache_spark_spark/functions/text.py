@@ -300,7 +300,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprints",
     oracle=f"""
         SELECT doc_id,
-               md5(array_to_string(list_sort(list_distinct({DUCK_TOKENS.format(col='text')})), ' ')) AS fingerprint,
+               md5(coalesce(array_to_string(list_sort(list_distinct({DUCK_TOKENS.format(col='text')})), ' '), '')) AS fingerprint,
                md5(text) AS exact_hash
         FROM documents
     """,

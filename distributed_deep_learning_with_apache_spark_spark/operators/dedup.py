@@ -60,7 +60,7 @@ def shingles(col="text", n: int = 3):
     oracle=f"""
         WITH fp AS (
           SELECT doc_id,
-                 md5(array_to_string(list_sort(list_distinct({DUCK_TOKENS.format(col='text')})), ' ')) AS fingerprint
+                 md5(coalesce(array_to_string(list_sort(list_distinct({DUCK_TOKENS.format(col='text')})), ' '), '')) AS fingerprint
           FROM documents
         )
         SELECT fingerprint, min(doc_id) AS keeper_doc_id, count(*) AS group_size
