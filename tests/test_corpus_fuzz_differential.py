@@ -94,3 +94,85 @@ def test_doc_queries_match_oracle_on_hostile_corpora(spark, tmp_path_factory, na
         assert ok, f"{name} on corpus {texts!r}: {msg}"
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Events-table fuzz: hostile time series through the windowed/resample ops
+# ---------------------------------------------------------------------------
+EVENT_QUERIES = [
+    "events_tumbling_hourly",
+    "events_sessionized",
+    "events_latest_per_user_type",
+    "events_hourly_gapfill",
+    "events_value_interpolate",
+    "events_props_variant",
+]
+
+import datetime as _dt
+
+event_times = st.integers(min_value=0, max_value=3600 * 24 * 3 - 1)  # 3-day span, s
+props_values = st.one_of(
+    st.just('{"k": 1}'),
+    st.just('{"k": 777}'),
+    st.just('{"x": 9}'),  # key absent -> NULL extraction on both engines
+    st.just("{}"),
+)
+
+
+@st.composite
+def event_tables(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    rows = []
+    for i in range(n):
+        t = draw(event_times)
+        rows.append(
+            {
+                "event_id": i,
+                "ts": _dt.datetime(2024, 3, 1) + _dt.timedelta(seconds=t),
+                "user_id": draw(st.integers(min_value=0, max_value=2)),
+                "event_type": draw(st.sampled_from(["click", "error"])),
+                "value": draw(st.sampled_from([0.01, 5.5, 123.45, 499.99])),
+                "props": draw(props_values),
+            }
+        )
+    if n >= 2 and draw(st.booleans()):
+        rows[-1]["ts"] = rows[0]["ts"]  # force an exact timestamp tie
+        rows[-1]["user_id"] = rows[0]["user_id"]
+    return rows
+
+
+def _write_events(td: str, rows) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+                "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+                "event_type": pa.array([r["event_type"] for r in rows]),
+                "value": pa.array([r["value"] for r in rows], pa.float64()),
+                "props": pa.array([r["props"] for r in rows]),
+            }
+        ),
+        os.path.join(td, "events.parquet"),
+    )
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+@given(rows=event_tables())
+@settings(
+    max_examples=4,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_event_queries_match_oracle_on_hostile_series(spark, tmp_path_factory, name, rows):
+    td = str(tmp_path_factory.mktemp("fuzz_events"))
+    _write_events(td, rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{td}/events.parquet')")
+    try:
+        q = REG[name]
+        ok, msg = compare(q.fn(spark, td), con, q.oracle)
+        assert ok, f"{name} on {len(rows)} rows: {msg}"
+    finally:
+        con.close()
