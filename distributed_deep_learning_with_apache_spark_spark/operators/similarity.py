@@ -213,9 +213,11 @@ def near_dup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT vec_id,
                round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
-               round(list_dot_product(
-                   list_transform(v, x -> x / sqrt(list_dot_product(v, v))),
-                   list_transform(v, x -> x / sqrt(list_dot_product(v, v)))), 6) AS unit_dot
+               CASE WHEN list_dot_product(v, v) > 0 THEN
+                 round(list_dot_product(
+                     list_transform(v, x -> x / sqrt(list_dot_product(v, v))),
+                     list_transform(v, x -> x / sqrt(list_dot_product(v, v)))), 6)
+               END AS unit_dot
         FROM e
     """,
     tags=("similarity", "ext"),
@@ -227,11 +229,14 @@ def embedding_l2_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.arrays import l2_norm
 
     norm = l2_norm(F.col("v"))
+    # Zero vectors (dead embeddings) are a legitimate production edge: the
+    # unit vector is undefined there, so emit NULL rather than tripping
+    # ANSI DIVIDE_BY_ZERO (caught by the corpus fuzz suite).
     unit = F.transform(F.col("v"), lambda x: x / norm)
     return e.select(
         "vec_id",
         F.round(norm, 6).alias("l2_norm"),
-        F.round(dot(unit, unit), 6).alias("unit_dot"),
+        F.when(norm > 0, F.round(dot(unit, unit), 6)).alias("unit_dot"),
     )
 
 

@@ -176,3 +176,65 @@ def test_event_queries_match_oracle_on_hostile_series(spark, tmp_path_factory, n
         assert ok, f"{name} on {len(rows)} rows: {msg}"
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Embeddings-table fuzz: FP-fold parity on hostile vectors
+# ---------------------------------------------------------------------------
+EMB_QUERIES = [
+    "embedding_l2_normalized",
+    "embedding_quantize_int8",
+    "embedding_dim_means",
+    "embedding_argmax",
+    "vector_scalar_ops",
+]
+
+vec_component = st.sampled_from([0.0, 1.0, -1.0, 0.5, -0.25, 123.456, 1e-6, -1e-6])
+
+
+@st.composite
+def embedding_tables(draw):
+    n = draw(st.integers(min_value=1, max_value=6))
+    dim = 64  # fixture dim: the array ops assume it
+    vecs = [[draw(vec_component) for _ in range(dim)] for _ in range(n)]
+    if draw(st.booleans()):
+        vecs[0] = [0.0] * dim  # the all-zero vector: L2-normalize's edge
+    return vecs
+
+
+def _write_embeddings(td: str, vecs) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([i % 3 for i in range(len(vecs))], pa.int32()),
+            }
+        ),
+        os.path.join(td, "embeddings.parquet"),
+    )
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+@given(vecs=embedding_tables())
+@settings(
+    max_examples=4,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_embedding_queries_match_oracle_on_hostile_vectors(
+    spark, tmp_path_factory, name, vecs
+):
+    td = str(tmp_path_factory.mktemp("fuzz_emb"))
+    _write_embeddings(td, vecs)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{td}/embeddings.parquet')"
+    )
+    try:
+        q = REG[name]
+        ok, msg = compare(q.fn(spark, td), con, q.oracle)
+        assert ok, f"{name} on {len(vecs)} vectors: {msg}"
+    finally:
+        con.close()
