@@ -11,6 +11,12 @@ with array<float> cast to array<double> so the DuckDB oracle
 (`::DOUBLE[]` + list_dot_product) is numerically aligned; outputs round to
 6 decimals.
 
+Precondition: the cosine-scoring operators assume nonzero vectors — a
+production pipeline runs `embedding_l2_normalized` first and drops rows
+with `l2_norm == 0` (dead embeddings), which is why that op is the one
+place the zero vector is explicitly handled (NULL unit_dot) rather than
+an error.
+
 Reference parity: generalizes the embedding-lookup join J1
 (`Word2VecTransformingIterator.java:123`) from exact key equality to
 nearest-neighbor retrieval — the same dimension-table pattern the course's
