@@ -771,7 +771,7 @@ CHUNK_S = 4  # stride (50% overlap)
         SELECT doc_id,
                CAST((s - 1) / {CHUNK_S} AS BIGINT) AS chunk_idx,
                CAST(len(list_slice(t, s, s + {CHUNK_W} - 1)) AS BIGINT) AS n_tok,
-               md5(array_to_string(list_slice(t, s, s + {CHUNK_W} - 1), ' ')) AS chunk_md5
+               md5(coalesce(array_to_string(list_slice(t, s, s + {CHUNK_W} - 1), ' '), '')) AS chunk_md5
         FROM starts
     """,
     doc="Overlapping token chunking (width 8, stride 4): the RAG/context-window shaping pass.",

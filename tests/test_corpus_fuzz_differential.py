@@ -37,6 +37,15 @@ DOC_QUERIES = [
     "top_ngrams_boilerplate",
     "text_normalize_nfc",
     "reservoir_sample_per_group",
+    "lang_id",
+    "vocab_filter_truncate",
+    "tfidf_top_terms",
+    "bm25_topk",
+    "inverted_index_postings",
+    "simhash_fingerprints",
+    "chunk_overlapping",
+    "length_bucket_packing",
+    "sample_weighted_quality",
 ]
 
 WORDS = ["spark", "hash", "join", "the", "a", "scan", "émigré", "data1"]
