@@ -257,3 +257,47 @@ def events_rate_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter((F.col("n_base") == Z_WINDOW) & (F.col("sd") > 0))
         .select("hour", "n_err", F.round((F.col("n_err") - F.col("mu")) / F.col("sd"), 4).alias("z"))
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r3] mergeable HLL sketch rollup (incremental distinct-count at scale)
+# ---------------------------------------------------------------------------
+@register(
+    "hll_daily_distinct_rollup",
+    oracle=None,  # Datasketches binary sketches; exactness pinned in tests
+    doc="Per-day HLL user sketches unioned into running distinct-user counts (the mergeable-rollup pattern).",
+    tags=("quality", "approx", "sketch", "ext", "scale"),
+)
+def hll_daily_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB distinct-count pattern: you never re-scan history — each
+    day aggregates once into a KB-sized Datasketches HLL, and any window's
+    distinct-user count is a UNION of stored day sketches. This query
+    materializes the per-day sketches, then answers 'distinct users up to
+    day D' for every D by unioning prefixes — the incremental rollup a
+    daily pipeline would persist.
+
+    Accuracy/mergeability are pinned in tests: union-of-days estimate ==
+    whole-table sketch estimate exactly (same sketch family), and both
+    land within ~3% of the true distinct count (lgConfigK=12 → ~1.6% RSE).
+
+    Scale shape: sketch build is a map-side-combinable agg (partials merge
+    associatively); day sketches are ~KB regardless of row count; the
+    prefix union runs over |days| rows, not |events|.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sketch"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # Running union over the (aggregated, |days|-sized) series: an
+    # unpartitioned window over post-agg rows, same bounded shape as
+    # psi_drift_events' totals.
+    return daily.select(
+        "day",
+        "n_events",
+        F.hll_sketch_estimate(F.col("sketch")).cast("long").alias("distinct_users_day"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch")).over(w))
+        .cast("long")
+        .alias("distinct_users_cumulative"),
+    )

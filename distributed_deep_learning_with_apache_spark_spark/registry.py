@@ -125,6 +125,7 @@ _DRIVER_PRIORITY = [
     "audio_window_features",
     "audio_spectrogram_peaks",
     "ml_als_recommend",
+    "hll_daily_distinct_rollup",
     "source_pngv_connector",
     "stream_custom_source_replay",
     "image_phash_neardup",

@@ -186,3 +186,29 @@ def test_weighted_sample_skews_toward_weight(spark, sf_dir):
     plan = physical(samp)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_hll_rollup_mergeable_and_accurate(spark, sf_dir):
+    """Mergeability is the point: union-of-day-sketches must equal the
+    whole-table sketch estimate exactly (same sketch family, associative
+    merge), and both must land within ~3% of the true distinct count."""
+    from pyspark.sql import functions as F
+
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import load_table
+
+    rows = REG["hll_daily_distinct_rollup"].fn(spark, sf_dir).collect()
+    assert rows
+    final_cum = max(rows, key=lambda r: r["day"])["distinct_users_cumulative"]
+
+    e = load_table(spark, sf_dir, "events")
+    whole = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id"), F.lit(12)))
+        .cast("long")
+        .alias("est"),
+        F.countDistinct("user_id").alias("true_n"),
+    ).first()
+    assert final_cum == whole["est"], "prefix-union != whole-table sketch"
+    assert abs(final_cum - whole["true_n"]) / whole["true_n"] < 0.03
+    # cumulative series must be nondecreasing
+    seq = [r["distinct_users_cumulative"] for r in sorted(rows, key=lambda r: r["day"])]
+    assert all(a <= b for a, b in zip(seq, seq[1:]))
