@@ -126,6 +126,7 @@ _DRIVER_PRIORITY = [
     "audio_spectrogram_peaks",
     "ml_als_recommend",
     "hll_daily_distinct_rollup",
+    "image_resize_pool",
     "source_pngv_connector",
     "stream_custom_source_replay",
     "image_phash_neardup",

@@ -730,3 +730,80 @@ def audio_spectrogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .wavcodec import ensure_audio_corpus
 
     return audio_spectrogram_df(spark, ensure_audio_corpus())
+
+
+# ---------------------------------------------------------------------------
+# Real image resize: 2x2 average-pool downscale over decoded PNGs
+# ---------------------------------------------------------------------------
+RESIZE_SCHEMA = (
+    "path string, label int, width int, height int, out_width int, out_height int, "
+    "mean_px double, mean_px_resized double, pooled_head array<float>"
+)
+POOL = 2  # 2x2 average pooling: 28x28 -> 14x14
+
+
+def image_resize_pool_df(spark: SparkSession, root: str) -> DataFrame:
+    """The resize member of the multimodal kernel family: decode each PNG
+    with the from-scratch codec, downscale by 2×2 average pooling (the
+    standard antialias-free resize for training thumbnails), and emit both
+    resolutions' statistics plus the first pooled row as features.
+
+    Average pooling preserves the global mean exactly when dimensions are
+    even — mean_px == mean_px_resized bit-for-bit — which gives tests an
+    invariant that proves the pooling arithmetic (not just the plumbing).
+
+    Scale posture: same as every decode kernel — per-file work inside the
+    scan's partitions, one Arrow hop, no shuffle; output is O(1) per
+    image, not O(pixels).
+    """
+    from .pngcodec import make_gray_png_decoder
+
+    decode = make_gray_png_decoder()
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "path", "label", "width", "height", "out_width", "out_height",
+                "mean_px", "mean_px_resized", "pooled_head",
+            )}
+            for path, label, buf in zip(pdf["path"], pdf["label"], pdf["content"]):
+                w, h, px = decode(buf)
+                arr = np.asarray(px, dtype=np.float64).reshape(h, w)
+                ph, pw = h // POOL, w // POOL
+                pooled = (
+                    arr[: ph * POOL, : pw * POOL]
+                    .reshape(ph, POOL, pw, POOL)
+                    .mean(axis=(1, 3))
+                )
+                out["path"].append(path)
+                out["label"].append(int(label))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_width"].append(pw)
+                out["out_height"].append(ph)
+                out["mean_px"].append(float(arr.mean()))
+                out["mean_px_resized"].append(float(pooled.mean()))
+                out["pooled_head"].append(pooled[0].astype(np.float32))
+            yield pd.DataFrame(out)
+
+    return (
+        read_binary_dir(spark, root + "/*")
+        .select("path", F.col("label").cast("int").alias("label"), "content")
+        .mapInPandas(kernel, RESIZE_SCHEMA)
+    )
+
+
+@register(
+    "image_resize_pool",
+    oracle=None,  # PNG inputs; pooling invariants pinned in unit tests
+    doc="Real image resize: 2x2 average-pool downscale of decoded PNGs, mean-preservation asserted.",
+    tags=("multimodal", "image", "ext"),
+)
+def image_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: pooled-downscale features over the seeded PNG corpus."""
+    from .pngcodec import ensure_fixture_corpus
+
+    return image_resize_pool_df(spark, ensure_fixture_corpus())

@@ -234,3 +234,36 @@ def test_image_frame_sample_real_scanline_windows(spark):
                 assert f["frame_max"] == int(band.max()), path
             checked += 1
     assert checked == 8
+
+
+def test_resize_pool_preserves_mean_and_matches_numpy(spark, sf_dir):
+    """2x2 average pooling of an even-dimensioned image preserves the
+    global mean exactly; and the emitted pooled row must equal a numpy
+    reference computed from the independently-decoded pixels."""
+    import numpy as np
+
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+    from distributed_deep_learning_with_apache_spark_spark.sources.pngcodec import (
+        IMG_SIZE,
+        ensure_fixture_corpus,
+        make_gray_png_decoder,
+    )
+
+    reg = load_all()
+    rows = reg["image_resize_pool"].fn(spark, sf_dir).collect()
+    assert rows
+    decode = make_gray_png_decoder()
+    root = ensure_fixture_corpus()
+    checked = 0
+    for r in rows[:10]:
+        assert r["out_width"] == IMG_SIZE // 2 and r["out_height"] == IMG_SIZE // 2
+        assert abs(r["mean_px"] - r["mean_px_resized"]) < 1e-9
+        local = r["path"].replace("file:", "")
+        with open(local, "rb") as f:
+            w, h, px = decode(f.read())
+        arr = np.asarray(px, dtype=np.float64).reshape(h, w)
+        ref = arr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))[0]
+        got = np.asarray(r["pooled_head"], dtype=np.float64)
+        assert np.allclose(got, ref, atol=1e-4), r["path"]
+        checked += 1
+    assert checked == 10
