@@ -115,6 +115,12 @@ EVENT_QUERIES = [
     "events_hourly_gapfill",
     "events_value_interpolate",
     "events_props_variant",
+    "events_props_json",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_rate_anomaly_zscore",
+    "psi_drift_events",
+    "events_sliding_1h_30m",
 ]
 
 import datetime as _dt
