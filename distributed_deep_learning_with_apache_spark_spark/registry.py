@@ -127,6 +127,7 @@ _DRIVER_PRIORITY = [
     "ml_als_recommend",
     "hll_daily_distinct_rollup",
     "image_resize_pool",
+    "audio_resample_decimate",
     "source_pngv_connector",
     "stream_custom_source_replay",
     "image_phash_neardup",

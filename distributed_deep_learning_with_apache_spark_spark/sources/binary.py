@@ -807,3 +807,101 @@ def image_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pngcodec import ensure_fixture_corpus
 
     return image_resize_pool_df(spark, ensure_fixture_corpus())
+
+
+# ---------------------------------------------------------------------------
+# Real audio resample: anti-aliased 2x decimation over the WAV corpus
+# ---------------------------------------------------------------------------
+RESAMPLE_SCHEMA = (
+    "path string, rate_in int, rate_out int, n_in int, n_out int, "
+    "rms_in double, rms_out double, dominant_hz_out double"
+)
+DECIMATE = 2  # 8 kHz -> 4 kHz
+
+
+def audio_resample_df(spark: SparkSession, root: str) -> DataFrame:
+    """The resample member of the audio family (the 'resize' of audio):
+    2× decimation with a 2-tap moving-average anti-alias prefilter. The
+    fixture tones (f1 ≤ 560 Hz, f2 ≤ 1260 Hz) sit far below the new
+    Nyquist (2 kHz), so the dominant frequency measured AFTER resampling
+    must still equal the clip's ground-truth f1 — the test that proves the
+    decimation preserves band content rather than aliasing it.
+
+    Scale posture: per-clip work inside the scan partitions, one Arrow
+    hop, no shuffle; output O(1) per clip.
+    """
+
+    def kernel(batches: Iterator) -> Iterator:
+        import struct as _struct
+
+        import numpy as np
+        import pandas as pd
+
+        def parse(buf: bytes):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE file")
+            pos, rate, samples = 12, None, None
+            while pos + 8 <= len(buf):
+                tag = buf[pos : pos + 4]
+                (length,) = _struct.unpack("<I", buf[pos + 4 : pos + 8])
+                payload = buf[pos + 8 : pos + 8 + length]
+                if tag == b"fmt ":
+                    fmt, ch, rate, _, _, bits = _struct.unpack("<HHIIHH", payload[:16])
+                    if (fmt, ch, bits) != (1, 1, 16):
+                        raise ValueError("only PCM16 mono supported")
+                elif tag == b"data":
+                    samples = np.frombuffer(
+                        payload[: length - length % 2], dtype="<i2"
+                    ).astype(np.float64)
+                pos += 8 + length + (length & 1)
+            if rate is None or samples is None:
+                raise ValueError("missing fmt or data chunk")
+            return rate, samples
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "path", "rate_in", "rate_out", "n_in", "n_out",
+                "rms_in", "rms_out", "dominant_hz_out",
+            )}
+            for path, buf in zip(pdf["path"], pdf["content"]):
+                rate, x = parse(bytes(buf))
+                # anti-alias: 2-tap moving average, then take every 2nd sample
+                smooth = (x[:-1] + x[1:]) / 2.0
+                y = smooth[::DECIMATE]
+                rate_out = rate // DECIMATE
+                # dominant bin of the resampled signal (Hann, skip DC)
+                nfft = 512
+                seg = y[: (len(y) // nfft) * nfft].reshape(-1, nfft)
+                hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(nfft) / nfft)
+                mag = np.abs(np.fft.rfft(seg * hann, axis=1)).sum(axis=0)
+                dom = int(np.argmax(mag[1:]) + 1)
+                out["path"].append(path)
+                out["rate_in"].append(rate)
+                out["rate_out"].append(rate_out)
+                out["n_in"].append(len(x))
+                out["n_out"].append(len(y))
+                out["rms_in"].append(float(np.sqrt((x ** 2).mean())))
+                out["rms_out"].append(float(np.sqrt((y ** 2).mean())))
+                out["dominant_hz_out"].append(float(dom * rate_out / nfft))
+            yield pd.DataFrame(out)
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(root)
+        .select("path", "content")
+        .mapInPandas(kernel, RESAMPLE_SCHEMA)
+    )
+
+
+@register(
+    "audio_resample_decimate",
+    oracle=None,  # WAV inputs; tone-preservation pinned in unit tests
+    doc="Anti-aliased 2x audio decimation; resampled dominant frequency must match the fixture tone.",
+    tags=("multimodal", "audio", "dsp", "ext"),
+)
+def audio_resample_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: 8 kHz -> 4 kHz decimation over the seeded WAV corpus."""
+    from .wavcodec import ensure_audio_corpus
+
+    return audio_resample_df(spark, ensure_audio_corpus())

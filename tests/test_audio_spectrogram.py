@@ -57,3 +57,19 @@ def test_spectrogram_plan_is_shuffle_free(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_resample_preserves_dominant_tone_and_energy(spark, sf_dir):
+    """After anti-aliased 2x decimation the dominant frequency must still
+    be the clip's ground-truth f1 (all tones sit below the new Nyquist),
+    and the RMS must stay within a few percent (the moving-average filter
+    only sheds high-frequency noise energy)."""
+    rows = REG["audio_resample_decimate"].fn(spark, sf_dir).collect()
+    assert len(rows) == N_AUDIO
+    for r in rows:
+        aid = int(r["path"].rsplit("clip_", 1)[1][:3])
+        f1 = _ground_truth_f1(aid)
+        bin_hz = r["rate_out"] / 512  # matches the kernel's nfft
+        assert r["rate_out"] == SAMPLE_RATE // 2
+        assert abs(r["dominant_hz_out"] - f1) <= bin_hz, (aid, r["dominant_hz_out"], f1)
+        assert abs(r["rms_out"] - r["rms_in"]) / r["rms_in"] < 0.1, aid
