@@ -892,3 +892,77 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("dup_span_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r3] asymmetric containment: subset/quote detection
+# ---------------------------------------------------------------------------
+CONTAIN_T = 0.6  # doc_small is "contained" when this share of its shingles
+#                  also appear in doc_big
+
+
+@register(
+    "near_dup_containment",
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, {DUCK_SHINGLES} AS sh FROM documents
+        ),
+        posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT c.doc_a AS contained_doc, c.doc_b AS container_doc,
+               CAST(len(sa.sh) AS BIGINT) AS n_sh_contained,
+               round(c.shared * 1.0 / len(sa.sh), 6) AS containment
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(sa.sh) > 0 AND len(sa.sh) <= len(sb.sh)
+          AND c.shared * 1.0 / len(sa.sh) >= {CONTAIN_T}
+    """,
+    doc="Asymmetric containment |A∩B|/|A| over shingles: finds docs substantially contained in larger docs (quotes, partial copies).",
+    tags=("dedup", "ext", "scale"),
+)
+def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The asymmetric sibling of Jaccard dedup: a short document quoted
+    inside a long one scores low Jaccard (union is dominated by the long
+    doc) but high CONTAINMENT |A∩B|/|A| — the measure curation pipelines
+    use to drop partial copies and quoted boilerplate while keeping the
+    canonical long form.
+
+    Only ordered (contained ≤ container by shingle count) pairs emit, so
+    each relationship appears once with its direction explicit.
+
+    Scale shape: same posting-list equi-join as `near_dup_jaccard` —
+    candidates ∝ shared-shingle density, never n²; the stop-shingle cap
+    documented there applies identically.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles().alias("sh"))
+    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    containment = F.col("shared") / F.col("na")
+    return (
+        cand.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .filter((F.col("na") > 0) & (F.col("na") <= F.col("nb")) & (containment >= CONTAIN_T))
+        .select(
+            F.col("doc_a").alias("contained_doc"),
+            F.col("doc_b").alias("container_doc"),
+            F.col("na").cast("long").alias("n_sh_contained"),
+            F.round(containment, 6).alias("containment"),
+        )
+    )

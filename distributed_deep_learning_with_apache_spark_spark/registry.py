@@ -112,6 +112,7 @@ _DRIVER_PRIORITY = [
     "lake_snapshot_time_travel",
     "events_value_interpolate",
     "sample_weighted_quality",
+    "near_dup_containment",
     # --- never-checked, rows-only (non-SQL-expressible by design) --------
     "image_decode_png",
     "ml_cnn_trained_conv",

@@ -67,6 +67,7 @@ NEVER_CHECKED_ORACLE = [
     "lake_snapshot_time_travel",
     "events_value_interpolate",
     "sample_weighted_quality",
+    "near_dup_containment",
 ]
 
 REG = load_all()
