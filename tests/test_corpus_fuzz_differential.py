@@ -46,6 +46,7 @@ DOC_QUERIES = [
     "chunk_overlapping",
     "length_bucket_packing",
     "sample_weighted_quality",
+    "near_dup_containment",
 ]
 
 WORDS = ["spark", "hash", "join", "the", "a", "scan", "émigré", "data1"]
