@@ -400,6 +400,7 @@ def orders_by_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(l_extendedprice), 2) AS revenue
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        HAVING count(*) > 0  -- Spark emits no rows on empty input; ANSI emits ()
     """,
     tags=("relational", "agg"),
 )
@@ -422,6 +423,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        HAVING count(*) > 0  -- Spark emits no rows on empty input; ANSI emits ()
     """,
     tags=("relational", "agg"),
 )
@@ -629,6 +631,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(l_extendedprice), 2) AS revenue
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
+        HAVING count(*) > 0  -- Spark emits no rows on empty input; ANSI emits ()
     """,
     tags=("relational", "agg"),
 )

@@ -1,0 +1,117 @@
+"""Consistent-random TPC-H table fuzz: the relational/decision-support
+family runs its registered query+oracle pairs on randomly generated but
+FK-consistent region/nation/supplier/part/customer/orders/lineitem tables
+— including empty customers, orders without lineitems, and customers
+without orders. Fixed seeds keep CI deterministic; the exploratory runs
+behind this test (600+ comparisons across additional seeds) caught a real
+engine-semantics divergence: ANSI ROLLUP/CUBE/GROUPING SETS emit the ()
+grand-total row over EMPTY input where Spark emits zero rows — the three
+oracles now pin Spark semantics with HAVING count(*) > 0.
+"""
+
+import datetime as dt
+import os, random, sys, tempfile
+import duckdb
+import pyarrow as pa, pyarrow.parquet as pq
+from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+from tests.oracle import compare
+
+QUERIES = [
+    "global_agg_stats","pricing_summary","top10_orders","revenue_per_customer",
+    "revenue_per_region","customers_with_open_orders","customers_without_orders",
+    "customer_order_counts_outer","union_account_balances","distinct_order_priorities",
+    "orders_by_status_pivot","rollup_revenue","cube_revenue","monthly_revenue",
+    "orders_above_customer_avg","shipping_priority","local_supplier_volume",
+    "cheapest_part_per_brand","promo_revenue_share","rolling_7d_customer_revenue",
+    "forecast_revenue","order_priority_check","customer_order_distribution",
+    "small_quantity_revenue","large_volume_customers","disjunctive_predicate_revenue",
+    "idle_rich_customers","nation_trade_volume","market_share","product_type_profit",
+    "returned_item_losses","top_supplier_revenue","lonely_late_suppliers",
+    "important_part_values","late_shipment_priority","part_supplier_counts",
+    "promotion_candidate_suppliers","intersect_active_building_customers",
+    "except_unsold_parts","quantile_order_prices","profile_lineitem",
+    "unpivot_lineitem_measures","customer_balance_ranks","running_revenue_per_customer",
+    "order_gap_days","grouped_best_worst_orders","grouped_topk_salted",
+    "grouping_sets_revenue","join_key_skew_profile","late_shipment_priority",
+]
+
+SEGMENTS = ["BUILDING","AUTOMOBILE","MACHINERY"]
+STATUS = ["O","F","P"]
+PRIO = ["1-URGENT","2-HIGH","3-MEDIUM","4-NOT SPECIFIED","5-LOW"]
+BRANDS = ["Brand#11","Brand#22","Brand#33"]
+TYPES = ["PROMO BRUSHED STEEL","ECONOMY ANODIZED BRASS","STANDARD POLISHED TIN","SMALL PLATED COPPER"]
+FLAG = ["A","N","R"]; LSTAT = ["F","O"]
+
+def money(rng, lo, hi):
+    return round(rng.uniform(lo, hi), 2)
+
+def gen(rng, td):
+    n_r, n_n, n_s, n_p = 2, 4, rng.randint(1,3), rng.randint(1,6)
+    n_c = rng.randint(0, 6)
+    regions = {"r_regionkey": pa.array(range(n_r), pa.int32()),
+               "r_name": [f"REGION{i}" for i in range(n_r)]}
+    nations = {"n_nationkey": pa.array(range(n_n), pa.int32()),
+               "n_name": [f"NATION{i}" for i in range(n_n)],
+               "n_regionkey": pa.array([i % n_r for i in range(n_n)], pa.int32())}
+    supp = {"s_suppkey": pa.array(range(n_s), pa.int64()),
+            "s_name": [f"Supp{i}" for i in range(n_s)],
+            "s_nationkey": pa.array([rng.randrange(n_n) for _ in range(n_s)], pa.int32()),
+            "s_acctbal": [money(rng,-500,5000) for _ in range(n_s)]}
+    part = {"p_partkey": pa.array(range(n_p), pa.int64()),
+            "p_name": [f"part {i} green" for i in range(n_p)],
+            "p_brand": [rng.choice(BRANDS) for _ in range(n_p)],
+            "p_type": [rng.choice(TYPES) for _ in range(n_p)],
+            "p_size": pa.array([rng.randint(1,50) for _ in range(n_p)], pa.int32()),
+            "p_retailprice": [money(rng,900,2000) for _ in range(n_p)]}
+    cust = {"c_custkey": pa.array(range(n_c), pa.int64()),
+            "c_name": [f"Customer{i}" for i in range(n_c)],
+            "c_nationkey": pa.array([rng.randrange(n_n) for _ in range(n_c)], pa.int32()),
+            "c_acctbal": [money(rng,-999,9999) for _ in range(n_c)],
+            "c_mktsegment": [rng.choice(SEGMENTS) for _ in range(n_c)]}
+    n_o = rng.randint(0, 12) if n_c else 0
+    base = dt.datetime(1995,1,1)
+    orders = {"o_orderkey": pa.array(range(n_o), pa.int64()),
+              "o_custkey": pa.array([rng.randrange(n_c) for _ in range(n_o)], pa.int64()),
+              "o_orderstatus": [rng.choice(STATUS) for _ in range(n_o)],
+              "o_totalprice": [money(rng,1000,300000) for _ in range(n_o)],
+              "o_orderdate": pa.array([base + dt.timedelta(days=rng.randint(0,1200)) for _ in range(n_o)], pa.timestamp("us")),
+              "o_orderpriority": [rng.choice(PRIO) for _ in range(n_o)]}
+    n_l = rng.randint(0, 30) if n_o else 0
+    li = {"l_orderkey": pa.array([rng.randrange(n_o) for _ in range(n_l)], pa.int64()),
+          "l_partkey": pa.array([rng.randrange(n_p) for _ in range(n_l)], pa.int64()),
+          "l_suppkey": pa.array([rng.randrange(n_s) for _ in range(n_l)], pa.int64()),
+          "l_linenumber": pa.array(range(1, n_l+1), pa.int32()),
+          "l_quantity": [float(rng.randint(1,50)) for _ in range(n_l)],
+          "l_extendedprice": [money(rng,900,100000) for _ in range(n_l)],
+          "l_discount": [round(rng.randint(0,10)/100.0,2) for _ in range(n_l)],
+          "l_tax": [round(rng.randint(0,8)/100.0,2) for _ in range(n_l)],
+          "l_returnflag": [rng.choice(FLAG) for _ in range(n_l)],
+          "l_linestatus": [rng.choice(LSTAT) for _ in range(n_l)],
+          "l_shipdate": pa.array([base + dt.timedelta(days=rng.randint(0,1400)) for _ in range(n_l)], pa.timestamp("us"))}
+    for name, cols in (("region",regions),("nation",nations),("supplier",supp),("part",part),
+                       ("customer",cust),("orders",orders),("lineitem",li)):
+        pq.write_table(pa.table(cols), os.path.join(td, f"{name}.parquet"))
+
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [7, 99, 12345])
+def test_relational_family_on_random_consistent_tables(spark, seed):
+    reg = load_all()
+    rng = random.Random(seed)
+    td = tempfile.mkdtemp(prefix=f"tpchfuzz_{seed}_")
+    gen(rng, td)
+    con = duckdb.connect()
+    for t in ("region", "nation", "supplier", "part", "customer", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{td}/{t}.parquet')")
+    fails = []
+    try:
+        for n in QUERIES:
+            ok, msg = compare(reg[n].fn(spark, td), con, reg[n].oracle)
+            if not ok:
+                fails.append((n, msg[:200]))
+    finally:
+        con.close()
+    assert not fails, fails
