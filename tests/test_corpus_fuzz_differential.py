@@ -122,6 +122,7 @@ EVENT_QUERIES = [
     "events_rate_anomaly_zscore",
     "psi_drift_events",
     "events_sliding_1h_30m",
+    "stream_foreachbatch_merge",
 ]
 
 import datetime as _dt
