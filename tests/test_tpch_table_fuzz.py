@@ -33,6 +33,9 @@ QUERIES = [
     "unpivot_lineitem_measures","customer_balance_ranks","running_revenue_per_customer",
     "order_gap_days","grouped_best_worst_orders","grouped_topk_salted",
     "grouping_sets_revenue","join_key_skew_profile","late_shipment_priority",
+    # need the events table too (generated below)
+    "stat_lineitem_correlations","merge_upsert_customers","scd2_customer_history",
+    "scd2_as_of_lookup","asof_join_latest_order","range_join_events_after_order",
 ]
 
 SEGMENTS = ["BUILDING","AUTOMOBILE","MACHINERY"]
@@ -91,6 +94,18 @@ def gen(rng, td):
     for name, cols in (("region",regions),("nation",nations),("supplier",supp),("part",part),
                        ("customer",cust),("orders",orders),("lineitem",li)):
         pq.write_table(pa.table(cols), os.path.join(td, f"{name}.parquet"))
+    n_e = rng.randint(1, 20)
+    ev = [(i, dt.datetime(2024,3,1)+dt.timedelta(seconds=rng.randint(0,3600*72)),
+           rng.randint(0,3), rng.choice(["click","error","purchase"]),
+           rng.choice([0.01,5.5,123.45]), '{"k": 1}') for i in range(n_e)]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in ev], pa.int64()),
+        "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in ev], pa.int64()),
+        "event_type": pa.array([r[3] for r in ev]),
+        "value": pa.array([r[4] for r in ev], pa.float64()),
+        "props": pa.array([r[5] for r in ev])}),
+        os.path.join(td, "events.parquet"))
 
 
 
@@ -104,7 +119,7 @@ def test_relational_family_on_random_consistent_tables(spark, seed):
     td = tempfile.mkdtemp(prefix=f"tpchfuzz_{seed}_")
     gen(rng, td)
     con = duckdb.connect()
-    for t in ("region", "nation", "supplier", "part", "customer", "orders", "lineitem"):
+    for t in ("region", "nation", "supplier", "part", "customer", "orders", "lineitem", "events"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{td}/{t}.parquet')")
     fails = []
     try:
