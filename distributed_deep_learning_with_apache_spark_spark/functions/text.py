@@ -88,7 +88,9 @@ def tokenize_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(tok).alias("n_tokens"),
         F.size(truncate_tokens(tok, 32)).alias("n_tokens_capped"),
-        F.element_at(tok, 1).alias("first_token"),
+        # try_element_at: ANSI element_at throws on an empty array, DuckDB
+        # tok[1] yields NULL — caught by the hostile-corpus fuzz
+        F.try_element_at(tok, F.lit(1)).alias("first_token"),
     )
 
 
@@ -582,9 +584,11 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     n = F.size(toks)
+    # greatest(n-1, 0): slice with a negative length throws on token-less
+    # docs (same guard as the shingle builder) — caught by the corpus fuzz
     bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     doc_bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))

@@ -47,6 +47,28 @@ DOC_QUERIES = [
     "length_bucket_packing",
     "sample_weighted_quality",
     "near_dup_containment",
+    # full dedup/curation family (crashes on token-less docs were found
+    # here: ANSI element_at and negative-length slice)
+    "minhash_lsh_candidates",
+    "near_dup_minhash_verified",
+    "simhash_near_dup_pairs",
+    "dedup_clusters",
+    "dedup_cluster_survivors",
+    "dedup_exact_survivors",
+    "chunk_dedup_c4",
+    "pack_sequences",
+    "quality_tiers",
+    "pii_scrub",
+    "decontaminate_ngram_overlap",
+    "corpus_curation_pipeline",
+    "bigram_lm_quality",
+    "zipf_fit",
+    "substring_span_dedup",
+    "mix_domains_to_target",
+    "sample_stratified_hash",
+    "dedup_incremental",
+    "tokenize_truncate",
+    "corpus_token_stats",
 ]
 
 WORDS = ["spark", "hash", "join", "the", "a", "scan", "émigré", "data1"]
