@@ -277,3 +277,58 @@ def test_embedding_queries_match_oracle_on_hostile_vectors(
         assert ok, f"{name} on {len(vecs)} vectors: {msg}"
     finally:
         con.close()
+
+
+# Cosine-scoring family: nonzero vectors (the documented precondition —
+# similarity.py normalizes and drops dead embeddings first), plus an
+# id-aligned documents table for semantic_dedup.
+EMB_COSINE_QUERIES = [
+    "cosine_topk_exact",
+    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
+    "ann_ivf_by_label",
+    "near_dup_cosine_pairs",
+    "last_timestep_select",
+    "hstack_features",
+    "anomaly_best_worst",
+    "semantic_dedup",
+]
+
+
+@st.composite
+def nonzero_embedding_tables(draw):
+    n = draw(st.integers(min_value=2, max_value=10))
+    vecs = []
+    for i in range(n):
+        v = [draw(vec_component) for _ in range(64)]
+        if all(x == 0.0 for x in v):
+            v[i % 64] = 1.0
+        vecs.append(v)
+    return vecs
+
+
+@pytest.mark.parametrize("name", EMB_COSINE_QUERIES)
+@given(vecs=nonzero_embedding_tables())
+@settings(
+    max_examples=3,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cosine_family_matches_oracle_on_hostile_vectors(spark, tmp_path_factory, name, vecs):
+    td = str(tmp_path_factory.mktemp("fuzz_cos"))
+    _write_embeddings(td, vecs)
+    _write_documents(td, [f"doc {i} words here" for i in range(len(vecs))])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{td}/embeddings.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{td}/documents.parquet')"
+    )
+    try:
+        q = REG[name]
+        ok, msg = compare(q.fn(spark, td), con, q.oracle)
+        assert ok, f"{name} on {len(vecs)} vectors: {msg}"
+    finally:
+        con.close()
