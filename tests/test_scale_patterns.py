@@ -192,3 +192,39 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join_injection(spark, sf_dir):
+    """The third runtime-filtering tier after predicate pushdown and DPP:
+    with a selective dimension-side filter on a shuffle join, Spark can
+    inject a Bloom filter built from the small side into the big side's
+    scan — at 100 TB this prunes most fact rows BEFORE the exchange.
+    Forced on here (thresholds lowered) and asserted in the executed plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 290000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_totalprice"
+        )
+        assert len(j.collect()) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloomfilter" in plan.lower().replace("_", ""), "bloom filter not injected"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
