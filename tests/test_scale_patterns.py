@@ -228,3 +228,37 @@ def test_runtime_bloom_filter_join_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
+    """Static planning can't see post-filter sizes; AQE can. With static
+    broadcast disabled (threshold -1) but the ADAPTIVE threshold set, a
+    selectively-filtered join side must be converted to a broadcast join
+    at runtime from its actual shuffle statistics."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 350000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        assert len(j.collect()) >= 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "BroadcastHashJoin" in plan, "AQE did not convert the join"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
