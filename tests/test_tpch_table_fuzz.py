@@ -52,44 +52,44 @@ def gen(rng, td):
     n_r, n_n, n_s, n_p = 2, 4, rng.randint(1,3), rng.randint(1,6)
     n_c = rng.randint(0, 6)
     regions = {"r_regionkey": pa.array(range(n_r), pa.int32()),
-               "r_name": [f"REGION{i}" for i in range(n_r)]}
+               "r_name": pa.array([f"REGION{i}" for i in range(n_r)], pa.string())}
     nations = {"n_nationkey": pa.array(range(n_n), pa.int32()),
-               "n_name": [f"NATION{i}" for i in range(n_n)],
+               "n_name": pa.array([f"NATION{i}" for i in range(n_n)], pa.string()),
                "n_regionkey": pa.array([i % n_r for i in range(n_n)], pa.int32())}
     supp = {"s_suppkey": pa.array(range(n_s), pa.int64()),
-            "s_name": [f"Supp{i}" for i in range(n_s)],
+            "s_name": pa.array([f"Supp{i}" for i in range(n_s)], pa.string()),
             "s_nationkey": pa.array([rng.randrange(n_n) for _ in range(n_s)], pa.int32()),
-            "s_acctbal": [money(rng,-500,5000) for _ in range(n_s)]}
+            "s_acctbal": pa.array([money(rng,-500,5000) for _ in range(n_s)], pa.float64())}
     part = {"p_partkey": pa.array(range(n_p), pa.int64()),
-            "p_name": [f"part {i} green" for i in range(n_p)],
-            "p_brand": [rng.choice(BRANDS) for _ in range(n_p)],
-            "p_type": [rng.choice(TYPES) for _ in range(n_p)],
+            "p_name": pa.array([f"part {i} green" for i in range(n_p)], pa.string()),
+            "p_brand": pa.array([rng.choice(BRANDS) for _ in range(n_p)], pa.string()),
+            "p_type": pa.array([rng.choice(TYPES) for _ in range(n_p)], pa.string()),
             "p_size": pa.array([rng.randint(1,50) for _ in range(n_p)], pa.int32()),
-            "p_retailprice": [money(rng,900,2000) for _ in range(n_p)]}
+            "p_retailprice": pa.array([money(rng,900,2000) for _ in range(n_p)], pa.float64())}
     cust = {"c_custkey": pa.array(range(n_c), pa.int64()),
-            "c_name": [f"Customer{i}" for i in range(n_c)],
+            "c_name": pa.array([f"Customer{i}" for i in range(n_c)], pa.string()),
             "c_nationkey": pa.array([rng.randrange(n_n) for _ in range(n_c)], pa.int32()),
-            "c_acctbal": [money(rng,-999,9999) for _ in range(n_c)],
-            "c_mktsegment": [rng.choice(SEGMENTS) for _ in range(n_c)]}
+            "c_acctbal": pa.array([money(rng,-999,9999) for _ in range(n_c)], pa.float64()),
+            "c_mktsegment": pa.array([rng.choice(SEGMENTS) for _ in range(n_c)], pa.string())}
     n_o = rng.randint(0, 12) if n_c else 0
     base = dt.datetime(1995,1,1)
     orders = {"o_orderkey": pa.array(range(n_o), pa.int64()),
               "o_custkey": pa.array([rng.randrange(n_c) for _ in range(n_o)], pa.int64()),
-              "o_orderstatus": [rng.choice(STATUS) for _ in range(n_o)],
-              "o_totalprice": [money(rng,1000,300000) for _ in range(n_o)],
+              "o_orderstatus": pa.array([rng.choice(STATUS) for _ in range(n_o)], pa.string()),
+              "o_totalprice": pa.array([money(rng,1000,300000) for _ in range(n_o)], pa.float64()),
               "o_orderdate": pa.array([base + dt.timedelta(days=rng.randint(0,1200)) for _ in range(n_o)], pa.timestamp("us")),
-              "o_orderpriority": [rng.choice(PRIO) for _ in range(n_o)]}
+              "o_orderpriority": pa.array([rng.choice(PRIO) for _ in range(n_o)], pa.string())}
     n_l = rng.randint(0, 30) if n_o else 0
     li = {"l_orderkey": pa.array([rng.randrange(n_o) for _ in range(n_l)], pa.int64()),
           "l_partkey": pa.array([rng.randrange(n_p) for _ in range(n_l)], pa.int64()),
           "l_suppkey": pa.array([rng.randrange(n_s) for _ in range(n_l)], pa.int64()),
           "l_linenumber": pa.array(range(1, n_l+1), pa.int32()),
-          "l_quantity": [float(rng.randint(1,50)) for _ in range(n_l)],
-          "l_extendedprice": [money(rng,900,100000) for _ in range(n_l)],
-          "l_discount": [round(rng.randint(0,10)/100.0,2) for _ in range(n_l)],
-          "l_tax": [round(rng.randint(0,8)/100.0,2) for _ in range(n_l)],
-          "l_returnflag": [rng.choice(FLAG) for _ in range(n_l)],
-          "l_linestatus": [rng.choice(LSTAT) for _ in range(n_l)],
+          "l_quantity": pa.array([float(rng.randint(1,50)) for _ in range(n_l)], pa.float64()),
+          "l_extendedprice": pa.array([money(rng,900,100000) for _ in range(n_l)], pa.float64()),
+          "l_discount": pa.array([round(rng.randint(0,10)/100.0,2) for _ in range(n_l)], pa.float64()),
+          "l_tax": pa.array([round(rng.randint(0,8)/100.0,2) for _ in range(n_l)], pa.float64()),
+          "l_returnflag": pa.array([rng.choice(FLAG) for _ in range(n_l)], pa.string()),
+          "l_linestatus": pa.array([rng.choice(LSTAT) for _ in range(n_l)], pa.string()),
           "l_shipdate": pa.array([base + dt.timedelta(days=rng.randint(0,1400)) for _ in range(n_l)], pa.timestamp("us"))}
     for name, cols in (("region",regions),("nation",nations),("supplier",supp),("part",part),
                        ("customer",cust),("orders",orders),("lineitem",li)):
