@@ -645,10 +645,10 @@ RETENTION_OFFSETS = (0, 1, 7, 14)
           SELECT user_id, min(day_s) AS cohort_day_s FROM activity GROUP BY user_id
         )
         SELECT c.cohort_day_s,
-               (a.day_s - c.cohort_day_s) / 86400 AS day_offset,
+               (a.day_s - c.cohort_day_s) // 86400 AS day_offset,
                count(DISTINCT a.user_id) AS n_active
         FROM activity a JOIN cohort c ON c.user_id = a.user_id
-        WHERE (a.day_s - c.cohort_day_s) / 86400 IN ({", ".join(map(str, RETENTION_OFFSETS))})
+        WHERE (a.day_s - c.cohort_day_s) // 86400 IN ({", ".join(map(str, RETENTION_OFFSETS))})
         GROUP BY 1, 2
     """,
     tags=("streaming", "retention", "ext"),

@@ -72,8 +72,50 @@ def hostile_spark_columns(spark_df) -> list[str]:
     ]
 
 
+# The driver's pandas hasher is type-sensitive: an integral 1 and a
+# floating 1.0 hash differently even though they compare equal numerically
+# (and even though _norm_cell above renders both as "1").  Round 3 lost its
+# only driver row to this class — events_retention_cohorts' oracle used
+# DuckDB `/` (float division → DOUBLE) where Spark emitted BIGINT.  Gate it
+# the same way HUGEINT was gated in round 2: any column where one engine is
+# integral and the other floating is driver-hostile.
+_DUCK_INTEGRAL = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT",
+}
+_DUCK_FLOATING = {"FLOAT", "REAL", "DOUBLE"}
+_SPARK_INTEGRAL = {"byte", "short", "integer", "long"}
+_SPARK_FLOATING = {"float", "double"}
+
+
+def int_float_mismatches(
+    spark_df, con: duckdb.DuckDBPyConnection, sql: str
+) -> list[str]:
+    """Columns where one engine emits an integral type and the other a
+    floating type — hash-poison for the driver regardless of values."""
+    desc = {
+        name: ctype.upper().split("(")[0].strip()
+        for name, ctype, *_ in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    out = []
+    for f in spark_df.schema.fields:
+        d = desc.get(f.name)
+        if d is None:
+            continue
+        s = f.dataType.typeName()
+        if (s in _SPARK_INTEGRAL and d in _DUCK_FLOATING) or (
+            s in _SPARK_FLOATING and d in _DUCK_INTEGRAL
+        ):
+            out.append(f"{f.name}: spark={s} duck={d}")
+    return out
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
-    bad = hostile_spark_columns(spark_df) + hostile_oracle_columns(con, sql)
+    bad = (
+        hostile_spark_columns(spark_df)
+        + hostile_oracle_columns(con, sql)
+        + int_float_mismatches(spark_df, con, sql)
+    )
     if bad:
         return False, f"driver-hostile output types: {bad}"
     s_cols = spark_df.columns

@@ -7,7 +7,12 @@ so regressions are caught locally first.
 import pytest
 
 from distributed_deep_learning_with_apache_spark_spark.registry import load_all
-from tests.oracle import compare, duck_connect, hostile_oracle_columns
+from tests.oracle import (
+    compare,
+    duck_connect,
+    hostile_oracle_columns,
+    int_float_mismatches,
+)
 
 REG = load_all()
 ORACLE_QUERIES = sorted(name for name, q in REG.items() if q.oracle is not None)
@@ -37,6 +42,28 @@ def test_oracle_match(spark, sf_dir, duck, name):
     df = q.fn(spark, sf_dir)
     ok, msg = compare(df, duck, q.oracle)
     assert ok, f"{name}: {msg}"
+
+
+def test_int_float_gate_catches_r3_retention_red(spark, sf_dir, duck):
+    """Round 3's only driver hash-fail: the retention oracle used DuckDB
+    `/` (float division → DOUBLE day_offset) against Spark's BIGINT. Rows
+    and row-insensitive string hashes coincided, so the local sweep passed
+    while the driver's *typed* pandas hasher failed. Pin that the gate now
+    flags the unfixed oracle and that the fixed (floor-division) oracle
+    registered today is clean."""
+    q = REG["events_retention_cohorts"]
+    df = q.fn(spark, sf_dir)
+    # The fixed oracle must be gate-clean and hash-match.
+    assert int_float_mismatches(df, duck, q.oracle) == []
+    ok, msg = compare(df, duck, q.oracle)
+    assert ok, msg
+    # The round-3 (unfixed) oracle must be flagged by the gate.
+    unfixed = q.oracle.replace("// 86400", "/ 86400")
+    assert unfixed != q.oracle
+    bad = int_float_mismatches(df, duck, unfixed)
+    assert bad and "day_offset" in bad[0], bad
+    ok, msg = compare(df, duck, unfixed)
+    assert not ok and "driver-hostile" in msg
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
