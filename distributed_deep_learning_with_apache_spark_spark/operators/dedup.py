@@ -935,9 +935,16 @@ def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only ordered (contained ≤ container by shingle count) pairs emit, so
     each relationship appears once with its direction explicit.
 
-    Scale shape: same posting-list equi-join as `near_dup_jaccard` —
-    candidates ∝ shared-shingle density, never n²; the stop-shingle cap
-    documented there applies identically.
+    This is the EXACT-RECALL BASELINE: the posting-list equi-join is
+    uncapped, so a boilerplate shingle appearing in D docs contributes D²
+    candidate pairs — fine at test scale, quadratic on hot shingles at
+    100 TB. The production form is `near_dup_containment_stopfiltered`
+    below. Note the Jaccard stop-shingle cap is NOT semantics-preserving
+    here as-is: dropping hot shingles shrinks |A∩B| while |A| stays fixed,
+    so capped containment under-scores and can lose true pairs near
+    CONTAIN_T. The stop-filtered twin therefore excludes capped shingles
+    from the |A| denominator as well (containment over the rare
+    sub-vocabulary), restoring the bound.
     """
     d = load_table(spark, sf_dir, "documents")
     sh = d.select("doc_id", shingles().alias("sh"))
@@ -965,4 +972,190 @@ def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("na").cast("long").alias("n_sh_contained"),
             F.round(containment, 6).alias("containment"),
         )
+    )
+
+
+@register(
+    "near_dup_containment_stopfiltered",
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, {DUCK_SHINGLES} AS sh FROM documents
+        ),
+        posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        rare AS (
+          SELECT shingle FROM posting GROUP BY shingle HAVING count(*) <= {STOP_DF}
+        ),
+        rp AS (SELECT p.doc_id, p.shingle FROM posting p JOIN rare r ON p.shingle = r.shingle),
+        rsz AS (SELECT doc_id, count(*) AS n_rare FROM rp GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM rp a JOIN rp b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT c.doc_a AS contained_doc, c.doc_b AS container_doc,
+               CAST(sa.n_rare AS BIGINT) AS n_rare_contained,
+               round(c.shared * 1.0 / sa.n_rare, 6) AS containment
+        FROM cand c
+        JOIN rsz sa ON sa.doc_id = c.doc_a
+        JOIN rsz sb ON sb.doc_id = c.doc_b
+        WHERE sa.n_rare <= sb.n_rare
+          AND c.shared * 1.0 / sa.n_rare >= {CONTAIN_T}
+    """,
+    doc="Containment dedup on the rare sub-vocabulary (df <= STOP_DF): the 100 TB path — candidate fan-out DF-bounded, denominator consistently rare-only.",
+    tags=("dedup", "ext", "scale"),
+)
+def near_dup_containment_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of containment dedup: both the candidate join AND
+    the containment score operate on the RARE sub-vocabulary (shingles with
+    document frequency ≤ STOP_DF).
+
+    Why both: for Jaccard, dropping hot shingles from candidate generation
+    only (scoring on full sets) is a pure-recall trade bounded by a union
+    argument. For containment it is not — |A∩B| shrinks while |A| stays
+    fixed, silently deflating every score. Scoring |A_rare∩B_rare|/|A_rare|
+    instead is self-consistent: it measures containment of the document's
+    SIGNAL content, which is what curation wants anyway (a doc whose only
+    overlap is boilerplate should not be dropped as a quote).
+
+    Scale shape: posting list is pre-filtered on df ≤ STOP_DF, so each
+    shingle contributes ≤ STOP_DF² candidate pairs — the shuffle is
+    O(n_shingles · STOP_DF²), never n². Direction (contained ≤ container)
+    and the denominator both use the rare-set size, so the whole operator
+    reads one column family and shuffles 8-byte keys.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles().alias("sh"))
+    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    rare = (
+        posting.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= STOP_DF)
+    )
+    rp = posting.join(rare.select("shingle"), "shingle")
+    rsz = rp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
+    a = rp.alias("a")
+    b = rp.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    containment = F.col("shared") / F.col("na")
+    return (
+        cand.join(rsz.select(F.col("doc_id").alias("doc_a"), F.col("n_rare").alias("na")), "doc_a")
+        .join(rsz.select(F.col("doc_id").alias("doc_b"), F.col("n_rare").alias("nb")), "doc_b")
+        .filter((F.col("na") <= F.col("nb")) & (containment >= CONTAIN_T))
+        .select(
+            F.col("doc_a").alias("contained_doc"),
+            F.col("doc_b").alias("container_doc"),
+            F.col("na").cast("long").alias("n_rare_contained"),
+            F.round(containment, 6).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r4] Edit-distance-verified near-dup (the fuzzy-copy detector)
+# ---------------------------------------------------------------------------
+EDIT_SKEL_LEN = 256   # edit distance over the first N printable-ASCII chars
+EDIT_REL_T = 0.25     # pairs with relative edit distance <= this emit
+
+# Printable-ASCII skeleton: DuckDB's levenshtein counts BYTES while Spark's
+# counts CHARACTERS, so the verified string must be byte==char. Strip
+# everything outside [space, ~] on BOTH engines, then truncate.
+_DUCK_SKEL = f"substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, {EDIT_SKEL_LEN})"
+
+
+@register(
+    "near_dup_edit_distance",
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, {DUCK_SHINGLES} AS sh, {_DUCK_SKEL} AS skel FROM documents
+        ),
+        posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        rare AS (
+          SELECT shingle FROM posting GROUP BY shingle HAVING count(*) <= {STOP_DF}
+        ),
+        rp AS (SELECT p.doc_id, p.shingle FROM posting p JOIN rare r ON p.shingle = r.shingle),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rp a JOIN rp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        verified AS (
+          SELECT c.doc_a, c.doc_b,
+                 levenshtein(sa.skel, sb.skel) AS edit_distance,
+                 greatest(len(sa.skel), len(sb.skel), 1) AS denom
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, CAST(edit_distance AS BIGINT) AS edit_distance,
+               round(edit_distance * 1.0 / denom, 6) AS rel_edit
+        FROM verified
+        WHERE edit_distance * 1.0 / denom <= {EDIT_REL_T}
+    """,
+    doc="Shingle-banded candidates verified by relative Levenshtein distance over an ASCII skeleton — the fuzzy-copy detector (catches edits Jaccard misses).",
+    tags=("dedup", "ext", "scale"),
+)
+def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup verification by EDIT DISTANCE: shingle candidates (rare
+    postings only, df ≤ STOP_DF — same DF-bounded generation as the
+    stop-filtered Jaccard), then Levenshtein over a bounded skeleton —
+    first EDIT_SKEL_LEN printable-ASCII chars — normalized by the longer
+    skeleton. Catches in-place token edits (typo farms, template fills)
+    whose shingle overlap stays high enough to band but whose set-based
+    Jaccard under-measures character-level similarity.
+
+    Scale shape: candidate fan-out is DF-bounded (≤ STOP_DF² per shingle);
+    the verify cost is O(EDIT_SKEL_LEN²) per candidate — a constant —
+    and only (doc_a, doc_b, two 256-char skeletons) reach the verify join.
+    The skeleton cap is the production trick: unbounded Levenshtein on
+    100 KB documents is quadratic in document length, so fuzzy-copy
+    verification always bounds the compared span.
+
+    Engine portability: Spark levenshtein counts characters, DuckDB bytes;
+    the printable-ASCII projection makes byte == char on both.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    skel = F.substring(
+        F.regexp_replace(F.col("text"), "[^ -~]", ""), 1, EDIT_SKEL_LEN
+    )
+    sh = d.select("doc_id", shingles().alias("sh"), skel.alias("skel"))
+    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    rare = (
+        posting.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= STOP_DF)
+    )
+    rp = posting.join(rare.select("shingle"), "shingle")
+    a = rp.alias("a")
+    b = rp.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("skel").alias("skel_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("skel").alias("skel_b"))
+    lev = F.levenshtein(F.col("skel_a"), F.col("skel_b"))
+    denom = F.greatest(F.length("skel_a"), F.length("skel_b"), F.lit(1))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("edit_distance"),
+            F.round(lev / denom, 6).alias("rel_edit"),
+        )
+        .filter(F.col("edit_distance") / denom <= EDIT_REL_T)
     )

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.arrays import as_double, cosine, dot
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, prune_stale_cache_siblings
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -511,6 +511,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, root: str | None = None) -
     # invalidates the index (mtime-keying, same as catalog's ts-unit sniff
     # and the lake snapshot table).
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    default_root = root is None
     root = root or os.path.join(
         IVF_INDEX_ROOT,
         f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}",
@@ -555,6 +556,13 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, root: str | None = None) -
         else:  # stale half-built tree from a crashed run: replace it
             shutil.rmtree(root, ignore_errors=True)
             os.rename(stage, root)
+    # Sweep obsolete mtime-keyed siblings (one full index copy per fixture
+    # generation otherwise accumulates under /tmp — round-3 ADVICE). Only
+    # for the default layout: a caller-chosen root has no slug siblings.
+    if default_root:
+        prune_stale_cache_siblings(
+            IVF_INDEX_ROOT, sf_dir.strip("/").replace("/", "_"), root
+        )
     return root
 
 
@@ -828,4 +836,108 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         (F.round(F.coalesce("max_sim", F.lit(-1.0)), 6) + 0.0).alias("max_sim_smaller"),
         (F.coalesce("max_sim", F.lit(-1.0)) < SEMDEDUP_TAU).alias("is_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r4] Matryoshka prefix-dim coarse search + exact refine
+# ---------------------------------------------------------------------------
+MRL_PREFIX = 16   # coarse stage scores only the first 16 of 64 dims
+MRL_SHORTLIST = 50  # candidates surviving into the exact refine
+
+
+@register(
+    "ann_matryoshka_refine",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+        coarse AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.v,
+                 list_dot_product(q.qv[1:{MRL_PREFIX}], e.v[1:{MRL_PREFIX}]) AS cscore
+          FROM q JOIN e ON e.vec_id != q.query_id
+        ),
+        short AS (
+          SELECT query_id, neighbor_id, qv, v FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cscore DESC, neighbor_id ASC) AS crnk
+            FROM coarse
+          ) WHERE crnk <= {MRL_SHORTLIST}
+        ),
+        refined AS (
+          SELECT query_id, neighbor_id,
+                 list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+          FROM short
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cosine_sim, rnk FROM (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+          FROM refined
+        ) WHERE rnk <= {TOP_K}
+    """,
+    doc="Matryoshka two-stage ANN: prefix-dim dot-product shortlist, exact cosine refine (Kusupati et al. 2022 retrieval recipe).",
+    tags=("similarity", "ext", "scale"),
+)
+def ann_matryoshka_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN over nested (matryoshka) representations: stage 1
+    scores every candidate with a dot product over only the FIRST
+    MRL_PREFIX dims (4× less compute and memory traffic per candidate at
+    64→16; MRL-trained embeddings concentrate signal in the prefix —
+    Kusupati et al. 2022, public recipe), keeps a per-query shortlist of
+    MRL_SHORTLIST; stage 2 re-scores only the shortlist with the full-dim
+    exact cosine and emits top-k.
+
+    Scale shape: the query block broadcasts (same contract as
+    cosine_topk_exact), stage-1 scores compute map-side against the scan,
+    and only shortlist rows — MRL_SHORTLIST per query, not the corpus —
+    reach the refine. The rank windows shuffle (query_id, score) pairs
+    only. At a billion vectors the coarse stage is the bandwidth win:
+    reading 16/64 dims is a 4× column-bytes cut, realized by storing the
+    prefix as its own column family (here: F.slice on the scan).
+
+    Cross-engine determinism: both stages order by (score DESC, id ASC)
+    with bit-identical left-to-right fold dot products, so the shortlist
+    boundary and final ranks agree exactly with the DuckDB oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.slice(F.col("v"), 1, MRL_PREFIX).alias("qp"),
+    )
+    coarse = (
+        e.withColumn("vp", F.slice(F.col("v"), 1, MRL_PREFIX))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qv",
+            "v",
+            dot(F.col("qp"), F.col("vp")).alias("cscore"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        coarse.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= MRL_SHORTLIST)
+        .select("query_id", "neighbor_id", "qv", "v")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("v")).alias("cos")
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round("cos", 6) + 0.0).alias("cosine_sim"),
+            F.row_number().over(wr).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TOP_K)
     )

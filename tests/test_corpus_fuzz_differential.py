@@ -47,6 +47,8 @@ DOC_QUERIES = [
     "length_bucket_packing",
     "sample_weighted_quality",
     "near_dup_containment",
+    "near_dup_containment_stopfiltered",
+    "near_dup_edit_distance",
     # full dedup/curation family (crashes on token-less docs were found
     # here: ANSI element_at and negative-length slice)
     "minhash_lsh_candidates",
@@ -288,6 +290,7 @@ EMB_COSINE_QUERIES = [
     "ann_lsh_multiprobe",
     "ann_ivf_by_label",
     "near_dup_cosine_pairs",
+    "ann_matryoshka_refine",
     "last_timestep_select",
     "hstack_features",
     "anomaly_best_worst",

@@ -68,6 +68,10 @@ QUERIES = [
     "events_hourly_gapfill",
     "events_props_variant",
     "events_rate_anomaly_zscore",
+    # round-4 additions: the r3 scale-tagged queries without measured ratios
+    "ann_pq_adc",
+    "semantic_dedup",
+    "near_dup_containment_stopfiltered",
 ]
 
 
