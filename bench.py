@@ -22,9 +22,48 @@ from distributed_deep_learning_with_apache_spark_spark.registry import load_all
 from distributed_deep_learning_with_apache_spark_spark.session import get_spark
 
 
+def _capture_stderr() -> tuple[int, "os.PathLike | str"]:
+    """Redirect fd 2 (Python + JVM log4j both write there) into a temp file
+    so we can scan the run for ERROR-level stacks afterwards. Returns the
+    saved real-stderr fd and the capture path. BENCH_r03's tail contained a
+    benign-but-alarming FileNotFoundException stack (the FileStreamSink
+    _spark_metadata probe on a glob path); this guard makes any future
+    JVM-side ERROR a loud bench failure instead of a buried tail artifact.
+    """
+    import tempfile
+
+    saved = os.dup(2)
+    tmp = tempfile.NamedTemporaryFile(
+        mode="w+b", prefix="bench_stderr_", suffix=".log", delete=False
+    )
+    os.dup2(tmp.fileno(), 2)
+    return saved, tmp.name
+
+
+def _check_stderr(saved_fd: int, path: str) -> None:
+    """Replay captured stderr to the real stream, then fail on ERROR lines."""
+    sys.stderr.flush()
+    os.dup2(saved_fd, 2)
+    with open(path, "rb") as f:
+        data = f.read()
+    os.write(saved_fd, data)
+    errors = [
+        ln
+        for ln in data.decode("utf-8", "replace").splitlines()
+        if " ERROR " in ln or ln.startswith("ERROR")
+    ]
+    if errors:
+        os.write(
+            saved_fd,
+            ("\nbench.py: ERROR-level log lines detected:\n" + "\n".join(errors[:20]) + "\n").encode(),
+        )
+        raise SystemExit(1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    saved_fd, capture_path = _capture_stderr()
     spark = get_spark("ddl_spark_bench")
 
     reg = load_all()
@@ -48,6 +87,7 @@ def main() -> None:
         times[name] = round(min(per_run), 4)
 
     total = round(sum(times.values()), 4)
+    _check_stderr(saved_fd, capture_path)
     print(
         json.dumps(
             {

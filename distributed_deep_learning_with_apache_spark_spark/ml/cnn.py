@@ -389,7 +389,7 @@ def png_pixels_df(spark: SparkSession) -> DataFrame:
             yield pd.DataFrame(out)
 
     return (
-        read_binary_dir(spark, root + "/*")
+        read_binary_dir(spark, root)
         .select("path", F.col("label").cast("int").alias("label"), "content")
         .mapInPandas(kernel, "path string, label int, pixels array<double>")
     )

@@ -37,10 +37,18 @@ DECODE_SCHEMA = (
 
 def read_binary_dir(spark: SparkSession, path: str, glob: str = "*.png") -> DataFrame:
     """S4: real binary scan — (path, modificationTime, length, content) with
-    label-from-parent-path (S6) materialized as a column."""
+    label-from-parent-path (S6) materialized as a column.
+
+    Callers pass the corpus ROOT, not a ``root/*`` glob: on load Spark
+    probes ``<path>/_spark_metadata`` (FileStreamSink detection) and a glob
+    path fails that probe with a logged FileNotFoundException stack —
+    harmless but it polluted BENCH_r03's stderr tail. recursiveFileLookup
+    descends into the per-label subdirectories instead.
+    """
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
         .load(path)
         .withColumn("label", F.regexp_extract(F.input_file_name(), r"/([^/]+)/[^/]+$", 1))
     )
@@ -236,7 +244,7 @@ def decode_png_dir(spark: SparkSession, root: str) -> DataFrame:
             yield __import__("pandas").DataFrame(out)
 
     return (
-        read_binary_dir(spark, root + "/*")
+        read_binary_dir(spark, root)
         .select("path", F.col("label").cast("int").alias("label"), "content")
         .mapInPandas(kernel, PIXEL_SCHEMA)
     )
@@ -312,7 +320,7 @@ def image_frame_sample_df(spark: SparkSession, root: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return (
-        read_binary_dir(spark, root + "/*")
+        read_binary_dir(spark, root)
         .select("path", F.col("label").cast("int").alias("label"), "content")
         .mapInPandas(kernel, IMAGE_FRAME_SCHEMA)
     )
@@ -368,7 +376,7 @@ def image_ahash_df(spark: SparkSession, root: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return (
-        read_binary_dir(spark, root + "/*")
+        read_binary_dir(spark, root)
         .select("path", F.col("label").cast("int").alias("label"), "content")
         .mapInPandas(kernel, "path string, label int, ahash long")
     )
@@ -548,38 +556,17 @@ def audio_window_features_df(spark: SparkSession, root: str) -> DataFrame:
     Scale posture: identical to the image/video kernels — decode and 1→N
     expansion inside the scan's partitions, one Arrow hop, no shuffle;
     output bounded at n_samples/WINDOW rows per clip."""
-    from .wavcodec import WINDOW
+    from .wavcodec import WINDOW, make_wav_parser
 
     win = WINDOW
+    # parse is a factory-built closure so the kernel ships it by value;
+    # executors can't import this package when the driver runs from an
+    # arbitrary cwd. Single source of truth: wavcodec.make_wav_parser.
+    parse = make_wav_parser()
 
     def kernel(batches: Iterator) -> Iterator:
-        # RIFF parse inlined: this closure ships by value; executors can't
-        # import the package when the driver runs from an arbitrary cwd.
-        import struct as _struct
-
         import numpy as np
         import pandas as pd
-
-        def parse(buf: bytes):
-            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-                raise ValueError("not a RIFF/WAVE file")
-            pos, rate, samples = 12, None, None
-            while pos + 8 <= len(buf):
-                tag = buf[pos : pos + 4]
-                (length,) = _struct.unpack("<I", buf[pos + 4 : pos + 8])
-                payload = buf[pos + 8 : pos + 8 + length]
-                if tag == b"fmt ":
-                    fmt, ch, rate, _, _, bits = _struct.unpack("<HHIIHH", payload[:16])
-                    if (fmt, ch, bits) != (1, 1, 16):
-                        raise ValueError("only PCM16 mono supported")
-                elif tag == b"data":
-                    samples = np.frombuffer(
-                        payload[: length - length % 2], dtype="<i2"
-                    ).astype(np.int64)
-                pos += 8 + length + (length & 1)
-            if rate is None or samples is None:
-                raise ValueError("missing fmt or data chunk")
-            return rate, samples
 
         for pdf in batches:
             out = {c: [] for c in (
@@ -649,35 +636,16 @@ def audio_spectrogram_df(spark: SparkSession, root: str) -> DataFrame:
     256-sample frame, so cost is linear in corpus bytes.
     """
 
-    def kernel(batches: Iterator) -> Iterator:
-        import struct as _struct
+    from .wavcodec import make_wav_parser
 
+    parse = make_wav_parser()  # ships by value inside the kernel closure
+
+    def kernel(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
         nfft = SPECTRO_NFFT
         hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(nfft) / nfft)
-
-        def parse(buf: bytes):
-            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-                raise ValueError("not a RIFF/WAVE file")
-            pos, rate, samples = 12, None, None
-            while pos + 8 <= len(buf):
-                tag = buf[pos : pos + 4]
-                (length,) = _struct.unpack("<I", buf[pos + 4 : pos + 8])
-                payload = buf[pos + 8 : pos + 8 + length]
-                if tag == b"fmt ":
-                    fmt, ch, rate, _, _, bits = _struct.unpack("<HHIIHH", payload[:16])
-                    if (fmt, ch, bits) != (1, 1, 16):
-                        raise ValueError("only PCM16 mono supported")
-                elif tag == b"data":
-                    samples = np.frombuffer(
-                        payload[: length - length % 2], dtype="<i2"
-                    ).astype(np.float64)
-                pos += 8 + length + (length & 1)
-            if rate is None or samples is None:
-                raise ValueError("missing fmt or data chunk")
-            return rate, samples
 
         for pdf in batches:
             out = {c: [] for c in (
@@ -686,6 +654,7 @@ def audio_spectrogram_df(spark: SparkSession, root: str) -> DataFrame:
             )}
             for path, buf in zip(pdf["path"], pdf["content"]):
                 rate, x = parse(bytes(buf))
+                x = x.astype(np.float64)
                 n_win = len(x) // nfft
                 freqs = np.arange(nfft // 2 + 1) * (rate / nfft)
                 lo = freqs < 500.0
@@ -790,7 +759,7 @@ def image_resize_pool_df(spark: SparkSession, root: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return (
-        read_binary_dir(spark, root + "/*")
+        read_binary_dir(spark, root)
         .select("path", F.col("label").cast("int").alias("label"), "content")
         .mapInPandas(kernel, RESIZE_SCHEMA)
     )
@@ -831,32 +800,13 @@ def audio_resample_df(spark: SparkSession, root: str) -> DataFrame:
     hop, no shuffle; output O(1) per clip.
     """
 
-    def kernel(batches: Iterator) -> Iterator:
-        import struct as _struct
+    from .wavcodec import make_wav_parser
 
+    parse = make_wav_parser()  # ships by value inside the kernel closure
+
+    def kernel(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
-
-        def parse(buf: bytes):
-            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-                raise ValueError("not a RIFF/WAVE file")
-            pos, rate, samples = 12, None, None
-            while pos + 8 <= len(buf):
-                tag = buf[pos : pos + 4]
-                (length,) = _struct.unpack("<I", buf[pos + 4 : pos + 8])
-                payload = buf[pos + 8 : pos + 8 + length]
-                if tag == b"fmt ":
-                    fmt, ch, rate, _, _, bits = _struct.unpack("<HHIIHH", payload[:16])
-                    if (fmt, ch, bits) != (1, 1, 16):
-                        raise ValueError("only PCM16 mono supported")
-                elif tag == b"data":
-                    samples = np.frombuffer(
-                        payload[: length - length % 2], dtype="<i2"
-                    ).astype(np.float64)
-                pos += 8 + length + (length & 1)
-            if rate is None or samples is None:
-                raise ValueError("missing fmt or data chunk")
-            return rate, samples
 
         for pdf in batches:
             out = {k: [] for k in (
@@ -865,6 +815,7 @@ def audio_resample_df(spark: SparkSession, root: str) -> DataFrame:
             )}
             for path, buf in zip(pdf["path"], pdf["content"]):
                 rate, x = parse(bytes(buf))
+                x = x.astype(np.float64)
                 # anti-alias: 2-tap moving average, then take every 2nd sample
                 smooth = (x[:-1] + x[1:]) / 2.0
                 y = smooth[::DECIMATE]

@@ -18,6 +18,35 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def prune_stale_cache_siblings(base: str, prefix: str, keep: str) -> None:
+    """Sweep obsolete mtime-keyed cache dirs for one source prefix.
+
+    The /tmp caches (IVF index, snapshot table) are keyed
+    ``{prefix}_{mtime_ns}_{size}``, so every fixture regeneration mints a
+    new slug and would otherwise strand the old copy forever (round-3
+    ADVICE). Called after an atomic publish: siblings of ``keep`` sharing
+    the prefix are removed. Staging dirs (``*.tmp.<pid>``) are spared for
+    an hour so a concurrent builder is never swept mid-write; a stale root
+    can in principle be pruned under a concurrent reader of an OLD fixture,
+    which is acceptable — regeneration and reads of the pre-regeneration
+    corpus don't overlap in this harness.
+    """
+    import glob
+    import shutil
+    import time
+
+    for p in glob.glob(os.path.join(base, prefix + "_*")):
+        if os.path.abspath(p) == os.path.abspath(keep):
+            continue
+        if ".tmp." in os.path.basename(p):
+            try:
+                if time.time() - os.path.getmtime(p) < 3600:
+                    continue
+            except OSError:
+                continue
+        shutil.rmtree(p, ignore_errors=True)
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .catalog import load_table
+from .catalog import load_table, prune_stale_cache_siblings
 
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
@@ -313,6 +313,9 @@ def ensure_snapshot_table(spark: SparkSession, sf_dir: str, base: str = SNAP_ROO
         else:
             shutil.rmtree(root, ignore_errors=True)
             _os.rename(stage, root)
+    # Each regeneration mints a new slug; sweep the obsolete siblings so
+    # /tmp doesn't accumulate one full table copy per fixture generation.
+    prune_stale_cache_siblings(base, sf_dir.strip("/").replace("/", "_"), root)
     return root
 
 

@@ -62,6 +62,45 @@ def parse_wav(buf: bytes) -> tuple[int, list[int]]:
     return rate, samples
 
 
+def make_wav_parser():
+    """Build a numpy-returning RIFF/WAVE parser as a CLOSURE so cloudpickle
+    ships it to executors by value (same constraint as
+    pngcodec.make_gray_png_decoder: this package is not importable from
+    Spark's python workers when the driver runs from an arbitrary cwd).
+
+    The single source of truth for the chunk walk used by every audio
+    mapInPandas kernel in sources/binary.py — a format fix lands here once.
+    Returns ``parse(buf) -> (sample_rate, samples: np.ndarray[int64])``.
+    """
+
+    def parse(buf: bytes):
+        import struct as _struct
+
+        import numpy as np
+
+        if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        pos, rate, samples = 12, None, None
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (length,) = _struct.unpack("<I", buf[pos + 4 : pos + 8])
+            payload = buf[pos + 8 : pos + 8 + length]
+            if tag == b"fmt ":
+                fmt, ch, rate, _, _, bits = _struct.unpack("<HHIIHH", payload[:16])
+                if (fmt, ch, bits) != (1, 1, 16):
+                    raise ValueError("only PCM16 mono supported")
+            elif tag == b"data":
+                samples = np.frombuffer(
+                    payload[: length - length % 2], dtype="<i2"
+                ).astype(np.int64)
+            pos += 8 + length + (length & 1)  # RIFF chunks pad to even
+        if rate is None or samples is None:
+            raise ValueError("missing fmt or data chunk")
+        return rate, samples
+
+    return parse
+
+
 def click_position(audio_id: int) -> int:
     """Ground-truth impulse sample index for clip `audio_id` (kept away
     from the first/last window so the peak is unambiguous)."""

@@ -170,3 +170,30 @@ def test_snapshot_manifests_reuse_and_isolate_files(spark, sf_dir):
     assert read_snapshot(spark, root, 2).count() == n2
     # a crashed writer's unpublished manifest must be invisible
     assert not [p for p in os.listdir(root) if p.endswith(".tmp")]
+
+
+def test_zorder_oracle_preserves_duplicate_rows():
+    """ADVICE r3: the zorder oracle's morton CTE groups by the lineitem
+    primary key (l_orderkey, l_linenumber), so two physical rows sharing
+    (orderkey, quantity, ra, rb) — expected ~0.6 collisions at sf1, more on
+    regenerated fixtures — must BOTH survive into the bucket stats. Pin it
+    with a synthetic table where every non-PK attribute collides."""
+    import duckdb
+
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+    oracle = load_all()["lake_zorder_stats"].oracle
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE TABLE lineitem AS
+        SELECT 1 AS l_orderkey, ln AS l_linenumber,
+               7 AS l_partkey, 3 AS l_suppkey, 5.0 AS l_quantity
+        FROM (SELECT unnest(generate_series(1, 4)) AS ln)
+        """
+    )
+    rows = [(b, n, float(q)) for b, n, q in con.execute(oracle).fetchall()]
+    # All four rows have identical (partkey, suppkey) = the column maxes, so
+    # both ranks are 1023 -> zval = 2^20-1 -> bucket 15; the count must be 4
+    # (no collapse) and total_qty 20, not 5.
+    assert rows == [(15, 4, 20.0)], rows

@@ -32,7 +32,7 @@ QUERIES = [
     "except_unsold_parts","quantile_order_prices","profile_lineitem",
     "unpivot_lineitem_measures","customer_balance_ranks","running_revenue_per_customer",
     "order_gap_days","grouped_best_worst_orders","grouped_topk_salted",
-    "grouping_sets_revenue","join_key_skew_profile","late_shipment_priority",
+    "grouping_sets_revenue","join_key_skew_profile",
     # need the events table too (generated below)
     # (stat_lineitem_correlations is deliberately NOT fuzzed on random data:
     # Spark's CentralMomentAgg and DuckDB's second-moment kernels agree only
@@ -42,6 +42,8 @@ QUERIES = [
     "merge_upsert_customers","scd2_customer_history",
     "scd2_as_of_lookup","asof_join_latest_order","range_join_events_after_order",
 ]
+
+assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"
 
 SEGMENTS = ["BUILDING","AUTOMOBILE","MACHINERY"]
 STATUS = ["O","F","P"]
