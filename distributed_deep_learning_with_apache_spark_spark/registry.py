@@ -69,6 +69,8 @@ _DRIVER_PRIORITY = [
     "near_dup_containment_stopfiltered",
     "ann_matryoshka_refine",
     "near_dup_edit_distance",
+    "bucketed_join_revenue",
+    "lake_schema_evolution",
     # --- never-checked, rows-only (non-SQL-expressible by design) --------
     "ml_sentiment_sequence",
     "ml_sentiment_rnn",

@@ -361,3 +361,202 @@ def lake_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# [EXT r4] Bucketed tables: the co-located fact-fact join (no join shuffle)
+# ---------------------------------------------------------------------------
+BUCKET_ROOT = "/tmp/ddl_spark_bucketed_v1"
+N_BUCKETS = 8
+
+# Column DDL for re-registering the bucketed layouts in a fresh session
+# (bucket metadata lives in the catalog, not the files; an external
+# CREATE TABLE ... CLUSTERED BY over the existing files restores it).
+_BUCKET_DDL = {
+    "bk_lineitem": (
+        "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+        "l_orderkey",
+    ),
+    "bk_orders": ("o_orderkey BIGINT, o_orderpriority STRING", "o_orderkey"),
+}
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str, base: str = BUCKET_ROOT) -> str:
+    """Write lineitem and orders bucketed on the join key once per fixture
+    generation (mtime-keyed slug, atomic publish, stale-sibling sweep —
+    same discipline as the snapshot table and the IVF index).
+
+    This is the layout investment that pays on every subsequent fact-fact
+    join: both sides pre-hashed into N_BUCKETS files on the key, so the
+    join needs NO exchange on either side — at 100 TB the single biggest
+    shuffle in a star-schema workload simply disappears. saveAsTable is
+    required at write time (bucket metadata is catalog-side); the
+    temporary write-table is dropped immediately, files are external.
+    """
+    st_o = _os.stat(_os.path.join(sf_dir, "orders.parquet"))
+    st_l = _os.stat(_os.path.join(sf_dir, "lineitem.parquet"))
+    slug = (
+        f"{sf_dir.strip('/').replace('/', '_')}"
+        f"_{st_o.st_mtime_ns}_{st_o.st_size}_{st_l.st_mtime_ns}_{st_l.st_size}"
+    )
+    root = _os.path.join(base, slug)
+    done = _os.path.join(root, ".complete")
+    if _os.path.exists(done):
+        return root
+    stage = f"{root}.tmp.{_os.getpid()}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    for df, name, key in ((li, "bk_lineitem", "l_orderkey"), (o, "bk_orders", "o_orderkey")):
+        tmp_tbl = f"{name}_w{_os.getpid()}"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .format("parquet")
+            .option("path", _os.path.join(stage, name))
+            .saveAsTable(tmp_tbl)
+        )
+        spark.sql(f"DROP TABLE {tmp_tbl}")  # external table: files persist
+    with open(_os.path.join(stage, ".complete"), "w") as f:
+        f.write("ok")
+    try:
+        _os.rename(stage, root)
+    except OSError:
+        import shutil
+
+        if _os.path.exists(done):
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            shutil.rmtree(root, ignore_errors=True)
+            _os.rename(stage, root)
+    prune_stale_cache_siblings(base, sf_dir.strip("/").replace("/", "_"), root)
+    return root
+
+
+def register_bucketed_tables(spark: SparkSession, root: str) -> None:
+    """(Re-)register the bucketed layouts in this session's catalog,
+    pointing at the current fixture generation's files."""
+    for name, (cols, key) in _BUCKET_DDL.items():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"""
+            CREATE TABLE {name} ({cols})
+            USING PARQUET
+            CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS
+            LOCATION '{_os.path.join(root, name)}'
+            """
+        )
+
+
+@register(
+    "bucketed_join_revenue",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    doc="Fact-fact join over bucketed layouts: both sides pre-hashed into co-located buckets, so the join runs with NO exchange on the key (plan-gated).",
+    tags=("lake", "join", "ext", "scale"),
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority computed from BUCKETED copies of
+    lineitem and orders — the repeated-join amortization pattern: pay one
+    clustered write, then every subsequent join on the bucket key skips
+    both shuffle exchanges (tests/test_plans.py asserts the executed plan
+    has no Exchange on l_orderkey/o_orderkey even with broadcast disabled).
+
+    At 100 TB this is THE star-schema lever: a fact-fact join's exchange
+    is the largest single data movement in the workload, and bucketing
+    both writes on the key makes it disappear for every downstream
+    consumer. Only the final (priority, sums) rows — five of them —
+    shuffle for the aggregation.
+    """
+    root = ensure_bucketed_tables(spark, sf_dir)
+    register_bucketed_tables(spark, root)
+    li = spark.table("bk_lineitem")
+    o = spark.table("bk_orders")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r4] Schema evolution: old and new file generations in one table
+# ---------------------------------------------------------------------------
+@register(
+    "lake_schema_evolution",
+    oracle="""
+        WITH unified AS (
+          SELECT o_orderkey, o_totalprice, NULL AS o_channel
+          FROM orders WHERE o_orderkey % 2 = 0
+          UNION ALL
+          SELECT o_orderkey, o_totalprice,
+                 CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 'expedited' ELSE 'standard' END AS o_channel
+          FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT coalesce(o_channel, 'unknown') AS channel,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM unified GROUP BY 1
+    """,
+    doc="Schema evolution read: a column added mid-table; mergeSchema unifies old files (column absent -> NULL) with new ones.",
+    tags=("lake", "ext"),
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The add-a-column lifecycle every long-lived table goes through:
+    generation 1 files lack `o_channel`, generation 2 files carry it.
+    A mergeSchema read unifies both generations — old rows surface the new
+    column as NULL, no rewrite of historical files (the cheap half of
+    schema evolution; renames/drops need a table format's column-id
+    mapping, which is the documented delta vs Iceberg/Delta).
+
+    Scale: mergeSchema's cost is footer-only schema union at planning
+    time; the data files are read exactly once each, column-pruned as
+    usual. The aggregation output is bounded (3 channel values).
+    """
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sg_evo_")
+    o = load_table(spark, sf_dir, "orders")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedited"
+        )
+        .otherwise("standard")
+        .alias("o_channel"),
+    )
+    gen1.write.mode("overwrite").parquet(_os.path.join(base, "g=1"))
+    gen2.write.mode("overwrite").parquet(_os.path.join(base, "g=2"))
+    unified = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(base, "g=1"), _os.path.join(base, "g=2")
+    )
+    out = (
+        unified.groupBy(
+            F.coalesce(F.col("o_channel"), F.lit("unknown")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    # Materialize before the temp dir is removed (bounded: 3 rows).
+    out = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return out

