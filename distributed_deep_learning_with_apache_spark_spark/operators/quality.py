@@ -301,3 +301,43 @@ def hll_daily_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("distinct_users_cumulative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r4] k-anonymity audit over quasi-identifier combinations
+# ---------------------------------------------------------------------------
+K_ANON = 10
+
+
+@register(
+    "k_anonymity_violations",
+    oracle=f"""
+        WITH g AS (
+          SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_size
+          FROM customer GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT c_nationkey, c_mktsegment, group_size
+        FROM g WHERE group_size < {K_ANON}
+    """,
+    doc=f"k-anonymity audit: quasi-identifier combinations identifying fewer than k={K_ANON} records — the release-blocking privacy check beside pii_scrub.",
+    tags=("quality", "privacy", "ext"),
+)
+def k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of the privacy story (pii_scrub removes direct
+    identifiers; this audits QUASI-identifiers): any combination of
+    (nationkey, mktsegment) shared by fewer than K_ANON customers can
+    single people out by linkage, so a release gate lists those cells for
+    suppression or generalization.
+
+    Scale: one map-side-combinable hash aggregation over the
+    quasi-identifier tuple, then a filter on the (tiny) group list —
+    shuffle volume is |distinct combinations|, never |rows|. The same
+    shape audits any QI set; widening the tuple only grows the group
+    count, not the plan.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .filter(F.col("group_size") < K_ANON)
+    )

@@ -740,3 +740,75 @@ def stat_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_extendedprice"), 3).alias("price_stddev"),
         F.round(F.var_samp("l_quantity"), 5).alias("qty_var"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r4] Salted join: the manual skew cure when AQE can't see it coming
+# ---------------------------------------------------------------------------
+JOIN_SALT = 8
+QTY_TIERS = ((10, "low"), (25, "mid"), (40, "high"))  # upper bound -> label
+
+
+@register(
+    "salted_join_quantity_tier",
+    oracle="""
+        SELECT CASE WHEN l_quantity <= 10 THEN 'low'
+                    WHEN l_quantity <= 25 THEN 'mid'
+                    WHEN l_quantity <= 40 THEN 'high'
+                    ELSE 'bulk' END AS tier,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY 1
+    """,
+    doc="Skew-salted dimension join: big side salted by row hash, small side replicated across salts; result identical to the plain join (oracle-checked).",
+    tags=("relational", "join", "ext", "scale"),
+)
+def salted_join_quantity_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED equi-join on a pathologically hot key. l_quantity has ~50
+    distinct values over millions of rows — joining on it hash-partitions
+    the whole fact table into ~50 shuffle partitions, each a straggler.
+    The manual cure (when the small side is too big to broadcast and AQE's
+    skew split can't apply — e.g. the skewed side feeds a bucketed layout):
+    the FACT side appends salt = pmod(xxhash64(row id), S), the DIM side
+    replicates each row S times via explode(sequence(...)), and the join
+    key becomes (key, salt) — S× more partitions, each ~1/S of the hot
+    key's rows. Semantics are proven identical to the unsalted join by the
+    DuckDB oracle (which computes the tier directly).
+
+    The dim here is a 50-row quantity→tier table built inline
+    (broadcastable in real life — chosen deliberately so correctness is
+    oracle-checkable; the pattern is what transfers, and the test pins the
+    (q, salt) exchange key in the executed plan). Salt uses
+    xxhash64(l_orderkey, l_linenumber): 64-bit, seedable, portable —
+    never rand(), which breaks retry determinism.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    # 50-row quantity->tier dimension, replicated across all salts
+    tier = (
+        F.when(F.col("q") <= 10, "low")
+        .when(F.col("q") <= 25, "mid")
+        .when(F.col("q") <= 40, "high")
+        .otherwise("bulk")
+    )
+    dim = spark.range(1, 51).select(F.col("id").cast("int").alias("q"), tier.alias("tier"))
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT - 1)))
+    )
+    fact = li.select(
+        F.col("l_quantity").cast("int").alias("q"),
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(JOIN_SALT))
+        .cast("int")
+        .alias("salt"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    joined = fact.join(dim_salted.hint("shuffle_hash"), ["q", "salt"])
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

@@ -71,6 +71,8 @@ _DRIVER_PRIORITY = [
     "near_dup_edit_distance",
     "bucketed_join_revenue",
     "lake_schema_evolution",
+    "salted_join_quantity_tier",
+    "k_anonymity_violations",
     # --- never-checked, rows-only (non-SQL-expressible by design) --------
     "ml_sentiment_sequence",
     "ml_sentiment_rnn",

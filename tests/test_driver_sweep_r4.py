@@ -31,6 +31,8 @@ R4_ORACLE = [
     "near_dup_edit_distance",
     "bucketed_join_revenue",
     "lake_schema_evolution",
+    "salted_join_quantity_tier",
+    "k_anonymity_violations",
 ]
 
 # The rows-only tail: every priority entry before the first rotated-back
@@ -45,8 +47,8 @@ R4_ROWS_ONLY = [
 def test_r4_frontload_shape():
     """The driver checks ~50 names per round from the top of queries();
     the whole r4 target set must fit."""
-    assert len(R4_ORACLE) + len(R4_ROWS_ONLY) == 41
-    head = _DRIVER_PRIORITY[:41]
+    assert len(R4_ORACLE) + len(R4_ROWS_ONLY) == 43
+    head = _DRIVER_PRIORITY[:43]
     assert set(head) == set(R4_ORACLE) | set(R4_ROWS_ONLY)
     assert all(REG[n].oracle is None for n in R4_ROWS_ONLY)
 

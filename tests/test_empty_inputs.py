@@ -54,6 +54,7 @@ GROUPED_QUERIES = [
     "near_dup_edit_distance",
     "ann_matryoshka_refine",
     "lake_schema_evolution",
+    "salted_join_quantity_tier",
 ]
 
 

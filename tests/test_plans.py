@@ -255,3 +255,16 @@ def test_length_bucket_packing_single_agg_reads_text_only(spark, sf_dir):
     # text column (token counting needs nothing else).
     plan = physical(REG["length_bucket_packing"].fn(spark, sf_dir))
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_salted_join_exchange_carries_salt(spark, sf_dir):
+    """r4: the salted join must actually repartition on (q, salt) — the
+    whole point is the exchange key gaining entropy — and execute as a
+    shuffled hash join (the hint models the can't-broadcast case)."""
+    import re
+
+    df = REG["salted_join_quantity_tier"].fn(spark, sf_dir)
+    df.collect()
+    plan = physical(df)
+    assert re.search(r"Exchange hashpartitioning\(q#\d+, salt#\d+", plan), plan[:2000]
+    assert "ShuffledHashJoin" in plan

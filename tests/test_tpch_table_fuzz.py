@@ -39,7 +39,7 @@ QUERIES = [
     # to ~1e-9 relative, so random inputs occasionally straddle a rounding
     # boundary — an inherent cross-engine epsilon, not a semantic bug; the
     # deterministic fixture parity test covers that query.)
-    "lake_schema_evolution",
+    "lake_schema_evolution","salted_join_quantity_tier","k_anonymity_violations",
     "merge_upsert_customers","scd2_customer_history",
     "scd2_as_of_lookup","asof_join_latest_order","range_join_events_after_order",
 ]
