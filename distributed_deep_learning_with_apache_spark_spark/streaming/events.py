@@ -1145,3 +1145,83 @@ def events_value_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_up_4(filled).alias("v_filled"),
         F.when(F.col("sv").isNull(), 1).otherwise(0).alias("is_interpolated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r4] Observed metrics: the pipeline-health instrumentation API
+# ---------------------------------------------------------------------------
+@register(
+    "stream_observed_metrics",
+    oracle=None,  # per-batch listener telemetry; rows-only check
+    tags=("streaming", "structured", "observability", "ext"),
+)
+def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production streaming observability: ``df.observe`` attaches named
+    aggregate metrics (row count, distinct-user estimate, purchase share,
+    max event-time lag) to the streaming plan, and a StreamingQueryListener
+    collects them per micro-batch — the mechanism real pipelines use to
+    alert on throughput collapse or watermark stall WITHOUT a second query
+    over the data.
+
+    Returned rows: one per completed micro-batch with its observed metrics
+    (the listener's view), so the driver check exercises the whole
+    observe → QueryProgress → listener path. Metrics are computed inside
+    the existing plan (map-side aggregates piggybacking on the batch),
+    costing no extra scan — at 100 TB that is the difference between
+    monitoring and doubling the bill.
+    """
+    import threading
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    rows: list[tuple] = []
+    done = threading.Event()
+
+    class Collector(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            for row in event.progress.observedMetrics.values():
+                rows.append(
+                    (
+                        int(event.progress.batchId),
+                        int(row["n_rows"]),
+                        int(row["n_purchases"]),
+                        int(row["n_users"]),
+                    )
+                )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            done.set()
+
+    listener = Collector()
+    spark.streams.addListener(listener)
+    try:
+        observed = _stream_events(spark, sf_dir).observe(
+            "batch_health",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+            F.approx_count_distinct("user_id").alias("n_users"),
+        )
+        agg = observed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("stream_observed_metrics_sink")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        done.wait(timeout=30)
+    finally:
+        spark.streams.removeListener(listener)
+    return spark.createDataFrame(
+        rows or [(0, 0, 0, 0)][:0],
+        "batch_id long, n_rows long, n_purchases long, n_users long",
+    )

@@ -106,3 +106,27 @@ def test_streaming_state_ops_run_on_rocksdb_provider(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_observed_metrics_match_batch_truth(spark, sf_dir):
+    """r4: the listener-collected observe() metrics must equal ground
+    truth computed batch-side over the same fixture — proving the metrics
+    ride the streaming plan rather than sampling it."""
+    from pyspark.sql import functions as F
+
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = load_all()["stream_observed_metrics"].fn(spark, sf_dir).collect()
+    assert rows, "no observed-metrics rows collected"
+    got_rows = sum(r.n_rows for r in rows)
+    got_purch = sum(r.n_purchases for r in rows)
+    e = load_table(spark, sf_dir, "events")
+    truth = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("event_type") == "purchase").alias("p"),
+    ).first()
+    assert got_rows == truth.n
+    assert got_purch == truth.p
