@@ -806,3 +806,68 @@ def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", cleaned.alias("norm_text"), F.length(cleaned).cast("long").alias("n_chars_norm")
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r4] Python UDTF surface: 1→N table function (Spark 4 API)
+# ---------------------------------------------------------------------------
+UDTF_SPAN = 20  # tokens per emitted chunk span
+
+
+@register(
+    "udtf_chunk_spans",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, (len(toks) - 1) // {UDTF_SPAN})) AS chunk_idx
+          FROM t
+        )
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(least({UDTF_SPAN}, len(toks) - chunk_idx * {UDTF_SPAN}) AS INT) AS n_tokens,
+               CAST(length(array_to_string(
+                 list_slice(toks, chunk_idx * {UDTF_SPAN} + 1, (chunk_idx + 1) * {UDTF_SPAN}), ' ')) AS INT)
+                 AS n_chars
+        FROM s
+    """,
+    doc="Python UDTF (Spark 4 table function, Arrow-optimized) splitting documents into fixed-width chunk spans via LATERAL join — the 1→N table-function surface.",
+    tags=("text", "udtf", "ext"),
+)
+def udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-defined TABLE function surface (SURVEY §2.11): one input
+    row → N output rows via a LATERAL join, the API for expansion logic
+    too stateful for an `explode(split(...))` one-liner. The kernel chunks
+    each document into UDTF_SPAN-token spans (a pretokenization pass);
+    the splitter is a literal single-space split so DuckDB's string_split
+    is an exact oracle — cross-engine parity is the point, not linguistic
+    sophistication.
+
+    ``useArrow=True`` keeps the transfer Arrow-batched — this is an API
+    surface demo, not a hot-path recommendation: the repo's hot paths use
+    built-in expressions or mapInPandas (see functions/arrays.py,
+    sources/binary.py). At scale a UDTF runs inside the scan's partitions
+    (LATERAL against each partition's rows), no shuffle.
+    """
+    from pyspark.sql.functions import udtf
+
+    span = UDTF_SPAN
+
+    @udtf(returnType="chunk_idx int, n_tokens int, n_chars int", useArrow=True)
+    class ChunkSpans:
+        def eval(self, text: str):
+            toks = (text if text is not None else "").split(" ")
+            for i in range(0, len(toks), span):
+                chunk = toks[i : i + span]
+                yield i // span, len(chunk), len(" ".join(chunk))
+
+    spark.udtf.register("ddl_chunk_spans", ChunkSpans)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.chunk_idx, s.n_tokens, s.n_chars
+        FROM docs_udtf d, LATERAL ddl_chunk_spans(d.text) s
+        """
+    )

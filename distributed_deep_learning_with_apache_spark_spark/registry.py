@@ -73,6 +73,8 @@ _DRIVER_PRIORITY = [
     "lake_schema_evolution",
     "salted_join_quantity_tier",
     "k_anonymity_violations",
+    "recursive_calendar_daily",
+    "udtf_chunk_spans",
     # new in r4, rows-only (listener telemetry)
     "stream_observed_metrics",
     # --- never-checked, rows-only (non-SQL-expressible by design) --------

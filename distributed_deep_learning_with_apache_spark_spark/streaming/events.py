@@ -1225,3 +1225,71 @@ def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows or [(0, 0, 0, 0)][:0],
         "batch_id long, n_rows long, n_purchases long, n_users long",
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r4] Recursive CTE calendar spine (Spark 4.1 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+@register(
+    "recursive_calendar_daily",
+    oracle="""
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+                 CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+          FROM events
+        ),
+        cal(day) AS (
+          SELECT d0 FROM bounds WHERE d0 IS NOT NULL
+          UNION ALL
+          SELECT day + 1 FROM cal, bounds WHERE day < d1
+        ),
+        daily AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1
+        )
+        SELECT floor(epoch(cal.day::TIMESTAMP))::BIGINT AS day_s,
+               coalesce(daily.n_events, 0) AS n_events
+        FROM cal LEFT JOIN daily ON daily.day = cal.day
+    """,
+    doc="Daily event counts over a WITH RECURSIVE calendar spine (Spark 4.1 recursive CTE) — empty days included, declarative-iteration surface.",
+    tags=("streaming", "sql", "recursive", "ext"),
+)
+def recursive_calendar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 recursive common table expressions as a first-class
+    surface: the calendar spine is generated by ``WITH RECURSIVE`` (one
+    day per recursion level, UnionLoopExec in the physical plan) instead
+    of ``sequence()``/``explode`` (events_hourly_gapfill's mechanism for
+    the same goal) — the form that generalizes to genuinely iterative
+    queries (hierarchies, chains) the array builder cannot express.
+
+    ``MAX RECURSION LEVEL 1000`` bounds the loop explicitly (Spark's
+    default cap is 100 levels); the spine is one row per day, so the
+    recursion depth equals the table's day span, never its row count —
+    at 100 TB the recursive branch still iterates over ~thousands of
+    single-row steps while the heavy lifting (the daily aggregate and the
+    left join) stays one shuffle each.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_rcd")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+                 CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+          FROM ev_rcd
+        ),
+        cal(day) MAX RECURSION LEVEL 1000 AS (
+          SELECT d0 FROM bounds WHERE d0 IS NOT NULL
+          UNION ALL
+          SELECT date_add(day, 1) FROM cal, bounds WHERE day < d1
+        ),
+        daily AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM ev_rcd GROUP BY 1
+        )
+        SELECT CAST(unix_timestamp(cal.day) AS BIGINT) AS day_s,
+               coalesce(daily.n_events, CAST(0 AS BIGINT)) AS n_events
+        FROM cal LEFT JOIN daily ON daily.day = cal.day
+        """
+    )

@@ -49,6 +49,7 @@ DOC_QUERIES = [
     "near_dup_containment",
     "near_dup_containment_stopfiltered",
     "near_dup_edit_distance",
+    "udtf_chunk_spans",
     # full dedup/curation family (crashes on token-less docs were found
     # here: ANSI element_at and negative-length slice)
     "minhash_lsh_candidates",

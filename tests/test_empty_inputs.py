@@ -55,6 +55,9 @@ GROUPED_QUERIES = [
     "ann_matryoshka_refine",
     "lake_schema_evolution",
     "salted_join_quantity_tier",
+    "recursive_calendar_daily",
+    "udtf_chunk_spans",
+    "k_anonymity_violations",
 ]
 
 

@@ -40,6 +40,7 @@ QUERIES = [
     # boundary — an inherent cross-engine epsilon, not a semantic bug; the
     # deterministic fixture parity test covers that query.)
     "lake_schema_evolution","salted_join_quantity_tier","k_anonymity_violations",
+    "recursive_calendar_daily",
     "merge_upsert_customers","scd2_customer_history",
     "scd2_as_of_lookup","asof_join_latest_order","range_join_events_after_order",
 ]
