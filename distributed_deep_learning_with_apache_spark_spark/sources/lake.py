@@ -367,7 +367,7 @@ def lake_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [EXT r4] Bucketed tables: the co-located fact-fact join (no join shuffle)
 # ---------------------------------------------------------------------------
 BUCKET_ROOT = "/tmp/ddl_spark_bucketed_v1"
-N_BUCKETS = 8
+N_BUCKETS = 32
 
 # Column DDL for re-registering the bucketed layouts in a fresh session
 # (bucket metadata lives in the catalog, not the files; an external

@@ -72,6 +72,8 @@ QUERIES = [
     "ann_pq_adc",
     "semantic_dedup",
     "near_dup_containment_stopfiltered",
+    "salted_join_quantity_tier",
+    "bucketed_join_revenue",
 ]
 
 
