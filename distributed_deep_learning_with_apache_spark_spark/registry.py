@@ -75,8 +75,9 @@ _DRIVER_PRIORITY = [
     "k_anonymity_violations",
     "recursive_calendar_daily",
     "udtf_chunk_spans",
-    # new in r4, rows-only (listener telemetry)
+    # new in r4, rows-only (listener telemetry / checkpoint lifecycle)
     "stream_observed_metrics",
+    "stream_checkpoint_recovery",
     # --- never-checked, rows-only (non-SQL-expressible by design) --------
     "ml_sentiment_sequence",
     "ml_sentiment_rnn",

@@ -1293,3 +1293,76 @@ def recursive_calendar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cal LEFT JOIN daily ON daily.day = cal.day
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r4] Checkpoint recovery: stop/restart with exactly-once resume
+# ---------------------------------------------------------------------------
+@register(
+    "stream_checkpoint_recovery",
+    oracle=None,  # two-run lifecycle over a staged source; rows-only check
+    tags=("streaming", "structured", "checkpoint", "ext"),
+)
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stop/restart contract production streams live by: run 1
+    processes the files present, checkpoints its source offsets, and
+    stops; new files land; run 2 starts FROM THE SAME CHECKPOINT and
+    processes only the new files — no reprocessing, no loss (the file
+    source's exactly-once guarantee, offsets in the checkpoint's offset
+    log, not in the sink).
+
+    Output: one row per run with the rows that run ingested, plus the
+    total — the driver check exercises checkpoint write, query restart,
+    and offset-log replay end-to-end. tests/test_streaming_source.py pins
+    run2_rows == the second batch exactly and total == the full table.
+
+    Scale: the checkpoint holds file names + watermark, KB-sized
+    regardless of data volume; restart cost is reading the offset log,
+    not rescanning the lake.
+    """
+    import os as _os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sg_ckpt_")
+    src = _os.path.join(base, "in")
+    ckpt = _os.path.join(base, "ckpt")
+    _os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    half1 = e.filter(F.col("event_id") % 2 == 0)
+    half2 = e.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(_os.path.join(src, "batch1"))
+
+    schema = e.schema
+    counts = []
+    for run, stage_dir in ((1, None), (2, _os.path.join(src, "batch2"))):
+        if stage_dir is not None:
+            half2.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        name = f"sg_ckpt_sink_r{run}_{_os.getpid()}"
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # lastProgress.numInputRows = rows THIS run actually read from
+            # the source (run 2 must show only the new file's rows).
+            progresses = q.recentProgress
+            ingested = sum(int(p["numInputRows"]) for p in progresses)
+        finally:
+            q.stop()
+        counts.append((run, ingested))
+    shutil.rmtree(base, ignore_errors=True)
+    total = sum(n for _, n in counts)
+    rows = [(r, n, total) for r, n in counts]
+    return spark.createDataFrame(rows, "run int, rows_ingested long, total_rows long")

@@ -130,3 +130,24 @@ def test_observed_metrics_match_batch_truth(spark, sf_dir):
     ).first()
     assert got_rows == truth.n
     assert got_purch == truth.p
+
+
+def test_checkpoint_recovery_is_exactly_once(spark, sf_dir):
+    """r4: after a stop/restart on the SAME checkpoint, the resumed query
+    must ingest only files that appeared after the first run — run-2's
+    numInputRows equals the second half exactly (no reprocessing), and
+    the two runs together cover the table exactly once."""
+    from pyspark.sql import functions as F
+
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = {r.run: r for r in load_all()["stream_checkpoint_recovery"].fn(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events")
+    n_even = e.filter(F.col("event_id") % 2 == 0).count()
+    n_odd = e.filter(F.col("event_id") % 2 == 1).count()
+    assert rows[1].rows_ingested == n_even
+    assert rows[2].rows_ingested == n_odd
+    assert rows[1].total_rows == n_even + n_odd
