@@ -74,6 +74,8 @@ QUERIES = [
     "near_dup_containment_stopfiltered",
     "salted_join_quantity_tier",
     "bucketed_join_revenue",
+    "near_dup_edit_distance",
+    "ann_matryoshka_refine",
 ]
 
 
