@@ -961,3 +961,113 @@ def ann_matryoshka_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r4] IVF × PQ composition: the full production ANN serving stack
+# ---------------------------------------------------------------------------
+@register(
+    "ann_ivf_pq_adc",
+    oracle=None,  # k-means codebooks + probing; recall pinned in tests
+    tags=("similarity", "ext", "pq", "ivf", "scale"),
+)
+def ann_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN stack (FAISS's IVFPQ layout, from the
+    same two public recipes the parts cite): the persisted IVF index
+    prunes WHICH vectors are candidates (only nprobe cells of the
+    cell-partitioned index are read — I/O ∝ nprobe/k of the corpus), and
+    PQ/ADC prunes WHAT is read per candidate (16 one-byte codes instead
+    of 256 B of floats, scored by per-query lookup tables — no float
+    vector touched at query time).
+
+    Composition shape: codes join the cell-partitioned assignments on
+    vec_id ONCE (in production the codes are simply stored inside the
+    index files — this join is the build step, not the query path), the
+    per-query probe set broadcasts, and ADC runs inside the probed
+    partitions' scan. The only shuffle is the final top-k window on
+    (query_id, dist) pairs.
+
+    Recall composes multiplicatively (IVF may prune a true neighbor's
+    cell, PQ may misrank within a cell); tests pin recall@5 ≥ 0.3 on the
+    uniform-random worst-case fixture and require every emitted
+    candidate to come from a probed cell.
+    """
+    import os
+
+    import numpy as np
+
+    root = build_ivf_index(spark, sf_dir)
+    assigned = spark.read.parquet(os.path.join(root, "assignments")).select(
+        "vec_id", "cell"
+    )
+    centroids = spark.read.parquet(os.path.join(root, "centroids"))
+    codes_df, books = pq_encode_df(spark, sf_dir)
+    indexed = assigned.join(codes_df, "vec_id")  # build-time co-location
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    queries = {
+        int(r["vec_id"]): np.asarray(r["v"])
+        for r in e.filter(F.col("vec_id") < N_QUERIES).collect()
+    }
+    cents = {int(r["cell"]): np.asarray(r["cv"]) for r in centroids.collect()}
+    # Driver-side probe pick: K centroids are KB-sized and global.
+    probe_rows = []
+    for qid, qv in queries.items():
+        d2 = sorted((float(((qv - cv) ** 2).sum()), c) for c, cv in cents.items())
+        for _, c in d2[:IVF_NPROBE]:
+            probe_rows.append((qid, c))
+    probes = spark.createDataFrame(probe_rows, "query_id long, qcell int")
+
+    sub = next(iter(queries.values())).shape[0] // PQ_M
+    luts = {
+        qid: [
+            (((qv[m * sub : (m + 1) * sub] - books[m]) ** 2).sum(1)).tolist()
+            for m in range(PQ_M)
+        ]
+        for qid, qv in queries.items()
+    }
+    bc = spark.sparkContext.broadcast(luts)
+
+    import pandas as pd
+
+    def adc(batches):
+        import numpy as _np
+
+        lut = {q: _np.asarray(t) for q, t in bc.value.items()}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = _np.stack([_np.asarray(c, dtype=_np.int64) for c in pdf["codes"]])
+            m_idx = _np.arange(codes.shape[1])
+            qids = pdf["query_id"].to_numpy()
+            dist = _np.empty(len(pdf))
+            for q in _np.unique(qids):
+                mask = qids == q
+                dist[mask] = lut[int(q)][m_idx, codes[mask]].sum(1)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids,
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "adc_dist": dist,
+                }
+            )
+
+    cand = indexed.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", "codes")
+    scored = cand.mapInPandas(adc, "query_id long, neighbor_id long, adc_dist double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_dist", 6).alias("adc_dist"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TOP_K)
+    )

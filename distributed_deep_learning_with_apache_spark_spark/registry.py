@@ -75,9 +75,11 @@ _DRIVER_PRIORITY = [
     "k_anonymity_violations",
     "recursive_calendar_daily",
     "udtf_chunk_spans",
-    # new in r4, rows-only (listener telemetry / checkpoint lifecycle)
+    # new in r4, rows-only (listener telemetry / checkpoint lifecycle /
+    # composed IVF×PQ ANN)
     "stream_observed_metrics",
     "stream_checkpoint_recovery",
+    "ann_ivf_pq_adc",
     # --- never-checked, rows-only (non-SQL-expressible by design) --------
     "ml_sentiment_sequence",
     "ml_sentiment_rnn",

@@ -49,8 +49,8 @@ R4_ROWS_ONLY = [
 def test_r4_frontload_shape():
     """The driver checks ~50 names per round from the top of queries();
     the whole r4 target set must fit."""
-    assert len(R4_ORACLE) + len(R4_ROWS_ONLY) == 47
-    head = _DRIVER_PRIORITY[:47]
+    assert len(R4_ORACLE) + len(R4_ROWS_ONLY) == 48
+    head = _DRIVER_PRIORITY[:48]
     assert set(head) == set(R4_ORACLE) | set(R4_ROWS_ONLY)
     assert all(REG[n].oracle is None for n in R4_ROWS_ONLY)
 
