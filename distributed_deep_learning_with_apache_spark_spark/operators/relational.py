@@ -757,7 +757,7 @@ QTY_TIERS = ((10, "low"), (25, "mid"), (40, "high"))  # upper bound -> label
                     WHEN l_quantity <= 40 THEN 'high'
                     ELSE 'bulk' END AS tier,
                CAST(count(*) AS BIGINT) AS n_items,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               floor(sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)) / 100 + 0.5) / 100 AS revenue
         FROM lineitem
         GROUP BY 1
     """,
@@ -806,9 +806,16 @@ def salted_join_quantity_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_discount",
     )
     joined = fact.join(dim_salted.hint("shuffle_hash"), ["q", "salt"])
+    # Integer-exact revenue (the events_value_interpolate fix pattern):
+    # cross-engine sum order makes round(sum(double), 2) split on .xx5
+    # boundaries, so accumulate floor(x*1e4 + 0.5) cent-hundredths as
+    # exact BIGINTs and apply one identical floor-based half-up at the
+    # end — every step is the same IEEE op on identical bits in both
+    # engines.
+    scaled = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
     return joined.groupBy("tier").agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        (F.floor(F.sum(scaled) / 100 + 0.5) / 100).alias("revenue"),
     )
