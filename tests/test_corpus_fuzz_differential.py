@@ -55,6 +55,7 @@ DOC_QUERIES = [
     "minhash_lsh_candidates",
     "near_dup_minhash_verified",
     "simhash_near_dup_pairs",
+    "simhash64_near_dup_pairs",
     "dedup_clusters",
     "dedup_cluster_survivors",
     "dedup_exact_survivors",

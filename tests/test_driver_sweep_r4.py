@@ -29,6 +29,7 @@ R4_ORACLE = [
     "near_dup_containment_stopfiltered",
     "ann_matryoshka_refine",
     "near_dup_edit_distance",
+    "simhash64_near_dup_pairs",
     "bucketed_join_revenue",
     "lake_schema_evolution",
     "salted_join_quantity_tier",
@@ -49,8 +50,8 @@ R4_ROWS_ONLY = [
 def test_r4_frontload_shape():
     """The driver checks ~50 names per round from the top of queries();
     the whole r4 target set must fit."""
-    assert len(R4_ORACLE) + len(R4_ROWS_ONLY) == 48
-    head = _DRIVER_PRIORITY[:48]
+    assert len(R4_ORACLE) + len(R4_ROWS_ONLY) == 49
+    head = _DRIVER_PRIORITY[:49]
     assert set(head) == set(R4_ORACLE) | set(R4_ROWS_ONLY)
     assert all(REG[n].oracle is None for n in R4_ROWS_ONLY)
 

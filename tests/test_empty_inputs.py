@@ -58,6 +58,7 @@ GROUPED_QUERIES = [
     "recursive_calendar_daily",
     "udtf_chunk_spans",
     "k_anonymity_violations",
+    "simhash64_near_dup_pairs",
 ]
 
 
