@@ -181,3 +181,67 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only in the oracle harness."""
     o = load_table(spark, sf_dir, "orders")
     return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# [EXT r4] Multiset EXCEPT ALL: bag semantics, duplicates preserved
+# ---------------------------------------------------------------------------
+@register(
+    "except_all_order_priorities",
+    oracle="""
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="Bag-semantics EXCEPT ALL (exceptAll): per-value multiplicities subtract instead of collapsing — the multiset half of the set-op family.",
+    tags=("setop", "ext"),
+)
+def except_all_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exceptAll — the MULTISET complement of `except_unsold_parts`'s
+    distinct EXCEPT: each priority value survives with multiplicity
+    count_open(v) - count_filled(v) (when positive), so the result exposes
+    the per-value imbalance, not just membership.
+
+    Scale: Spark plans exceptAll as an aggregated count-difference +
+    generator re-expansion (no row-by-row anti join) — one shuffle on the
+    value, output ∝ the imbalance.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    open_p = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    filled_p = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return open_p.exceptAll(filled_p)
+
+
+# ---------------------------------------------------------------------------
+# [EXT r4] Ordered string aggregation (string_agg / listagg)
+# ---------------------------------------------------------------------------
+@register(
+    "segment_nation_rollcall",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               CAST(count(DISTINCT n.n_name) AS BIGINT) AS n_nations,
+               string_agg(DISTINCT n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+    """,
+    doc="Deterministic ordered string aggregation (listagg/string_agg): sorted-distinct CSV per group — portable because the order is explicit.",
+    tags=("relational", "agg", "ext"),
+)
+def segment_nation_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG surface done deterministically: collect_set → array_sort →
+    array_join gives an EXPLICITLY ordered CSV, the only form that is
+    reproducible across engines, retries, and partitionings (an unordered
+    string_agg is nondeterministic by contract — the classic flaky-report
+    bug). One hash aggregation; the collected set is bounded by the
+    25-nation domain, never by row count.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.countDistinct("n_name").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations_csv"),
+        )
+    )

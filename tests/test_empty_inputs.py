@@ -59,6 +59,8 @@ GROUPED_QUERIES = [
     "udtf_chunk_spans",
     "k_anonymity_violations",
     "simhash64_near_dup_pairs",
+    "except_all_order_priorities",
+    "segment_nation_rollcall",
 ]
 
 

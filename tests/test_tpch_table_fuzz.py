@@ -41,6 +41,7 @@ QUERIES = [
     # deterministic fixture parity test covers that query.)
     "lake_schema_evolution","salted_join_quantity_tier","k_anonymity_violations",
     "recursive_calendar_daily",
+    "except_all_order_priorities","segment_nation_rollcall",
     "merge_upsert_customers","scd2_customer_history",
     "scd2_as_of_lookup","asof_join_latest_order","range_join_events_after_order",
 ]
