@@ -48,6 +48,25 @@ def squared_error(a: Column, b: Column) -> Column:
     )
 
 
+def float_array_sig(vec: Column | str, decimals: int = 6) -> Column:
+    """Driver-hashable digest of a float-array column: fixed-precision
+    rendering + sha2, all JVM-side.
+
+    The driver canonicalizes every registered query's output with pandas
+    (sort_values across all columns, then a value hash); Python ``list``
+    and ``DenseVector`` cells are unsortable/unhashable there — round 4
+    lost three driver rows to exactly this class.  Registered projections
+    therefore never emit raw array/vector columns: they emit this scalar
+    digest, while the raw-array internal ``*_df`` builders stay available
+    for the pixel/vector unit tests.
+    """
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    return F.sha2(
+        F.concat_ws(",", F.transform(vec, lambda x: F.format_string(f"%.{decimals}f", x))),
+        256,
+    )
+
+
 # ---------------------------------------------------------------------------
 # M3/M5: elementwise scalar ops + point reads on a tensor column
 # ---------------------------------------------------------------------------

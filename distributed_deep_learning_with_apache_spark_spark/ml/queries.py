@@ -442,15 +442,11 @@ def ml_gbt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ML1 embedding step: distributed Word2Vec (the course's pretrained table,
 # trained in-engine)
 # ---------------------------------------------------------------------------
-@register(
-    "ml_word2vec_doc_vectors",
-    oracle=None,  # stochastic embedding training; rows-only
-    tags=("ml", "text", "embedding"),
-)
-def ml_word2vec_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def word2vec_doc_vectors_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word2Vec trained on the corpus (replaces the downloaded GoogleNews
     table, S12/J1); transform = per-document mean of token vectors — the
-    same averaging the sentiment pipeline needs."""
+    same averaging the sentiment pipeline needs.  Internal builder: keeps
+    the raw ``docvec`` VectorUDT column for unit tests."""
     from pyspark.ml.feature import RegexTokenizer, Word2Vec
 
     d = load_table(spark, sf_dir, "documents")
@@ -459,6 +455,28 @@ def ml_word2vec_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2v = Word2Vec(vectorSize=16, minCount=2, seed=SEED, inputCol="tokens", outputCol="docvec")
     model = w2v.fit(toks)
     return model.transform(toks).select("doc_id", "docvec")
+
+
+@register(
+    "ml_word2vec_doc_vectors",
+    oracle=None,  # stochastic embedding training; rows-only
+    tags=("ml", "text", "embedding"),
+)
+def ml_word2vec_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: per-document vector norm + sha256 digest of the
+    rounded vector (raw VectorUDT cells are unsortable in the driver's
+    pandas canonicalizer, CORRECTNESS_r04)."""
+    from pyspark.ml.functions import vector_to_array
+
+    from ..functions.arrays import dot, float_array_sig
+
+    arr = vector_to_array(F.col("docvec"))
+    return word2vec_doc_vectors_df(spark, sf_dir).select(
+        "doc_id",
+        F.lit(16).alias("dim"),
+        F.round(F.sqrt(dot(arr, arr)), 6).alias("docvec_norm"),
+        float_array_sig(arr, decimals=5).alias("docvec_sig"),
+    )
 
 
 # ---------------------------------------------------------------------------

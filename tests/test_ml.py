@@ -118,8 +118,17 @@ def test_pca_anomaly_shape(spark, sf_dir):
 
 
 def test_word2vec_vector_size(spark, sf_dir):
-    out = REG["ml_word2vec_doc_vectors"].fn(spark, sf_dir).first()
+    from distributed_deep_learning_with_apache_spark_spark.ml.queries import (
+        word2vec_doc_vectors_df,
+    )
+
+    out = word2vec_doc_vectors_df(spark, sf_dir).first()
     assert len(out.docvec) == 16
+    # The registered driver projection must be scalar-only (driver-hashable).
+    reg_row = REG["ml_word2vec_doc_vectors"].fn(spark, sf_dir).first()
+    assert reg_row.dim == 16
+    assert reg_row.docvec_norm >= 0.0
+    assert len(reg_row.docvec_sig) == 64
 
 
 def test_sequence_sentiment_beats_bag_of_words(spark, sf_dir):

@@ -242,15 +242,16 @@ def test_resize_pool_preserves_mean_and_matches_numpy(spark, sf_dir):
     reference computed from the independently-decoded pixels."""
     import numpy as np
 
-    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+    from distributed_deep_learning_with_apache_spark_spark.sources.binary import (
+        image_resize_pool_df,
+    )
     from distributed_deep_learning_with_apache_spark_spark.sources.pngcodec import (
         IMG_SIZE,
         ensure_fixture_corpus,
         make_gray_png_decoder,
     )
 
-    reg = load_all()
-    rows = reg["image_resize_pool"].fn(spark, sf_dir).collect()
+    rows = image_resize_pool_df(spark, ensure_fixture_corpus()).collect()
     assert rows
     decode = make_gray_png_decoder()
     root = ensure_fixture_corpus()
