@@ -63,31 +63,38 @@ def _check_stderr(saved_fd: int, path: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    load_before = os.getloadavg()  # 1/5/15-min host load at start: a
+    # contended driver run (BENCH_r04 regressed 1.21× uniformly while 50
+    # correctness checks ran on the same host) is now self-diagnosing.
     saved_fd, capture_path = _capture_stderr()
-    spark = get_spark("ddl_spark_bench")
+    try:
+        spark = get_spark("ddl_spark_bench")
 
-    reg = load_all()
-    headline = {name: q for name, q in reg.items() if q.bench}
+        reg = load_all()
+        headline = {name: q for name, q in reg.items() if q.bench}
 
-    # Warmup: touch every table once (JVM warm, parquet footers cached).
-    warm = headline[next(iter(headline))]
-    warm.fn(spark, sf_dir).count()
+        # Warmup: touch every table once (JVM warm, parquet footers cached).
+        warm = headline[next(iter(headline))]
+        warm.fn(spark, sf_dir).count()
 
-    # Steady-state timing: min of 3 full materializations per query (first
-    # run pays plan compilation + codegen + any one-time fixture/index build;
-    # min reflects the throughput a warmed cluster delivers and is robust to
-    # the ±15% single-run host noise documented in SCALE.md).
-    times: dict[str, float] = {}
-    for name, q in sorted(headline.items()):
-        per_run = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            q.fn(spark, sf_dir).count()
-            per_run.append(time.perf_counter() - t0)
-        times[name] = round(min(per_run), 4)
+        # Steady-state timing: min of 3 full materializations per query (first
+        # run pays plan compilation + codegen + any one-time fixture/index build;
+        # min reflects the throughput a warmed cluster delivers and is robust to
+        # the ±15% single-run host noise documented in SCALE.md).
+        times: dict[str, float] = {}
+        for name, q in sorted(headline.items()):
+            per_run = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).count()
+                per_run.append(time.perf_counter() - t0)
+            times[name] = round(min(per_run), 4)
+    finally:
+        # Restore fd 2 and replay the capture even when a query raises —
+        # otherwise the traceback itself vanishes into the temp file.
+        _check_stderr(saved_fd, capture_path)
 
     total = round(sum(times.values()), 4)
-    _check_stderr(saved_fd, capture_path)
     print(
         json.dumps(
             {
@@ -96,6 +103,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg_start": [round(x, 2) for x in load_before],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

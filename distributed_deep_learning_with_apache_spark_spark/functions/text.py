@@ -494,8 +494,8 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM freq
         )
         SELECT count(*) AS n_terms,
-               round(covar_pop(lnr, lnf) / var_pop(lnr), 6) + 0.0 AS slope,
-               round(avg(lnf) - covar_pop(lnr, lnf) / var_pop(lnr) * avg(lnr), 6) + 0.0
+               round(covar_pop(lnr, lnf) / nullif(var_pop(lnr), 0), 6) + 0.0 AS slope,
+               round(avg(lnf) - covar_pop(lnr, lnf) / nullif(var_pop(lnr), 0) * avg(lnr), 6) + 0.0
                  AS intercept
         FROM ranked
     """,
@@ -523,7 +523,10 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.row_number().over(W.orderBy(F.col("f").desc(), F.col("tok").asc()))).alias("lnr"),
         F.log("f").alias("lnf"),
     )
-    slope = F.covar_pop("lnr", "lnf") / F.var_pop("lnr")
+    # nullif guards the single-term corpus (var_pop = 0): the fit is
+    # undefined there, and ANSI double division would throw — both engines
+    # emit NULL slope/intercept instead (found by the NULL-text corpus fuzz).
+    slope = F.covar_pop("lnr", "lnf") / F.nullif(F.var_pop("lnr"), F.lit(0.0))
     return ranked.agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.round(slope, 6).alias("slope"),
@@ -857,7 +860,11 @@ def udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx int, n_tokens int, n_chars int", useArrow=True)
     class ChunkSpans:
         def eval(self, text: str):
-            toks = (text if text is not None else "").split(" ")
+            if text is None:
+                # Match the oracle: generate_series over NULL emits no
+                # rows, so a NULL document contributes zero spans.
+                return
+            toks = text.split(" ")
             for i in range(0, len(toks), span):
                 chunk = toks[i : i + span]
                 yield i // span, len(chunk), len(" ".join(chunk))

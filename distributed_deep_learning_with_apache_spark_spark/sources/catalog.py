@@ -34,10 +34,20 @@ def prune_stale_cache_siblings(base: str, prefix: str, keep: str) -> None:
     corpus don't overlap in this harness.
     """
     import glob
+    import re
     import shutil
     import time
 
+    # Match siblings structurally — prefix followed by one or more
+    # `_<mtime_ns>_<size>` key pairs (the bucketed cache keys two source
+    # tables → four numeric groups), plus optional `.tmp.<pid>` staging
+    # suffix.  A bare `{prefix}_*` glob would also sweep a DIFFERENT
+    # fixture whose slug extends this one (…/sf0.1 vs …/sf0.1_alt),
+    # deleting its live cache (round-4 ADVICE).
+    slug = re.compile(re.escape(prefix) + r"(_\d+_\d+)+(\.tmp\.\d+)?$")
     for p in glob.glob(os.path.join(base, prefix + "_*")):
+        if not slug.match(os.path.basename(p)):
+            continue
         if os.path.abspath(p) == os.path.abspath(keep):
             continue
         if ".tmp." in os.path.basename(p):

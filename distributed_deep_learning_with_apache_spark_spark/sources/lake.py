@@ -456,7 +456,7 @@ def register_bucketed_tables(spark: SparkSession, root: str) -> None:
     oracle="""
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_items,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               floor(sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)) / 100 + 0.5) / 100 AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,
@@ -480,14 +480,19 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_bucketed_tables(spark, root)
     li = spark.table("bk_lineitem")
     o = spark.table("bk_orders")
+    # Integer-exact revenue (events_value_interpolate fix pattern, r4
+    # ADVICE): round(sum(double), 2) splits on .xx5 boundaries across
+    # engines because accumulation order differs; accumulate exact
+    # cent-hundredth BIGINTs and apply one floor-based half-up at the end.
+    scaled = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            (F.floor(F.sum(scaled) / 100 + 0.5) / 100).alias("revenue"),
         )
     )
 

@@ -821,6 +821,42 @@ def stream_custom_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark, "stream_custom_source_replay_sink", "complete")
 
 
+@register(
+    "stream_custom_source_parallel",
+    oracle=None,  # custom streaming source; rows-only (twin-equality + partition fan-out tested)
+    tags=("streaming", "structured", "source", "ext", "scale"),
+)
+def stream_custom_source_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming from the PARTITION-PARALLEL custom Python data source
+    (streaming/replay_source.py `EventsReplayParallelStreamReader`): the
+    driver tracks event_id offsets only; each micro-batch's id range
+    splits into 4 InputPartitions whose reads run on executors as pyarrow
+    predicate-pushdown scans yielding Arrow RecordBatches — the scale-true
+    member of the custom-source family (the `events_replay` sibling is
+    the driver-served low-volume form). n_parts per event_type proves the
+    fan-out actually happened; tests pin counts equal to the batch twin
+    and n_parts > 1."""
+    import os
+
+    from .replay_source import register_events_replay_source
+
+    register_events_replay_source(spark)
+    stream = (
+        spark.readStream.format("events_replay_parallel")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("batch_rows", "5000")
+        .option("partitions", "4")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.size(F.collect_set("part_id")).alias("n_parts"),  # streaming forbids count_distinct
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    return _run_to_memory(agg, spark, "stream_custom_source_parallel_sink", "complete")
+
+
 # ---------------------------------------------------------------------------
 # [EXT r3] Variant semi-structured path (Spark 4 parse_json / variant_get)
 # ---------------------------------------------------------------------------

@@ -132,11 +132,20 @@ def test_matryoshka_refine_recall_and_contract(spark, sf_dir):
 
 
 def test_ivf_pq_composition_recall_and_pruning(spark, sf_dir):
-    """r4: the composed IVF×PQ stack must (a) emit exactly top-k rows per
-    query, (b) only emit neighbors whose IVF cell was among that query's
-    nprobe probed cells (the I/O-pruning contract), and (c) hold
-    recall@5 >= 0.3 on the uniform-random fixture (losses compose:
-    measured 0.56 here vs 0.74 PQ-only and 0.62 IVF-only)."""
+    """r4/r5: the composed IVF×PQ stack must (a) emit exactly top-k rows
+    per query, (b) only emit neighbors whose IVF cell was among that
+    query's nprobe probed cells (the I/O-pruning contract), and (c) hold
+    recall@5 >= 0.5 at the nprobe=4 operating point.
+
+    Measured nprobe curve (r5, recall@5 vs exact cosine; embeddings are
+    unit-norm so L2 == cosine ranking — no metric-mismatch loss):
+        nprobe:   1     2     4     8
+        sf0.001:  0.28  0.34  0.56  0.66
+        sf0.01:   0.32  0.42  0.58  0.68
+    Reference points at the same fixtures: PQ-only 0.76/0.74, IVF-only
+    0.64/0.72 — losses compose as expected; nprobe=4 (of 16 cells) is the
+    chosen operating point and the pin sits just under its measured
+    floor (r4's 0.3 pin would have passed a mis-tuned index)."""
     import os
 
     import numpy as np
@@ -156,7 +165,7 @@ def test_ivf_pq_composition_recall_and_pruning(spark, sf_dir):
     got = {(r.query_id, r.neighbor_id) for r in rows}
     hits = sum(1 for q, n in got if n in exact.get(q, set()))
     recall = hits / (len(exact) * TOP_K)
-    assert recall >= 0.3, f"IVF*PQ recall {recall:.2f} degenerate"
+    assert recall >= 0.5, f"IVF*PQ recall {recall:.2f} below the nprobe=4 operating point"
 
     # pruning contract: every neighbor's cell is in its query's probe set
     root = build_ivf_index(spark, sf_dir)

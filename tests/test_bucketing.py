@@ -92,10 +92,20 @@ def test_registered_bucketed_join_plan_and_layout(spark, sf_dir):
                 for f in glob.glob(os.path.join(root, name, "*.parquet"))
                 if not os.path.basename(f).startswith("_")
             ]
-            # bucketBy encodes the bucket id in the file name; one writer
-            # task per bucket at this scale -> exactly N_BUCKETS files.
-            buckets = {os.path.basename(f).split("_")[1].split(".")[0][:5] for f in files}
-            assert len(files) >= N_BUCKETS or len(buckets) >= 1
+            # bucketBy encodes the bucket id as the `_NNNNN` suffix before
+            # `.c000` (part-00000-<uuid>_00007.c000.snappy.parquet): the
+            # real layout invariant is that every bucket id 0..N-1 exists.
+            import re
+
+            buckets = {
+                int(m.group(1))
+                for f in files
+                for m in [re.search(r"_(\d{5})\.c\d+", os.path.basename(f))]
+                if m
+            }
             assert files, f"no bucket files under {root}/{name}"
+            assert buckets == set(range(N_BUCKETS)), (
+                f"{name}: bucket ids {sorted(buckets)} != 0..{N_BUCKETS - 1}"
+            )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -50,14 +50,20 @@ def test_prune_stale_cache_siblings(tmp_path):
 
     base = tmp_path / "cache"
     old = base / "root_testdata_sf0.1_111_222"
+    old4 = base / "root_testdata_sf0.1_111_222_333_444"  # two-table slug
     new = base / "root_testdata_sf0.1_333_444"
     staging = base / "root_testdata_sf0.1_555_666.tmp.12345"
     other = base / "root_testdata_sf1_777_888"
-    for d in (old, new, staging, other):
+    # r4 ADVICE: a fixture whose slug EXTENDS this prefix is a different
+    # fixture (sf0.1 vs sf0.1_alt) — its live cache must not be swept.
+    extended = base / "root_testdata_sf0.1_alt_999_111"
+    for d in (old, old4, new, staging, other, extended):
         d.mkdir(parents=True)
         (d / "data").write_text("x")
     prune_stale_cache_siblings(str(base), "root_testdata_sf0.1", str(new))
     assert not old.exists()          # previous generation swept
+    assert not old4.exists()         # multi-key slug generation swept too
     assert new.exists()              # the published root kept
     assert staging.exists()          # fresh concurrent stage spared
     assert other.exists()            # different prefix untouched
+    assert extended.exists()         # prefix-extending fixture untouched

@@ -78,6 +78,7 @@ DOC_QUERIES = [
 WORDS = ["spark", "hash", "join", "the", "a", "scan", "émigré", "data1"]
 
 doc_text = st.one_of(
+    st.none(),  # NULL text — r4 advice: udtf_chunk_spans diverged on NULL
     st.just(""),
     st.just("   "),
     st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join),
@@ -102,8 +103,19 @@ def _write_documents(td: str, texts: list[str]) -> None:
                 "text": texts,
                 "lang": ["en"] * len(texts),
                 "source": [f"src{i % 2}" for i in range(len(texts))],
-                "n_chars": [len(t) for t in texts],
-            }
+                "n_chars": [len(t) if t is not None else None for t in texts],
+            },
+            # Explicit schema: an all-NULL text draw must still type the
+            # column string, not pyarrow's inferred null type.
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("text", pa.string()),
+                    ("lang", pa.string()),
+                    ("source", pa.string()),
+                    ("n_chars", pa.int64()),
+                ]
+            ),
         ),
         os.path.join(td, "documents.parquet"),
     )

@@ -61,6 +61,64 @@ def test_replay_offsets_are_exactly_once(sf_dir):
     assert replay == seen[700 : offsets[last]["pos"]]
 
 
+def test_stream_parallel_source_equals_batch_twin_and_fans_out(spark, sf_dir):
+    """r5: the partition-parallel custom source must (a) agree with the
+    batch groupBy twin on counts and id ranges, and (b) actually fan out —
+    every event_type's rows must have arrived via more than one
+    InputPartition (the scale contract the driver-served Simple reader
+    can't make)."""
+    rows = REG["stream_custom_source_parallel"].fn(spark, sf_dir).collect()
+    got = {
+        r.event_type: (r.n_events, r.min_event_id, r.max_event_id) for r in rows
+    }
+    batch = {
+        r.event_type: (r.n_events, r.min_event_id, r.max_event_id)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .collect()
+    }
+    assert got == batch
+    assert all(r.n_parts > 1 for r in rows), [
+        (r.event_type, r.n_parts) for r in rows
+    ]
+
+
+def test_parallel_reader_partitions_cover_range_without_overlap(sf_dir):
+    """The partition planner must tile each micro-batch's id range exactly:
+    no gaps, no overlaps, multiple partitions for a non-trivial range."""
+    import os
+
+    from distributed_deep_learning_with_apache_spark_spark.streaming.replay_source import (
+        EventsReplayParallelStreamReader,
+    )
+
+    rdr = EventsReplayParallelStreamReader(
+        {
+            "path": os.path.join(sf_dir, "events.parquet"),
+            "batch_rows": "300",
+            "partitions": "4",
+        }
+    )
+    start = rdr.initialOffset()
+    end = rdr.latestOffset()
+    assert end["id"] > start["id"]
+    parts = rdr.partitions(start, end)
+    assert len(parts) > 1
+    spans = sorted((p.lo, p.hi) for p in parts)
+    assert spans[0][0] == start["id"] and spans[-1][1] == end["id"]
+    for (_, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a == lo_b  # contiguous tiling
+    # executor read path yields Arrow batches covering exactly the slice
+    batches = list(rdr.read(parts[0]))
+    ids = [i for b in batches for i in b.column("event_id").to_pylist()]
+    assert ids == list(range(parts[0].lo, parts[0].hi))
+
+
 def test_transform_with_state_gated_capability(spark, sf_dir):
     """transformWithStateInPandas needs google.protobuf for its state
     protocol; this container doesn't ship it, so the op is a gated
