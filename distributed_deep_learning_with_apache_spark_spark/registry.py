@@ -70,6 +70,10 @@ _DRIVER_PRIORITY = [
     "image_resize_pool",
     "ml_word2vec_doc_vectors",
     # --- new in r5 (inserted as they land) -------------------------------
+    "stream_custom_source_parallel",
+    "incremental_agg_maintenance",
+    "skew_agg_two_phase",
+    "heavy_hitters_sketch_verified",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",
@@ -142,6 +146,7 @@ def load_all() -> dict[str, Query]:
         curation,
         decision_support,
         dedup,
+        incremental,
         merge,
         quality,
         relational,

@@ -73,6 +73,7 @@ DOC_QUERIES = [
     "dedup_incremental",
     "tokenize_truncate",
     "corpus_token_stats",
+    "heavy_hitters_sketch_verified",
 ]
 
 WORDS = ["spark", "hash", "join", "the", "a", "scan", "émigré", "data1"]

@@ -44,6 +44,7 @@ QUERIES = [
     "except_all_order_priorities","segment_nation_rollcall",
     "merge_upsert_customers","scd2_customer_history",
     "scd2_as_of_lookup","asof_join_latest_order","range_join_events_after_order",
+    "skew_agg_two_phase","incremental_agg_maintenance",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"
