@@ -74,6 +74,7 @@ _DRIVER_PRIORITY = [
     "incremental_agg_maintenance",
     "skew_agg_two_phase",
     "heavy_hitters_sketch_verified",
+    "ann_ivf_pq_refined",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

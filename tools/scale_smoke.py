@@ -76,6 +76,13 @@ QUERIES = [
     "bucketed_join_revenue",
     "near_dup_edit_distance",
     "ann_matryoshka_refine",
+    # round-5: the r4 additions without measured ratios + new r5 operators
+    "recursive_calendar_daily",
+    "udtf_chunk_spans",
+    "k_anonymity_violations",
+    "incremental_agg_maintenance",
+    "skew_agg_two_phase",
+    "heavy_hitters_sketch_verified",
 ]
 
 
