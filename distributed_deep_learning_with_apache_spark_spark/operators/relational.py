@@ -819,3 +819,153 @@ def salted_join_quantity_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
         (F.floor(F.sum(scaled) / 100 + 0.5) / 100).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Null-aware anti join: NOT IN over a NULLABLE subquery column
+# ---------------------------------------------------------------------------
+@register(
+    "notin_nullaware_anti",
+    oracle="""
+        SELECT p_size, CAST(count(*) AS BIGINT) AS n_parts
+        FROM part
+        WHERE p_size NOT IN (
+          SELECT nullif(CAST(l_quantity AS INT), 0)
+          FROM lineitem
+          WHERE l_returnflag = 'R' AND l_quantity <= 25
+        )
+        GROUP BY p_size
+    """,
+    doc="NOT IN over a nullable subquery column: three-valued-logic semantics force Catalyst's null-aware anti join, not a plain LeftAnti.",
+    tags=("relational", "join", "ext"),
+)
+def notin_nullaware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a NULLABLE subquery key — the three-valued-logic trap a
+    plain anti join gets wrong: if the subquery yields even one NULL, SQL's
+    NOT IN is never TRUE and the result must be EMPTY (x <> NULL is
+    UNKNOWN). Catalyst therefore plans a NULL-AWARE anti join (a distinct
+    physical strategy from `customers_without_orders`' LeftAnti): the build
+    side tracks whether any NULL was seen, and the streamed row's
+    survival condition is `not (match or build-has-null)`. The subquery
+    here is nullable by TYPE (`nullif`) but null-free by VALUE under the
+    registered filter, so the output is non-degenerate while the plan is
+    the null-aware form; tests/test_null_semantics.py flips the sentinel
+    so a real NULL appears and pins the empty-result contract on both
+    engines. Expressed via spark.sql because the DataFrame `isin` surface
+    is not null-aware. Scale: the build side is an aggregated
+    distinct-key set — broadcastable; the fact side never shuffles.
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_nn")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_nn")
+    return spark.sql(
+        """
+        SELECT p_size, CAST(count(*) AS BIGINT) AS n_parts
+        FROM part_nn
+        WHERE p_size NOT IN (
+          SELECT nullif(CAST(l_quantity AS INT), 0)
+          FROM lineitem_nn
+          WHERE l_returnflag = 'R' AND l_quantity <= 25
+        )
+        GROUP BY p_size
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Bloom-filter semi-join pruning: fixed-size membership sketch
+# prunes the fact scan before the exact verify join
+# ---------------------------------------------------------------------------
+BLOOM_M = 1 << 17  # bits (16 KiB bitmap) - fixed size regardless of build side
+BLOOM_SEEDS = (101, 202, 303)  # k = 3 hash functions
+
+
+@register(
+    "bloom_semijoin_pruned",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               floor(sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5))
+                     / 100 + 0.5) / 100 AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        )
+    """,
+    doc="Bloom-filter semi-join pruning: 16 KiB bitmap built distributively (bit_or agg), broadcast to prune the fact, exact verify join over candidates only — one-sided error makes the output exact.",
+    tags=("relational", "join", "ext", "scale", "sketch"),
+)
+def bloom_semijoin_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join pruning through a FIXED-SIZE membership sketch — the
+    runtime-filter pattern (Spark's AQE injects the same shape as
+    InjectRuntimeFilter; here it is explicit and engine-independent).
+    Build side (urgent expensive orders) hashes each key with k=3 seeded
+    xxhash64s into a BLOOM_M-bit Bloom filter, assembled DISTRIBUTIVELY:
+    bit positions -> 64-bit words via a bit_or() aggregate (map-side
+    combinable, shuffle <= 2048 rows), packed into one array<long> row.
+    That 16 KiB bitmap broadcasts to the fact scan no matter how large
+    the build side grows — the property that matters at 100 TB, where the
+    key SET can blow past the broadcast threshold but the BITMAP cannot.
+    The probe is a JVM-side expression (element_at + shiftleft + bitwise
+    AND per seed — no shuffle, no Python); survivors then verify against
+    the true key set with an ordinary semi join. Bloom false positives
+    are removed there; false negatives are impossible (one-sided error),
+    so the registered output is EXACT and the DuckDB IN-subquery oracle
+    hash-checks it. tests/test_scale_patterns.py pins the no-false-
+    negative invariant and the pruning ratio.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    build = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey")
+
+    # --- build: distributed bitmap assembly (bit positions -> words) ------
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("o_orderkey"), F.lit(s)), F.lit(BLOOM_M))
+            for s in BLOOM_SEEDS
+        ]
+    )
+    n_words = BLOOM_M // 64
+    words = (
+        build.select(F.explode(pos).alias("bit"))
+        .select(
+            (F.col("bit") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("word"))
+    )
+    bitmap = (
+        spark.range(n_words)
+        .select(F.col("id").cast("int").alias("w"))
+        .join(words, "w", "left")
+        .select("w", F.coalesce("word", F.lit(0).cast("long")).alias("word"))
+        .agg(F.array_sort(F.collect_list(F.struct("w", "word"))).alias("ws"))
+        .select(F.transform("ws", lambda s: s["word"]).alias("bm"))
+    )
+
+    # --- probe: JVM bit tests against the broadcast bitmap ----------------
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    member = None
+    for s in BLOOM_SEEDS:
+        t = F.expr(
+            f"(element_at(bm, CAST(pmod(xxhash64(l_orderkey, {s}), {BLOOM_M}) / 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT),"
+            f"             CAST(pmod(xxhash64(l_orderkey, {s}), {BLOOM_M}) % 64 AS INT))) != 0"
+        )
+        member = t if member is None else (member & t)
+    candidates = li.crossJoin(F.broadcast(bitmap)).filter(member).drop("bm")
+
+    # --- verify: exact semi join over candidates only ---------------------
+    verified = candidates.join(
+        build, candidates["l_orderkey"] == build["o_orderkey"], "left_semi"
+    )
+    scaled = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    return verified.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        (F.floor(F.sum(scaled) / 100 + 0.5) / 100).alias("revenue"),
+    )

@@ -245,3 +245,176 @@ def segment_nation_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations_csv"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Exact global quantiles WITHOUT a global sort: iterative
+# histogram narrowing (the classic distributed exact-median algorithm).
+# ---------------------------------------------------------------------------
+QT_TARGETS = (0.5, 0.9, 0.99)
+QT_BINS = 256  # histogram resolution per narrowing pass
+QT_COLLECT = 4096  # candidate count below which we collect and index
+
+
+@register(
+    "quantile_two_pass_exact",
+    oracle="""
+        WITH s AS (
+          SELECT l_extendedprice AS v,
+                 row_number() OVER (ORDER BY l_extendedprice) - 1 AS i
+          FROM lineitem
+        ),
+        nn AS (SELECT count(*) AS n FROM lineitem),
+        qs AS (SELECT CAST(0.5 AS DOUBLE) AS q
+               UNION ALL SELECT CAST(0.9 AS DOUBLE)
+               UNION ALL SELECT CAST(0.99 AS DOUBLE)),
+        hh AS (
+          SELECT q, (nn.n - 1) * q AS h,
+                 CAST(floor((nn.n - 1) * q) AS BIGINT) AS lo_i,
+                 CAST(ceil((nn.n - 1) * q) AS BIGINT) AS hi_i
+          FROM qs, nn
+        ),
+        vv AS (
+          SELECT hh.q, hh.h, hh.lo_i,
+                 max(CASE WHEN s.i = hh.lo_i THEN s.v END) AS v_lo,
+                 max(CASE WHEN s.i = hh.hi_i THEN s.v END) AS v_hi
+          FROM hh JOIN s ON s.i = hh.lo_i OR s.i = hh.hi_i
+          GROUP BY hh.q, hh.h, hh.lo_i
+        )
+        SELECT q AS quantile,
+               floor((v_lo + (h - lo_i) * (v_hi - v_lo)) * 10000 + 0.5) / 10000
+                 AS value
+        FROM vv
+    """,
+    doc="Exact continuous quantiles via iterative histogram narrowing — no global sort; O(log_B n) map-side-combinable passes.",
+    tags=("agg", "quantile", "ext", "scale"),
+)
+def quantile_two_pass_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT continuous quantiles (p50/p90/p99 of l_extendedprice) with no
+    global sort — the pattern that replaces ``percentile`` when one
+    group's data no longer fits an executor. Each pass histograms the
+    surviving value interval into QT_BINS buckets (a map-side-combinable
+    aggregate whose shuffle is <= #quantiles x QT_BINS rows regardless of
+    table size), locates the bucket holding each needed order statistic,
+    and narrows to that bucket's ACTUAL [min, max] value range — so a
+    bucket dominated by one duplicated value resolves immediately instead
+    of looping. When a candidate set falls under QT_COLLECT rows it is
+    collected and indexed directly. Convergence is O(log_B n) full scans:
+    2-3 passes at any realistic scale (100 TB of doubles ~ 1.6e13 rows ->
+    ceil(log_256 1.6e13 / ...) narrows below 4096 candidates in 2 passes
+    when values are spread, one extra pass under extreme duplication).
+
+    All needed order statistics narrow JOINTLY in one pass per level (the
+    per-quantile bin structs explode into a single groupBy), so the scan
+    count does not multiply with the number of quantiles. The final
+    interpolation v_lo + (h - floor(h)) * (v_hi - v_lo) and the
+    floor-based half-up rounding run identically (same IEEE double ops)
+    here and in the DuckDB oracle, making the hash comparison exact.
+    """
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    n = li.count()
+    if n == 0:  # fuzz corpora include empty tables; the oracle emits 0 rows
+        return spark.createDataFrame([], "quantile double, value double")
+    need: set[int] = set()
+    for q in QT_TARGETS:
+        h = (n - 1) * q
+        need.add(math.floor(h))
+        need.add(math.ceil(h))
+    resolved, _passes = exact_order_statistics(li, n, need)
+    out = []
+    for q in QT_TARGETS:
+        h = (n - 1) * q
+        lo_i = math.floor(h)
+        v_lo, v_hi = resolved[lo_i], resolved[math.ceil(h)]
+        val = v_lo + (h - lo_i) * (v_hi - v_lo)
+        out.append((float(q), math.floor(val * 10000 + 0.5) / 10000))
+    return spark.createDataFrame(out, "quantile double, value double")
+
+
+def exact_order_statistics(
+    li: DataFrame, n: int, need: set[int]
+) -> tuple[dict[int, float], int]:
+    """Resolve the 0-based order statistics ``need`` of single-column
+    DataFrame ``li`` (column ``v``, ``n`` rows) by joint histogram
+    narrowing; returns ``(index -> value, histogram passes used)``. See
+    ``quantile_two_pass_exact`` for the algorithm and scale analysis."""
+    gmin, gmax = li.agg(F.min("v"), F.max("v")).first()
+    # Per order-statistic narrowing state: candidate values live in
+    # [lo, hi] (inclusive, actual values), `off` rows of the global sort
+    # order precede the candidate set, `cnt` candidates remain.
+    state = {
+        k: {"lo": float(gmin), "hi": float(gmax), "off": 0, "cnt": int(n)}
+        for k in need
+    }
+    resolved: dict[int, float] = {}
+    passes = 0
+    for _pass in range(64):  # hard bound; loop exits in 2-4 passes
+        live = {}
+        for k, s in state.items():
+            if k in resolved:
+                continue
+            if s["lo"] == s["hi"]:
+                resolved[k] = s["lo"]
+            elif s["cnt"] <= QT_COLLECT:
+                vals = sorted(
+                    r.v
+                    for r in li.filter(
+                        F.col("v").between(s["lo"], s["hi"])
+                    ).collect()
+                )
+                resolved[k] = float(vals[k - s["off"]])
+            else:
+                live[k] = s
+        if not live:
+            break
+        structs = []
+        for k, s in sorted(live.items()):
+            w = (s["hi"] - s["lo"]) / QT_BINS
+            b = F.greatest(
+                F.lit(0),
+                F.least(
+                    F.floor((F.col("v") - F.lit(s["lo"])) / F.lit(w)).cast("int"),
+                    F.lit(QT_BINS - 1),
+                ),
+            )
+            structs.append(
+                F.when(
+                    F.col("v").between(s["lo"], s["hi"]),
+                    F.struct(
+                        F.lit(k).alias("kid"), b.alias("bin"), F.col("v").alias("v")
+                    ),
+                )
+            )
+        passes += 1
+        hist = (
+            li.select(F.explode(F.array(*structs)).alias("s"))
+            .filter(F.col("s").isNotNull())
+            .groupBy(F.col("s.kid").alias("kid"), F.col("s.bin").alias("bin"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("s.v").alias("mn"),
+                F.max("s.v").alias("mx"),
+            )
+            .collect()
+        )
+        by_k: dict[int, list] = {}
+        for r in hist:
+            by_k.setdefault(r.kid, []).append(r)
+        for k, rows in by_k.items():
+            s, rel, cum = state[k], k - state[k]["off"], 0
+            for r in sorted(rows, key=lambda r: r.bin):
+                if rel < cum + r.cnt:
+                    s["off"] += cum
+                    s["cnt"] = int(r.cnt)
+                    s["lo"], s["hi"] = float(r.mn), float(r.mx)
+                    break
+                cum += r.cnt
+            else:  # pragma: no cover - counts always cover the rank
+                raise AssertionError(f"rank {k} not found in histogram")
+    else:  # pragma: no cover
+        raise AssertionError("quantile narrowing did not converge")
+    return resolved, passes

@@ -75,6 +75,11 @@ _DRIVER_PRIORITY = [
     "skew_agg_two_phase",
     "heavy_hitters_sketch_verified",
     "ann_ivf_pq_refined",
+    "quantile_two_pass_exact",
+    "notin_nullaware_anti",
+    "bloom_semijoin_pruned",
+    "lake_dynamic_partition_overwrite",
+    "source_orc_lineitem_agg",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

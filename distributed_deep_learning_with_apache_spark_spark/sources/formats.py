@@ -110,3 +110,46 @@ def source_json_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@register(
+    "source_orc_lineitem_agg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem
+        WHERE l_quantity > 30
+        GROUP BY l_returnflag
+    """,
+    tags=("source", "orc"),
+)
+def source_orc_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip lineitem through ORC — the other columnar format — and
+    aggregate from the ORC copy with a pushed filter. ORC carries
+    stripe/row-group statistics like parquet, so the `l_quantity > 30`
+    predicate prunes at the scan (tests/test_formats.py pins PushedFilters
+    on the ORC read); the oracle aggregates the original parquet. Proves
+    sink+source symmetry for the third columnar interchange format."""
+    import shutil
+    import tempfile
+
+    cols = ["l_orderkey", "l_returnflag", "l_quantity"]
+    base = tempfile.mkdtemp(prefix="sg_orc_")
+    load_table(spark, sf_dir, "lineitem").select(*cols).write.mode("overwrite").orc(
+        base
+    )
+
+    out = (
+        spark.read.schema(schema_for("lineitem", cols))
+        .orc(base)
+        .filter(F.col("l_quantity") > 30)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return out

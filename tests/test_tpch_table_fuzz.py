@@ -45,6 +45,8 @@ QUERIES = [
     "merge_upsert_customers","scd2_customer_history",
     "scd2_as_of_lookup","asof_join_latest_order","range_join_events_after_order",
     "skew_agg_two_phase","incremental_agg_maintenance",
+    "quantile_two_pass_exact","notin_nullaware_anti","bloom_semijoin_pruned",
+    "lake_dynamic_partition_overwrite","source_orc_lineitem_agg",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"

@@ -83,6 +83,9 @@ QUERIES = [
     "incremental_agg_maintenance",
     "skew_agg_two_phase",
     "heavy_hitters_sketch_verified",
+    "ann_ivf_pq_refined",
+    "quantile_two_pass_exact",
+    "bloom_semijoin_pruned",
 ]
 
 
