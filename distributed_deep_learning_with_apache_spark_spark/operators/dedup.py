@@ -468,9 +468,10 @@ def near_dup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Connected components over near-dup pairs → dedup clusters
 # ---------------------------------------------------------------------------
-@register(
-    "dedup_clusters",
-    oracle=f"""
+# Transitive-closure fixpoint over the jaccard >= 0.5 pair graph — shared by
+# both CC implementations (label propagation and large/small-star), which
+# must produce the identical (doc_id, cluster_id) labeling.
+_CC_FIXPOINT_ORACLE = f"""
         WITH RECURSIVE sh AS (
           SELECT doc_id, {DUCK_SHINGLES} AS sh FROM documents
         ),
@@ -499,7 +500,12 @@ def near_dup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM reach JOIN edges e ON e.s = reach.doc
         )
         SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc
-    """,
+    """
+
+
+@register(
+    "dedup_clusters",
+    oracle=_CC_FIXPOINT_ORACLE,
     tags=("dedup", "ext", "graph"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,6 +550,144 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Connected components in O(log n) rounds: alternating
+# large-star / small-star (Kiveris et al., "Connected Components in
+# MapReduce and Beyond", SoCC 2014)
+# ---------------------------------------------------------------------------
+_LOGSTAR_MAX_ROUNDS = 25  # ~log2 of any conceivable component size, then bug
+
+
+def connected_components_logstar(pairs: DataFrame) -> tuple[DataFrame, int]:
+    """Distributed connected components over an undirected pair list
+    ``(doc_a, doc_b)`` using alternating large-star / small-star edge
+    rewrites. Returns ``(labels, rounds)`` where labels is
+    ``(doc_id, cluster_id)`` with cluster_id = min node id in the
+    component.
+
+    Why a second CC engine beside ``dedup_clusters``' label propagation:
+    label propagation converges in O(graph diameter) join rounds — fine
+    for near-dup blobs (diameter 2-3), catastrophic for chain-shaped
+    components (a 1M-link chain = 1M shuffles). Large/small-star
+    contracts paths, converging in O(log n) rounds REGARDLESS of
+    diameter (tests pin a 200-node path at <= 14 rounds where label
+    propagation needs 200). Each round is two self-equi-joins on node id
+    plus a min-aggregate — all map-side-combinable, no cartesian, state
+    bounded by the (shrinking) edge list. This is the form that survives
+    100 TB pair graphs.
+
+    Convergence detection compares the canonical edge set across rounds
+    by (count, sum of crc32(u "," v)) — crc32 <= 2^32 so the sum cannot
+    overflow a long at any realistic edge count, and an unchanged edge
+    set ALWAYS yields equal fingerprints (set equality => fingerprint
+    equality; the fixpoint is a proven invariant of the algorithm, the
+    fingerprint only detects when we reached it).
+    """
+    # Canonical undirected edge list u > v (self-loops dropped). Each
+    # round ends in an EAGER localCheckpoint: the iteration references its
+    # input twice (symmetrize + join), so without lineage truncation the
+    # logical plan doubles per round and Catalyst re-analysis goes
+    # exponential by round ~10 — the standard iterative-Spark pitfall
+    # (label propagation in `dedup_clusters` never hits it only because
+    # near-dup diameters are 2-3). On a cluster you'd use
+    # ``checkpoint()`` against reliable storage; locally the executor-
+    # memory form is the same contract.
+    e = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.limit(1).count() == 0:
+        empty = pairs.sparkSession.createDataFrame(
+            [], "doc_id long, cluster_id long"
+        )
+        return empty, 0
+
+    def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.crc32(F.concat_ws(",", "u", "v"))).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"] or 0)
+
+    fp = _fingerprint(e)
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > _LOGSTAR_MAX_ROUNDS:
+            raise RuntimeError("logstar CC failed to converge — algorithm bug")
+        # --- large-star: every neighbor LARGER than u links to u's local
+        # minimum m = min({u} ∪ neighbors(u)); strictly decreases the id
+        # a large node points at, contracting long paths geometrically.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star: every edge now points big → small; attach all of
+        # u's small neighbors (and u itself) to min(neighbors(u)).
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        nfp = _fingerprint(nxt)
+        e = nxt
+        if nfp == fp:
+            break
+        fp = nfp
+    # Fixpoint is a star forest: each non-root points straight at its
+    # component min. Emit root labels too (root labels itself).
+    labels = (
+        e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .union(
+            e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return labels, rounds
+
+
+@register(
+    "dedup_clusters_logstar",
+    oracle=_CC_FIXPOINT_ORACLE,
+    doc="Connected components over the near-dup pair graph in O(log n) large/small-star rounds — diameter-independent, unlike label propagation.",
+    tags=("dedup", "ext", "graph", "scale"),
+)
+def dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_clusters`' labeling computed by the O(log n)-round
+    large/small-star algorithm instead of O(diameter) label propagation.
+    Same pair graph (jaccard >= 0.5), same canonical labels (cluster id =
+    min doc_id in the component), same oracle — the two engines must
+    hash-match each other through the shared fixpoint SQL.
+
+    At 100 TB the pair graph's diameter is unknown a priori (boilerplate
+    chains produce long paths); this form bounds shuffle rounds at
+    log2(max component size) — the difference between 20 rounds and
+    20,000 on a chain-shaped component.
+    """
+    prs = near_dup_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b"
+    )
+    labels, _rounds = connected_components_logstar(prs)
+    return labels
 
 
 # ---------------------------------------------------------------------------

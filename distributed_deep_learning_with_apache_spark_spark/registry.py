@@ -80,6 +80,10 @@ _DRIVER_PRIORITY = [
     "bloom_semijoin_pruned",
     "lake_dynamic_partition_overwrite",
     "source_orc_lineitem_agg",
+    "dedup_clusters_logstar",
+    "row_ids_distributed",
+    "cdc_snapshot_diff",
+    "lake_deletion_vectors",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

@@ -239,8 +239,9 @@ import glob as _glob
 import json as _json
 import os as _os
 
-SNAP_ROOT = "/tmp/ddl_spark_snapshot_v1"
+SNAP_ROOT = "/tmp/ddl_spark_snapshot_v2"  # v2: history gained the v4 update commit
 SNAP_DELETE_BELOW = 50_000.0  # v3 deletes orders cheaper than this
+SNAP_UPDATE_FACTOR = 1.05  # v4 uplifts 1-URGENT order prices by 5%
 
 
 def _snap_write_data(df: DataFrame, root: str, tag: str) -> list[str]:
@@ -277,6 +278,7 @@ def ensure_snapshot_table(spark: SparkSession, sf_dir: str, base: str = SNAP_ROO
     - v1 append: even-keyed orders
     - v2 append: the odd-keyed rest (v1's files are REUSED, not rewritten)
     - v3 delete: copy-on-write removal of orders below SNAP_DELETE_BELOW
+    - v4 update: copy-on-write 5% price uplift on 1-URGENT orders
     """
     # Cache key includes the source file's identity: a regenerated fixture
     # must invalidate the table (same mtime-keying discipline as
@@ -300,6 +302,15 @@ def ensure_snapshot_table(spark: SparkSession, sf_dir: str, base: str = SNAP_ROO
     )
     f3 = _snap_write_data(live, stage, "delete_cheap")
     _snap_commit(stage, 3, f3, "delete")  # copy-on-write: fresh file set
+    updated = spark.read.parquet(*(_os.path.join(stage, f) for f in f3)).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.col("o_totalprice") * SNAP_UPDATE_FACTOR,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    f4 = _snap_write_data(updated, stage, "update_urgent")
+    _snap_commit(stage, 4, f4, "update")  # copy-on-write: fresh file set
 
     with open(_os.path.join(stage, ".complete"), "w") as f:
         f.write("ok")
@@ -361,6 +372,191 @@ def lake_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Change-data-capture by snapshot diff
+# ---------------------------------------------------------------------------
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+        WITH v1 AS (
+          SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        v4 AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_totalprice * {SNAP_UPDATE_FACTOR}
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_totalprice >= {SNAP_DELETE_BELOW}
+        ),
+        d AS (
+          SELECT coalesce(v1.o_orderkey, v4.o_orderkey) AS k,
+                 v1.o_totalprice AS old_p, v4.o_totalprice AS new_p
+          FROM v1 FULL JOIN v4 ON v1.o_orderkey = v4.o_orderkey
+        )
+        SELECT CASE WHEN old_p IS NULL THEN 'insert'
+                    WHEN new_p IS NULL THEN 'delete'
+                    WHEN old_p <> new_p THEN 'update'
+                    ELSE 'unchanged' END AS change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               floor(sum(floor(coalesce(new_p, 0) * 10000 + 0.5)
+                         - floor(coalesce(old_p, 0) * 10000 + 0.5)) / 100 + 0.5)
+                 / 100 AS value_delta
+        FROM d GROUP BY 1
+    """,
+    doc="CDC derived by diffing two snapshot versions: full-outer key join classifies insert/delete/update/unchanged; the pattern when the format records no changelog.",
+    tags=("lake", "cdc", "ext", "scale"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a change log the table format never recorded: diff snapshot
+    v1 (even-keyed orders) against v4 (post-delete, post-update state) by
+    a full outer join on the primary key. NULL left = insert, NULL right
+    = delete, differing payload = update — the standard state-diff CDC
+    fallback (Debezium snapshot mode, Delta CDF backfill) when the lake
+    has immutable snapshots but no row-level changelog.
+
+    Value delta is integer-exact: both engines floor the SAME IEEE
+    doubles to cent-hundredths before summing (the v4 uplift
+    ``o_totalprice * 1.05`` is computed as one double multiply on both
+    sides, so the bits agree — see verify-skill notes on cross-engine
+    round()).
+
+    Scale: the diff is one hash-partitioned full outer join on the key —
+    shuffle ∝ |v1| + |v4|, no skew surface beyond the key itself; output
+    is four aggregate rows. At 100 TB you'd bound it further by diffing
+    only partitions whose manifests changed — the manifest diff is free
+    (file lists), and untouched partitions can't contain changes.
+    """
+    root = ensure_snapshot_table(spark, sf_dir)
+    v1 = read_snapshot(spark, root, 1).select("o_orderkey", "o_totalprice")
+    v4 = read_snapshot(spark, root, 4).select("o_orderkey", "o_totalprice")
+    d = v1.alias("a").join(
+        v4.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    ).select(
+        F.col("a.o_totalprice").alias("old_p"),
+        F.col("b.o_totalprice").alias("new_p"),
+    )
+    change = (
+        F.when(F.col("old_p").isNull(), F.lit("insert"))
+        .when(F.col("new_p").isNull(), F.lit("delete"))
+        .when(F.col("old_p") != F.col("new_p"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    cents = lambda c: F.floor(F.coalesce(c, F.lit(0.0)) * 10000 + 0.5).cast("long")  # noqa: E731
+    return d.groupBy(change.alias("change_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.floor(F.sum(cents(F.col("new_p")) - cents(F.col("old_p"))) / 100 + 0.5) / 100).alias(
+            "value_delta"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Merge-on-read deletes: position delete vectors (Iceberg v2 /
+# Delta DV shape) — a delete writes a tiny (file, row_index) sidecar, the
+# base files are never rewritten, readers overlay with an anti join.
+# ---------------------------------------------------------------------------
+DV_ROOT = "/tmp/ddl_spark_dv_v1"
+DV_DELETE_STATUS = "F"
+DV_DELETE_BELOW = 100_000.0
+DV_BASE_FILES = 8
+
+
+def ensure_dv_table(spark: SparkSession, sf_dir: str, base: str = DV_ROOT) -> str:
+    """Write the immutable base files once per fixture generation and
+    publish the position-delete sidecar beside them (idempotent, atomic
+    rename, stale-sibling pruning — same discipline as the snapshot and
+    bucketed builders)."""
+    st = _os.stat(_os.path.join(sf_dir, "orders.parquet"))
+    slug = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_mtime_ns}_{st.st_size}"
+    root = _os.path.join(base, slug)
+    done = _os.path.join(root, ".complete")
+    if _os.path.exists(done):
+        return root
+    stage = f"{root}.tmp.{_os.getpid()}"
+    _os.makedirs(stage, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.repartition(DV_BASE_FILES).write.mode("overwrite").parquet(
+        _os.path.join(stage, "base")
+    )
+    # The "DELETE" commit: scan base with file/row-position metadata,
+    # persist ONLY the positions of matching rows. Base files untouched.
+    hit = (
+        spark.read.parquet(_os.path.join(stage, "base"))
+        .filter(
+            (F.col("o_orderstatus") == DV_DELETE_STATUS)
+            & (F.col("o_totalprice") < DV_DELETE_BELOW)
+        )
+        .select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+    )
+    hit.coalesce(1).write.mode("overwrite").parquet(_os.path.join(stage, "dv"))
+    with open(_os.path.join(stage, ".complete"), "w") as f:
+        f.write("ok")
+    try:
+        _os.rename(stage, root)
+    except OSError:
+        import shutil
+
+        if _os.path.exists(done):
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            shutil.rmtree(root, ignore_errors=True)
+            _os.rename(stage, root)
+    prune_stale_cache_siblings(base, sf_dir.strip("/").replace("/", "_"), root)
+    return root
+
+
+@register(
+    "lake_deletion_vectors",
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_live,
+               floor(sum(floor(o_totalprice * 10000 + 0.5)) / 100 + 0.5) / 100
+                 AS live_total
+        FROM orders
+        WHERE NOT (o_orderstatus = '{DV_DELETE_STATUS}'
+                   AND o_totalprice < {DV_DELETE_BELOW})
+    """,
+    doc="Merge-on-read deletes: (file, row_index) delete-vector sidecar broadcast-anti-joined over the untouched base files at read time.",
+    tags=("lake", "ext", "scale"),
+)
+def lake_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-delete overlay — the Iceberg-v2/Delta deletion-vector
+    shape, Spark-first: the delete commit wrote a (file_name, row_index)
+    sidecar via the parquet ``_metadata`` columns; this read overlays it
+    with a BROADCAST anti join keyed on physical position, so deleting k
+    rows from a 100 TB table costs O(k) sidecar bytes instead of
+    rewriting every touched file (copy-on-write's cost —
+    ``lake_snapshot_time_travel`` v3 shows that alternative). Readers pay
+    one broadcast anti join until maintenance compacts the DV away.
+
+    tests/test_r5_new_ops.py pins the contract: base files byte-identical
+    before/after the delete commit, DV row count == deleted rows, and a
+    BroadcastHashJoin LeftAnti in the executed plan.
+    """
+    root = ensure_dv_table(spark, sf_dir)
+    base = spark.read.parquet(_os.path.join(root, "base")).select(
+        "o_totalprice",
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    dv = spark.read.parquet(_os.path.join(root, "dv"))
+    live = base.join(F.broadcast(dv), ["file_name", "row_index"], "left_anti")
+    return live.agg(
+        F.count(F.lit(1)).cast("long").alias("n_live"),
+        (
+            F.floor(
+                F.sum(F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long")) / 100
+                + 0.5
+            )
+            / 100
+        ).alias("live_total"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -259,3 +259,149 @@ def test_orc_registered_query_pushes_filter(spark, sf_dir, tmp_path):
     )
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:120], plan
+
+
+# ---------------------------------------------------------------------------
+# dedup_clusters_logstar: O(log n) rounds, label-propagation equivalence
+# ---------------------------------------------------------------------------
+def _labels_of(spark, pairs):
+    from distributed_deep_learning_with_apache_spark_spark.operators.dedup import (
+        connected_components_logstar,
+    )
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "doc_a long, doc_b long"
+    )
+    labels, rounds = connected_components_logstar(df)
+    return {r.doc_id: r.cluster_id for r in labels.collect()}, rounds
+
+
+def test_logstar_path_graph_converges_logarithmically(spark):
+    """A 200-node path (diameter 200) — label propagation needs ~200 join
+    rounds; large/small-star must finish in <= 14 (≈ 2·log2 n). This is
+    the property that justifies the second CC engine."""
+    n = 200
+    labels, rounds = _labels_of(spark, [(i, i + 1) for i in range(n)])
+    assert rounds <= 14, f"path graph took {rounds} star rounds"
+    assert set(labels) == set(range(n + 1))
+    assert all(v == 0 for v in labels.values())
+
+
+def test_logstar_multi_component_and_star(spark):
+    """Disjoint shapes keep disjoint labels: a path, a star rooted high,
+    a triangle, and an isolated edge."""
+    pairs = (
+        [(10, 11), (11, 12)]                       # path → min 10
+        + [(100, i) for i in (101, 102, 103)]      # star → min 100
+        + [(7, 8), (8, 9), (9, 7)]                 # triangle → min 7
+        + [(500, 501)]                             # edge → min 500
+    )
+    labels, _ = _labels_of(spark, pairs)
+    want = {10: 10, 11: 10, 12: 10, 100: 100, 101: 100, 102: 100, 103: 100,
+            7: 7, 8: 7, 9: 7, 500: 500, 501: 500}
+    assert labels == want
+
+
+def test_logstar_empty_edges(spark):
+    labels, rounds = _labels_of(spark, [])
+    assert labels == {} and rounds == 0
+
+
+def test_logstar_equals_label_propagation(spark, sf_dir):
+    """Both CC engines must emit the identical labeling on the real
+    near-dup pair graph (they also share the recursive-CTE oracle)."""
+    a = {
+        (r.doc_id, r.cluster_id)
+        for r in REG["dedup_clusters"].fn(spark, sf_dir).collect()
+    }
+    b = {
+        (r.doc_id, r.cluster_id)
+        for r in REG["dedup_clusters_logstar"].fn(spark, sf_dir).collect()
+    }
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# row_ids_distributed: no SinglePartition exchange, ids dense and ordered
+# ---------------------------------------------------------------------------
+def test_row_ids_no_single_partition_exchange(spark, sf_dir):
+    df = REG["row_ids_distributed"].fn(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    # and the naive oracle form DOES funnel through one reducer — the
+    # contrast that motivates the operator
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ords_rid")
+    naive = spark.sql(
+        "SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) FROM ords_rid"
+    )
+    naive.count()
+    assert "SinglePartition" in naive._jdf.queryExecution().executedPlan().toString()
+
+
+def test_row_ids_dense_and_key_ordered(spark, sf_dir):
+    rows = REG["row_ids_distributed"].fn(spark, sf_dir).collect()
+    rows.sort(key=lambda r: r.row_id)
+    assert [r.row_id for r in rows] == list(range(1, len(rows) + 1))
+    keys = [r.o_orderkey for r in rows]
+    assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# cdc_snapshot_diff: all four change types, counts cross-checked
+# ---------------------------------------------------------------------------
+def test_cdc_diff_types_match_first_principles(spark, sf_dir):
+    from distributed_deep_learning_with_apache_spark_spark.sources.lake import (
+        SNAP_DELETE_BELOW,
+    )
+
+    got = {
+        r.change_type: r.n_rows
+        for r in REG["cdc_snapshot_diff"].fn(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    even = F.col("o_orderkey") % 2 == 0
+    kept = F.col("o_totalprice") >= SNAP_DELETE_BELOW
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    want = {
+        "delete": o.filter(even & ~kept).count(),
+        "insert": o.filter(~even & kept).count(),
+        "update": o.filter(even & kept & urgent).count(),
+        "unchanged": o.filter(even & kept & ~urgent).count(),
+    }
+    want = {k: v for k, v in want.items() if v}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# lake_deletion_vectors: base immutable, DV exact, broadcast anti plan
+# ---------------------------------------------------------------------------
+def test_dv_base_files_survive_delete_commit(spark, sf_dir):
+    """The 'delete' never rewrites base data: the sidecar exists, its row
+    count equals the matching rows, and base files carry no tombstones."""
+    from distributed_deep_learning_with_apache_spark_spark.sources.lake import (
+        DV_DELETE_BELOW,
+        DV_DELETE_STATUS,
+        ensure_dv_table,
+    )
+
+    root = ensure_dv_table(spark, sf_dir)
+    base = spark.read.parquet(os.path.join(root, "base"))
+    dv = spark.read.parquet(os.path.join(root, "dv"))
+    o = load_table(spark, sf_dir, "orders")
+    assert base.count() == o.count()  # every row still physically present
+    want_deleted = o.filter(
+        (F.col("o_orderstatus") == DV_DELETE_STATUS)
+        & (F.col("o_totalprice") < DV_DELETE_BELOW)
+    ).count()
+    assert dv.count() == want_deleted
+    # positions are unique within a file — an overlay key, not a multiset
+    assert dv.distinct().count() == dv.count()
+
+
+def test_dv_read_plans_broadcast_anti(spark, sf_dir):
+    df = REG["lake_deletion_vectors"].fn(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and "BroadcastHashJoin" in anti[0], plan

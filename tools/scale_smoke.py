@@ -86,6 +86,24 @@ QUERIES = [
     "ann_ivf_pq_refined",
     "quantile_two_pass_exact",
     "bloom_semijoin_pruned",
+    # round-5 second batch: every remaining scale-tagged query gets a ratio
+    "simhash64_near_dup_pairs",
+    "join_key_skew_profile",
+    "lake_snapshot_time_travel",
+    "sample_weighted_quality",
+    "near_dup_jaccard_stopfiltered",
+    "pack_sequences",
+    "mix_domains_to_target",
+    "dedup_incremental",
+    "dq_constraint_checks",
+    "hll_daily_distinct_rollup",
+    "approx_stats_lineitem",
+    "embedding_quantize_int8",
+    # round-5 third batch: new ops landing this round
+    "dedup_clusters_logstar",
+    "row_ids_distributed",
+    "cdc_snapshot_diff",
+    "lake_deletion_vectors",
 ]
 
 
