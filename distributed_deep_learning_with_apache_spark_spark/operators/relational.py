@@ -1042,3 +1042,69 @@ def row_ids_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     ranged.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Grouped-aggregate pandas UDF (UDAF): the §2.11 surface member
+# the UDF family still lacked (scalar pandas_udf, mapInPandas,
+# applyInPandas, applyInPandasWithState, and UDTF are covered elsewhere).
+# ---------------------------------------------------------------------------
+@register(
+    "udaf_weighted_median",
+    oracle="""
+        WITH c AS (
+          SELECT l_returnflag,
+                 l_extendedprice AS v,
+                 sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_extendedprice) AS cw,
+                 sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+          FROM lineitem
+        )
+        SELECT l_returnflag, min(v) AS weighted_median
+        FROM c WHERE cw >= tw / 2
+        GROUP BY l_returnflag
+    """,
+    doc="Custom aggregate as a GROUPED_AGG pandas UDF: lower weighted median per group, Arrow-shipped, hash-checked against a window-SQL oracle.",
+    tags=("udf", "agg", "ext"),
+)
+def udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A statistic Spark has no builtin for — the (lower) weighted median
+    of l_extendedprice weighted by l_quantity — expressed as a
+    GROUPED_AGG pandas UDF: each group's columns arrive as ONE Arrow
+    batch in a Python worker, the aggregate returns one scalar. This is
+    the sanctioned custom-UDAF path (Arrow transfer, no per-row Python).
+
+    Determinism across engines: the lower weighted median is min{v :
+    W(≤v) ≥ W/2}. The oracle's default RANGE window frame makes cw the
+    cumulative weight through ALL ties of v, and the pandas cumsum's
+    intra-tie order cannot flip the answer (weights are non-negative, so
+    a tie group's last row carries the same through-v total either way).
+    l_quantity values are small integers stored as doubles, so every
+    cumulative sum is IEEE-exact — no float-order divergence is possible.
+
+    Scale: a grouped-agg UDF materializes ONE GROUP per worker — right
+    for bounded-cardinality groups (3 return flags) or any group that
+    fits an executor; for an unbounded group use the histogram-narrowing
+    engine (`quantile_two_pass_exact`), which never holds a group in
+    memory. That trade-off is the §2.11 lesson this query exists to pin.
+    """
+    import pandas as pd
+
+    # Real annotation objects (this module's `from __future__ import
+    # annotations` stringifies inline hints, which pandas_udf's GROUPED_AGG
+    # signature inference cannot parse).
+    def _wmedian(v, w):
+        df = pd.DataFrame({"v": v, "w": w}).sort_values("v", kind="mergesort")
+        cw = df["w"].cumsum()
+        half = df["w"].sum() / 2
+        return float(df["v"][cw >= half].iloc[0])
+
+    _wmedian.__annotations__ = {"v": pd.Series, "w": pd.Series, "return": float}
+    wmedian = F.pandas_udf(_wmedian, "double")
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").agg(
+        wmedian("l_extendedprice", "l_quantity").alias("weighted_median")
+    )

@@ -418,3 +418,202 @@ def exact_order_statistics(
     else:  # pragma: no cover
         raise AssertionError("quantile narrowing did not converge")
     return resolved, passes
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Grouped exact quantiles: the narrowing engine generalized to
+# per-group order statistics with a BROADCAST STATE JOIN (scales in group
+# count where a literal per-state expression list cannot).
+# ---------------------------------------------------------------------------
+def exact_grouped_order_statistics(
+    df: DataFrame, needs: dict
+) -> tuple[dict, int]:
+    """Resolve per-group order statistics of ``df`` (columns ``g``, ``v``)
+    by joint histogram narrowing; ``needs`` maps group -> set of 0-based
+    ranks. Returns ``({(g, rank) -> value}, passes)``.
+
+    Unlike the global engine (`exact_order_statistics`), the per-pass
+    narrowing state here is a DATAFRAME joined broadcast onto the scan —
+    (g, rank, lo, hi) rows, one per unresolved statistic — so the plan is
+    IDENTICAL whether there are 3 groups or 3 million: one broadcast hash
+    join, one (g, rank, bin) partial-aggregate whose shuffle is bounded
+    by live_states x QT_BINS rows, and a driver-side narrowing step over
+    that bounded histogram. Per-group convergence is the same
+    O(log_BINS n_g); groups resolve independently and drop out of the
+    broadcast state as they finish.
+    """
+    spark = df.sparkSession
+    gstats = {
+        r.g: (float(r.mn), float(r.mx), int(r.n))
+        for r in df.groupBy("g")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    state = {}
+    for g, ranks in needs.items():
+        if g not in gstats:
+            continue
+        mn, mx, n = gstats[g]
+        for k in ranks:
+            state[(g, k)] = {"lo": mn, "hi": mx, "off": 0, "cnt": n}
+    resolved: dict = {}
+    passes = 0
+    for _pass in range(64):
+        live, small = {}, {}
+        for key, s in state.items():
+            if key in resolved:
+                continue
+            if s["lo"] == s["hi"]:
+                resolved[key] = s["lo"]
+            elif s["cnt"] <= QT_COLLECT:
+                small[key] = s
+            else:
+                live[key] = s
+        if small:
+            # One batched pass gathers ALL small candidate sets (bounded:
+            # <= len(small) x QT_COLLECT rows).
+            srows = [
+                (g, float(k), s["lo"], s["hi"]) for (g, k), s in small.items()
+            ]
+            sdf = spark.createDataFrame(srows, "g string, k double, lo double, hi double")
+            got = (
+                df.join(F.broadcast(sdf), "g")
+                .filter(F.col("v").between(F.col("lo"), F.col("hi")))
+                .select("g", "k", "v")
+                .collect()
+            )
+            vals: dict = {}
+            for r in got:
+                vals.setdefault((r.g, int(r.k)), []).append(r.v)
+            for key, s in small.items():
+                vs = sorted(vals[key])
+                resolved[key] = float(vs[key[1] - s["off"]])
+        if not live:
+            break
+        passes += 1
+        lrows = [
+            (g, float(k), s["lo"], s["hi"], (s["hi"] - s["lo"]) / QT_BINS)
+            for (g, k), s in live.items()
+        ]
+        ldf = spark.createDataFrame(
+            lrows, "g string, k double, lo double, hi double, w double"
+        )
+        hist = (
+            df.join(F.broadcast(ldf), "g")
+            .filter(F.col("v").between(F.col("lo"), F.col("hi")))
+            .select(
+                "g",
+                "k",
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.floor((F.col("v") - F.col("lo")) / F.col("w")).cast("int"),
+                        F.lit(QT_BINS - 1),
+                    ),
+                ).alias("bin"),
+                "v",
+            )
+            .groupBy("g", "k", "bin")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+            .collect()
+        )
+        by_key: dict = {}
+        for r in hist:
+            by_key.setdefault((r.g, int(r.k)), []).append(r)
+        for key, rows in by_key.items():
+            s = state[key]
+            rel, cum = key[1] - s["off"], 0
+            for r in sorted(rows, key=lambda r: r.bin):
+                if rel < cum + r.cnt:
+                    s["off"] += cum
+                    s["cnt"] = int(r.cnt)
+                    s["lo"], s["hi"] = float(r.mn), float(r.mx)
+                    break
+                cum += r.cnt
+            else:  # pragma: no cover - counts always cover the rank
+                raise AssertionError(f"rank {key} not found in histogram")
+    else:  # pragma: no cover
+        raise AssertionError("grouped quantile narrowing did not converge")
+    return resolved, passes
+
+
+@register(
+    "grouped_quantile_exact",
+    oracle="""
+        WITH s AS (
+          SELECT l_returnflag AS g, l_extendedprice AS v,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice) - 1 AS i
+          FROM lineitem
+        ),
+        nn AS (SELECT l_returnflag AS g, count(*) AS n FROM lineitem GROUP BY 1),
+        qs AS (SELECT CAST(0.5 AS DOUBLE) AS q
+               UNION ALL SELECT CAST(0.9 AS DOUBLE)
+               UNION ALL SELECT CAST(0.99 AS DOUBLE)),
+        hh AS (
+          SELECT nn.g, q, (nn.n - 1) * q AS h,
+                 CAST(floor((nn.n - 1) * q) AS BIGINT) AS lo_i,
+                 CAST(ceil((nn.n - 1) * q) AS BIGINT) AS hi_i
+          FROM qs, nn
+        ),
+        vv AS (
+          SELECT hh.g, hh.q, hh.h, hh.lo_i,
+                 max(CASE WHEN s.i = hh.lo_i THEN s.v END) AS v_lo,
+                 max(CASE WHEN s.i = hh.hi_i THEN s.v END) AS v_hi
+          FROM hh JOIN s ON s.g = hh.g AND (s.i = hh.lo_i OR s.i = hh.hi_i)
+          GROUP BY hh.g, hh.q, hh.h, hh.lo_i
+        )
+        SELECT g AS l_returnflag, q AS quantile,
+               floor((v_lo + (h - lo_i) * (v_hi - v_lo)) * 10000 + 0.5) / 10000
+                 AS value
+        FROM vv
+    """,
+    doc="Exact per-group quantiles with no per-group sort: broadcast-state histogram narrowing, plan invariant in group count.",
+    tags=("agg", "quantile", "ext", "scale"),
+)
+def grouped_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of l_extendedprice PER RETURN FLAG — the grouped
+    form of `quantile_two_pass_exact`. `percentile()` within a group
+    buffers that group's values on one executor (the OOM cliff when one
+    group holds a trillion rows); this form never materializes a group
+    anywhere: each pass is one broadcast join + one bounded aggregate,
+    identical plan at 3 or 3M groups, O(log_256 max_n_g) passes total
+    because every group narrows JOINTLY in the same scan.
+
+    The final interpolation runs the same IEEE double ops as the DuckDB
+    oracle (see `quantile_two_pass_exact`), so the hash check is exact.
+    """
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
+    )
+    counts = {r.g: r.n for r in li.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    if not counts:
+        return spark.createDataFrame(
+            [], "l_returnflag string, quantile double, value double"
+        )
+    needs = {}
+    for g, n in counts.items():
+        ranks = set()
+        for q in QT_TARGETS:
+            h = (n - 1) * q
+            ranks.add(math.floor(h))
+            ranks.add(math.ceil(h))
+        needs[g] = ranks
+    resolved, _passes = exact_grouped_order_statistics(li, needs)
+    out = []
+    for g, n in counts.items():
+        for q in QT_TARGETS:
+            h = (n - 1) * q
+            lo_i, hi_i = math.floor(h), math.ceil(h)
+            v_lo, v_hi = resolved[(g, lo_i)], resolved[(g, hi_i)]
+            val = math.floor((v_lo + (h - lo_i) * (v_hi - v_lo)) * 10000 + 0.5) / 10000
+            out.append((g, float(q), val))
+    return spark.createDataFrame(
+        out, "l_returnflag string, quantile double, value double"
+    )

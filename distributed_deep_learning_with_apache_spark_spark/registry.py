@@ -84,6 +84,10 @@ _DRIVER_PRIORITY = [
     "row_ids_distributed",
     "cdc_snapshot_diff",
     "lake_deletion_vectors",
+    "udaf_weighted_median",
+    "sink_custom_writer_roundtrip",
+    "stream_stream_left_outer_join",
+    "grouped_quantile_exact",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",
@@ -167,7 +171,7 @@ def load_all() -> dict[str, Query]:
         topk,
     )
     from .functions import arrays, text  # noqa: F401
-    from .sources import binary, formats, lake, pngv_datasource  # noqa: F401
+    from .sources import arrow_writer_sink, binary, formats, lake, pngv_datasource  # noqa: F401
     from .streaming import events  # noqa: F401
     from .ml import cnn as ml_cnn  # noqa: F401
     from .ml import distributed as ml_distributed  # noqa: F401

@@ -1402,3 +1402,119 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = sum(n for _, n in counts)
     rows = [(r, n, total) for r, n in counts]
     return spark.createDataFrame(rows, "run int, rows_ingested long, total_rows long")
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Watermarked stream-stream LEFT OUTER join: null-padded rows are
+# emitted only when the watermark proves no match can still arrive.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_stream_left_outer_join",
+    oracle=None,  # outer-emission timing is a streaming-only semantic
+    tags=("streaming", "structured", "join"),
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the semantics `stream_stream_join_
+    purchase_error` (inner) cannot show: a purchase with NO error in its
+    1-hour window must still emit, null-padded, but only once the
+    watermark passes the window's upper bound (before that, a match could
+    still arrive and the row must stay in state).
+
+    The source is staged as TWO files per side read with
+    ``maxFilesPerTrigger=1``: file 1 carries the real events, file 2 a
+    single far-future sentinel whose only job is to push the watermark
+    past every join window so the engine evicts state and emits the
+    unmatched rows — exactly how a live pipeline drains: the watermark
+    advances, not the query restarting. Sentinels are filtered out AFTER
+    the watermark assignment (user_id = -1 never reaches the join).
+
+    Scale: state size is bounded by the event-time constraint + watermark
+    (rows older than watermark - 1h are evicted); the join itself hash-
+    partitions both sides on user_id. tests/test_r5_new_ops.py pins
+    matched == the inner join's pairs and unmatched == purchases that the
+    batch twin proves have no in-window error.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="sg_ssoj_")
+    try:
+        far = ev.agg(F.max("ts")).first()[0]
+        sides = {}
+        for side, etype in (("purchases", "purchase"), ("errors", "error")):
+            d = os.path.join(base, side)
+            rows = ev.filter(F.col("event_type") == etype)
+            rows.coalesce(1).write.mode("overwrite").parquet(d)
+
+            def _touch_new(offset_s: int, seen=set()):  # noqa: B006 (per-side state)
+                import glob as _g
+
+                for p in _g.glob(os.path.join(d, "*.parquet")):
+                    if p not in seen:
+                        seen.add(p)
+                        os.utime(p, (1_700_000_000 + offset_s,) * 2)
+
+            # TWO far-future sentinels with strictly increasing mtimes:
+            # sentinel 1 pushes the watermark past every join window;
+            # sentinel 2 guarantees a later batch in which that watermark
+            # takes effect and evicts/emits the unmatched rows. The
+            # sentinels are NOT filtered on the stream — a pre-join filter
+            # gets pushed below the EventTimeWatermark node by Catalyst,
+            # silencing the very rows that must advance the watermark
+            # (measured: without them the final hour of purchases never
+            # drains). They carry side-distinct negative user ids so they
+            # cannot join each other, and are dropped from the
+            # MATERIALIZED batch output below, where no pushdown exists.
+            _touch_new(0)
+            uid = -1 if etype == "purchase" else -2
+            for i, days in enumerate((30, 60), start=1):
+                sentinel = spark.createDataFrame(
+                    [(-1, uid, etype)],
+                    "event_id long, user_id long, event_type string",
+                ).select(
+                    "event_id",
+                    "user_id",
+                    "event_type",
+                    (F.lit(far) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+                )
+                sentinel.coalesce(1).write.mode("append").parquet(d)
+                _touch_new(i * 10)
+            sides[side] = (
+                spark.readStream.schema(rows.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(d)
+                .withWatermark("ts", "10 minutes")
+            )
+        purchases = sides["purchases"].select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        errors = sides["errors"].select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        joined = purchases.join(
+            errors,
+            (F.col("p_user") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("p_ts"))
+            & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        ).select(
+            "p_user",
+            "p_id",
+            "e_id",
+            _epoch_s("p_ts").alias("purchase_ts_s"),
+            _epoch_s("e_ts").alias("error_ts_s"),
+        )
+        out = _run_to_memory(joined, spark, "stream_ssoj_sink", "append")
+        # Drop the watermark-pusher sentinels from the materialized batch
+        # result (safe here: no streaming plan left to push through).
+        return out.filter(F.col("p_user") >= 0)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -405,3 +405,191 @@ def test_dv_read_plans_broadcast_anti(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
     assert anti and "BroadcastHashJoin" in anti[0], plan
+
+
+# ---------------------------------------------------------------------------
+# udaf_weighted_median: GROUPED_AGG surface + first-principles value check
+# ---------------------------------------------------------------------------
+def test_udaf_weighted_median_first_principles(spark, sf_dir):
+    got = {
+        r.l_returnflag: r.weighted_median
+        for r in REG["udaf_weighted_median"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (r.l_extendedprice, r.l_quantity)
+        )
+    for flag, vw in by_flag.items():
+        vw.sort()
+        total = sum(w for _, w in vw)
+        acc = 0.0
+        for v, w in vw:
+            acc += w
+            if acc >= total / 2:
+                assert got[flag] == v, (flag, got[flag], v)
+                break
+
+
+def test_udaf_weighted_median_ties_and_skew(spark):
+    """Tie-heavy and weight-skewed groups: one dominant value must win,
+    and all-equal values return that value."""
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 100.0), ("a", 3.0, 1.0),
+         ("b", 5.0, 2.0), ("b", 5.0, 2.0), ("b", 9.0, 1.0)],
+        "g string, v double, w double",
+    )
+    from distributed_deep_learning_with_apache_spark_spark.operators import relational  # noqa: F401
+    import pandas as pd
+    from pyspark.sql import functions as FF
+
+    @FF.pandas_udf("double")
+    def wmedian(v: pd.Series, w: pd.Series) -> float:
+        d = pd.DataFrame({"v": v, "w": w}).sort_values("v", kind="mergesort")
+        cw = d["w"].cumsum()
+        return float(d["v"][cw >= d["w"].sum() / 2].iloc[0])
+
+    got = {
+        r.g: r.m
+        for r in df.groupBy("g").agg(wmedian("v", "w").alias("m")).collect()
+    }
+    assert got == {"a": 2.0, "b": 5.0}
+
+
+# ---------------------------------------------------------------------------
+# sink_custom_writer_roundtrip: commit protocol mechanics
+# ---------------------------------------------------------------------------
+def test_arrowsink_commit_protocol(spark, sf_dir):
+    """One committed file per non-empty task, a manifest naming exactly
+    those files, clean staging, and a row count equal to the input."""
+    import json
+    import tempfile
+    import shutil
+
+    from distributed_deep_learning_with_apache_spark_spark.sources.arrow_writer_sink import (
+        read_arrowsink_table,
+        register_arrowsink,
+    )
+
+    register_arrowsink(spark)
+    base = tempfile.mkdtemp(prefix="sg_arrowsink_test_")
+    try:
+        src = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .repartition(4)
+        )
+        n_in = src.count()
+        src.write.format("arrowsink").mode("overwrite").option("path", base).save()
+        with open(os.path.join(base, "_SUCCESS")) as f:
+            manifest = json.load(f)
+        files = sorted(
+            os.path.basename(p) for p in glob.glob(os.path.join(base, "part-*.parquet"))
+        )
+        assert manifest["files"] == files and len(files) == 4
+        assert manifest["n_rows"] == n_in
+        assert glob.glob(os.path.join(base, "_staging", "*.parquet")) == []
+        assert read_arrowsink_table(spark, base).count() == n_in
+        # overwrite replaces the file set atomically (manifest last)
+        src.limit(10).repartition(1).write.format("arrowsink").mode(
+            "overwrite"
+        ).option("path", base).save()
+        assert read_arrowsink_table(spark, base).count() == 10
+        with open(os.path.join(base, "_SUCCESS")) as f:
+            manifest2 = json.load(f)
+        assert len(manifest2["files"]) == 1
+        # no stale part files outside the manifest
+        on_disk = sorted(
+            os.path.basename(p) for p in glob.glob(os.path.join(base, "part-*.parquet"))
+        )
+        assert on_disk == manifest2["files"]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# stream_stream_left_outer_join: outer rows emitted via watermark passage
+# ---------------------------------------------------------------------------
+def test_stream_left_outer_matches_batch_twin(spark, sf_dir):
+    out = REG["stream_stream_left_outer_join"].fn(spark, sf_dir)
+    matched = out.filter(F.col("e_id").isNotNull())
+    unmatched = out.filter(F.col("e_id").isNull())
+    # batch twin over the same semantics
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    binner = p.join(
+        e,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    n_pairs = binner.count()
+    n_matched_p = binner.select("p_id").distinct().count()
+    n_purchases = p.count()
+    assert matched.count() == n_pairs
+    # every purchase with no in-window error emitted exactly one null row
+    assert unmatched.count() == n_purchases - n_matched_p
+    assert unmatched.count() > 0, "fixture should contain unmatched purchases"
+
+
+# ---------------------------------------------------------------------------
+# grouped_quantile_exact: per-group narrowing on hostile distributions
+# ---------------------------------------------------------------------------
+def test_grouped_narrowing_mixed_distributions(spark):
+    """Groups with wildly different shapes narrow jointly and correctly:
+    constant, heavy-one-value, and spread — each checked against a
+    first-principles sort."""
+    from distributed_deep_learning_with_apache_spark_spark.operators.setops import (
+        exact_grouped_order_statistics,
+    )
+
+    data = {
+        "const": [42.5] * 5000,
+        "heavy": [7.0] * 9000 + [float(i) * 1.3 for i in range(1000)],
+        "spread": [((i * 2654435761) % 99991) / 3.0 for i in range(8000)],
+    }
+    rows = [(g, float(v)) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    needs = {g: {0, len(vs) // 2, len(vs) - 1} for g, vs in data.items()}
+    got, passes = exact_grouped_order_statistics(df, needs)
+    for g, vs in data.items():
+        ref = sorted(vs)
+        for k in needs[g]:
+            assert got[(g, k)] == ref[k], (g, k)
+    assert passes <= 4, passes
+
+
+def test_grouped_quantile_matches_spark_percentile(spark, sf_dir):
+    import math
+
+    expect = {
+        (r.l_returnflag, q): r[f"q{i}"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                F.percentile("l_extendedprice", F.lit(q)).alias(f"q{i}")
+                for i, q in enumerate((0.5, 0.9, 0.99))
+            ]
+        )
+        .collect()
+        for i, q in enumerate((0.5, 0.9, 0.99))
+    }
+    got = {
+        (r.l_returnflag, r.quantile): r.value
+        for r in REG["grouped_quantile_exact"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for key, v in got.items():
+        want = math.floor(expect[key] * 10000 + 0.5) / 10000
+        assert v == pytest.approx(want, abs=1e-9), (key, v, want)

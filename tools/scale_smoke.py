@@ -104,6 +104,7 @@ QUERIES = [
     "row_ids_distributed",
     "cdc_snapshot_diff",
     "lake_deletion_vectors",
+    "grouped_quantile_exact",
 ]
 
 
