@@ -617,3 +617,52 @@ def grouped_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "l_returnflag string, quantile double, value double"
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Multiple exact distinct counts WITHOUT the Expand blow-up
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_multi_two_phase",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Several exact distinct counts per group via independent two-phase aggregations joined on the group key — no Expand, input scanned once per distinct instead of multiplied through one shuffle.",
+    tags=("agg", "ext", "scale"),
+)
+def distinct_multi_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``count(DISTINCT a), count(DISTINCT b)`` in ONE aggregate makes
+    Catalyst plan an Expand that replicates every input row once per
+    distinct expression before a single giant shuffle — at 100 TB that
+    triples the shuffle volume and concentrates all dedup state in one
+    exchange. The scale-safe rewrite: each distinct count becomes its own
+    two-phase pipeline — phase 1 ``groupBy(key, col)`` (map-side
+    combinable; dedup spreads over the full (key, col) keyspace), phase 2
+    ``groupBy(key).count()`` — and the per-column results join back on the
+    bounded group key. ``n_rows`` rides phase 2 as ``sum`` of phase-1
+    counts, exact. tests/test_r5_new_ops.py pins Expand OUT of this plan
+    and IN the naive one.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_suppkey"
+    )
+
+    def two_phase(col: str, out: str) -> DataFrame:
+        p1 = li.groupBy("l_returnflag", col).agg(F.count(F.lit(1)).alias("c"))
+        return p1.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("long").alias(out),
+            F.sum("c").cast("long").alias(f"_rows_{out}"),
+        )
+
+    parts = two_phase("l_partkey", "n_parts")
+    supps = two_phase("l_suppkey", "n_supps").drop("_rows_n_supps")
+    return (
+        parts.join(supps, "l_returnflag")
+        .withColumnRenamed("_rows_n_parts", "n_rows")
+        .select("l_returnflag", "n_parts", "n_supps", "n_rows")
+    )

@@ -88,6 +88,7 @@ _DRIVER_PRIORITY = [
     "sink_custom_writer_roundtrip",
     "stream_stream_left_outer_join",
     "grouped_quantile_exact",
+    "distinct_multi_two_phase",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

@@ -593,3 +593,27 @@ def test_grouped_quantile_matches_spark_percentile(spark, sf_dir):
     for key, v in got.items():
         want = math.floor(expect[key] * 10000 + 0.5) / 10000
         assert v == pytest.approx(want, abs=1e-9), (key, v, want)
+
+
+# ---------------------------------------------------------------------------
+# distinct_multi_two_phase: Expand absent here, present in the naive form
+# ---------------------------------------------------------------------------
+def test_multi_distinct_no_expand(spark, sf_dir):
+    df = REG["distinct_multi_two_phase"].fn(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    naive = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("a"),
+            F.countDistinct("l_suppkey").alias("b"),
+        )
+    )
+    naive.count()
+    assert "Expand" in naive._jdf.queryExecution().executedPlan().toString()
+    # values agree with the naive plan too
+    got = {(r.l_returnflag, r.n_parts, r.n_supps) for r in df.collect()}
+    want = {(r.l_returnflag, r.a, r.b) for r in naive.collect()}
+    assert got == want

@@ -47,7 +47,8 @@ QUERIES = [
     "skew_agg_two_phase","incremental_agg_maintenance",
     "quantile_two_pass_exact","notin_nullaware_anti","bloom_semijoin_pruned",
     "lake_dynamic_partition_overwrite","source_orc_lineitem_agg",
-    "row_ids_distributed","grouped_quantile_exact",
+    "row_ids_distributed","grouped_quantile_exact","udaf_weighted_median",
+    "distinct_multi_two_phase",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"

@@ -105,6 +105,7 @@ QUERIES = [
     "cdc_snapshot_diff",
     "lake_deletion_vectors",
     "grouped_quantile_exact",
+    "distinct_multi_two_phase",
 ]
 
 
