@@ -878,3 +878,59 @@ def udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_udtf d, LATERAL ddl_chunk_spans(d.text) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] spark.udf.register: the SQL-callable scalar UDF surface
+# (the UDTF twin above covers spark.udtf.register; this closes §2.11's
+# last registration path — an Arrow pandas UDF invoked from SQL TEXT).
+# ---------------------------------------------------------------------------
+@register(
+    "sql_registered_udf",
+    oracle=f"""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({DUCK_TOKENS.format(col='text')})) AS BIGINT)
+                 AS total_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="Arrow pandas UDF registered via spark.udf.register and invoked from SQL text; token counts hash-match the JVM/DuckDB tokenizers.",
+    tags=("udf", "sql", "text", "ext"),
+)
+def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A scalar Arrow pandas UDF published into the SQL function catalog
+    with ``spark.udf.register`` and called from SQL TEXT — the surface a
+    SQL-first user touches (every other UDF here is invoked through the
+    DataFrame API). The Python tokenizer mirrors `tokens()` exactly
+    (lower → split ``[^a-z0-9]+`` → drop empties), so the SQL-invoked
+    Python path, the JVM expression, and the DuckDB oracle all agree on
+    the same counts — three engines, one semantic.
+
+    Scale: same Arrow batching as any pandas_udf (the registration path
+    changes dispatch, not execution); the aggregate above it is an
+    ordinary partial-agg shuffle on `lang`.
+    """
+    import re
+
+    import pandas as pd
+
+    pat = re.compile(r"[^a-z0-9]+")
+
+    def _ntok(s):
+        return s.fillna("").map(
+            lambda t: sum(1 for x in pat.split(t.lower()) if x)
+        )
+
+    _ntok.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.udf.register("ddl_ntokens", F.pandas_udf(_ntok, "long"))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_sqludf")
+    return spark.sql(
+        """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ddl_ntokens(text)) AS BIGINT) AS total_tokens
+        FROM docs_sqludf
+        GROUP BY lang
+        """
+    )

@@ -89,6 +89,7 @@ _DRIVER_PRIORITY = [
     "stream_stream_left_outer_join",
     "grouped_quantile_exact",
     "distinct_multi_two_phase",
+    "sql_registered_udf",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",
