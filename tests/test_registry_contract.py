@@ -33,3 +33,22 @@ def test_oracle_sql_covers_exactly_the_oracle_bearing_queries():
 def test_every_query_callable_has_doc():
     undocumented = [n for n, q in REG.items() if not (q.doc or "").strip()]
     assert not undocumented, undocumented
+
+
+def test_every_scale_tagged_query_measured_in_scale_md():
+    """SCALE.md claims every `scale`-tagged query carries a measured 10x
+    ratio (or an explicit mechanism note). Pin it so a future scale-tagged
+    operator cannot land without its measurement."""
+    import os
+
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+    text = open(
+        os.path.join(os.path.dirname(__file__), "..", "SCALE.md")
+    ).read()
+    missing = [
+        n
+        for n, e in load_all().items()
+        if "scale" in getattr(e, "tags", ()) and n not in text
+    ]
+    assert missing == [], f"scale-tagged but unmeasured in SCALE.md: {missing}"
