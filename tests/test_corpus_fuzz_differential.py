@@ -14,6 +14,10 @@ Determinism: derandomize=True; examples are a pure function of the code.
 
 import os
 
+# Extended-fuzz knob: SG_FUZZ_MULT=N multiplies every max_examples
+# (derandomized generation explores a longer deterministic prefix).
+FUZZ_MULT = int(os.environ.get("SG_FUZZ_MULT", "1"))
+
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -125,7 +129,7 @@ def _write_documents(td: str, texts: list[str]) -> None:
 @pytest.mark.parametrize("name", DOC_QUERIES)
 @given(texts=corpora())
 @settings(
-    max_examples=4,
+    max_examples=4 * FUZZ_MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -216,7 +220,7 @@ def _write_events(td: str, rows) -> None:
 @pytest.mark.parametrize("name", EVENT_QUERIES)
 @given(rows=event_tables())
 @settings(
-    max_examples=4,
+    max_examples=4 * FUZZ_MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -274,7 +278,7 @@ def _write_embeddings(td: str, vecs) -> None:
 @pytest.mark.parametrize("name", EMB_QUERIES)
 @given(vecs=embedding_tables())
 @settings(
-    max_examples=4,
+    max_examples=4 * FUZZ_MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -328,7 +332,7 @@ def nonzero_embedding_tables(draw):
 @pytest.mark.parametrize("name", EMB_COSINE_QUERIES)
 @given(vecs=nonzero_embedding_tables())
 @settings(
-    max_examples=3,
+    max_examples=3 * FUZZ_MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

@@ -13,6 +13,12 @@ Determinism: ``derandomize=True`` makes the example set a pure function
 of the test code, so CI never flakes on a novel draw.
 """
 
+import os
+
+# Extended-fuzz knob: SG_FUZZ_MULT=N multiplies every max_examples
+# (derandomized generation explores a longer deterministic prefix).
+FUZZ_MULT = int(os.environ.get("SG_FUZZ_MULT", "1"))
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -117,7 +123,7 @@ def _aggs(specs):
 
 @given(preds=predicates, conns=connectors, groups=group_cols, specs=agg_specs)
 @settings(
-    max_examples=20,
+    max_examples=20 * FUZZ_MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -154,7 +160,7 @@ ks = st.integers(min_value=1, max_value=7)
 
 @given(part=window_groups, key=order_keys, direction=directions, k=ks)
 @settings(
-    max_examples=12,
+    max_examples=12 * FUZZ_MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -192,7 +198,7 @@ price_cuts = st.floats(min_value=0.0, max_value=1.0)
 
 @given(jt=join_types, seg=segments, cut=price_cuts)
 @settings(
-    max_examples=12,
+    max_examples=12 * FUZZ_MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -240,7 +246,7 @@ having_cuts = st.integers(min_value=0, max_value=3000)
 
 @given(groups=having_groups, cut=having_cuts)
 @settings(
-    max_examples=10,
+    max_examples=10 * FUZZ_MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -286,7 +292,7 @@ cut_pairs = st.tuples(st.floats(0.0, 1.0), st.floats(0.0, 1.0))
 
 @given(op=set_ops, cuts=cut_pairs)
 @settings(
-    max_examples=12,
+    max_examples=12 * FUZZ_MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -321,7 +327,7 @@ status_filters = st.sampled_from(["F", "O", "P"])
 
 @given(key=sort_keys, direction=sort_dirs, k=limit_ks, status=status_filters)
 @settings(
-    max_examples=12,
+    max_examples=12 * FUZZ_MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -357,7 +363,7 @@ cum_widths = st.integers(min_value=100, max_value=5000)
 
 @given(part=cum_parts, m=cum_mods, width=cum_widths)
 @settings(
-    max_examples=10,
+    max_examples=10 * FUZZ_MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -395,7 +401,7 @@ def test_random_running_sum_bins_parity(spark, sf_dir, duck, part, m, width):
 
 @given(factor=factors, col=agg_cols)
 @settings(
-    max_examples=10,
+    max_examples=10 * FUZZ_MULT,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
