@@ -264,17 +264,48 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_state_partitions(spark: SparkSession, n: int = 8):
+    """Scope `spark.sql.shuffle.partitions` down for a streaming run.
+
+    A stateful sink commits one state-store instance per shuffle partition
+    per micro-batch; at local/test scale that fixed commit cost dwarfs the
+    data (measured: the stream-stream outer join spent more time in state
+    commits at 32 partitions than in the join). Every streaming query here
+    starts from a fresh checkpoint, so the state-partition count is free to
+    differ between calls. On a real cluster this knob is sized to executor
+    count, not cores-on-one-box; lowering it is a local-rig projection, not
+    a semantic change.
+    """
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        if int(old) <= n:
+            yield
+            return
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return _scope()
+
+
 def _run_to_memory(stream_df: DataFrame, spark: SparkSession, name: str, mode: str) -> DataFrame:
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_state_partitions(spark):
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # Materialize before the in-memory sink table goes away.
     out = spark.table(name)
     return spark.createDataFrame(out.collect(), out.schema)
@@ -841,10 +872,17 @@ def stream_custom_source_parallel(spark: SparkSession, sf_dir: str) -> DataFrame
     from .replay_source import register_events_replay_source
 
     register_events_replay_source(spark)
+    # Size micro-batches to the table: a fixed 5000-row batch means ~30
+    # micro-batches at sf0.1, each paying Python-datasource worker spin-up
+    # (measured ~20 s total for 5 output rows). ~4 batches exercise the
+    # same offset-advance + fan-out contract at any SF; the floor keeps
+    # small fixtures multi-batch.
+    n_events = load_table(spark, sf_dir, "events").count()
+    batch_rows = max(5000, n_events // 4)
     stream = (
         spark.readStream.format("events_replay_parallel")
         .option("path", os.path.join(sf_dir, "events.parquet"))
-        .option("batch_rows", "5000")
+        .option("batch_rows", str(batch_rows))
         .option("partitions", "4")
         .load()
     )
@@ -1244,16 +1282,17 @@ def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id").alias("n_users"),
         )
         agg = observed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName("stream_observed_metrics_sink")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _stream_state_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName("stream_observed_metrics_sink")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         done.wait(timeout=30)
     finally:
         spark.streams.removeListener(listener)
@@ -1382,21 +1421,22 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
         )
         name = f"sg_ckpt_sink_r{run}_{_os.getpid()}"
-        q = (
-            stream.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            # lastProgress.numInputRows = rows THIS run actually read from
-            # the source (run 2 must show only the new file's rows).
-            progresses = q.recentProgress
-            ingested = sum(int(p["numInputRows"]) for p in progresses)
-        finally:
-            q.stop()
+        with _stream_state_partitions(spark):
+            q = (
+                stream.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                # lastProgress.numInputRows = rows THIS run actually read from
+                # the source (run 2 must show only the new file's rows).
+                progresses = q.recentProgress
+                ingested = sum(int(p["numInputRows"]) for p in progresses)
+            finally:
+                q.stop()
         counts.append((run, ingested))
     shutil.rmtree(base, ignore_errors=True)
     total = sum(n for _, n in counts)
@@ -1481,7 +1521,12 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
                     "event_type",
                     (F.lit(far) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
                 )
-                sentinel.coalesce(1).write.mode("append").parquet(d)
+                # repartition(1), not coalesce(1): coalescing a
+                # default-parallelism local relation serializes all its
+                # (empty) partitions through one task (~5 s measured per
+                # write); a 1-row shuffle is ~0.4 s and still yields the
+                # single file the maxFilesPerTrigger staging needs.
+                sentinel.repartition(1).write.mode("append").parquet(d)
                 _touch_new(i * 10)
             sides[side] = (
                 spark.readStream.schema(rows.schema)
