@@ -675,14 +675,41 @@ def _pq_train_codebooks(vecs, seed: int = 42, iters: int = 12):
     return books  # list of (PQ_K, sub) arrays
 
 
+PQ_CODES_ROOT = "/tmp/ddl_spark_pq_codes_v1"
+
+
 def pq_encode_df(spark: SparkSession, sf_dir: str):
     """(vec_id, codes) + the codebooks: 64 float32 dims (256 B) compress
     to PQ_M byte-sized codes — 16× — which is what lets a 100 TB embedding
     corpus live in cluster RAM for ANN serving.  Measured recall@5 vs
     exact cosine on the uniform-random fixture: 0.74 (worst-case data —
     same caveat as the LSH family, SCALE.md delta #3; clustered real
-    embeddings quantize far better)."""
+    embeddings quantize far better).
+
+    Codes + codebooks persist under a corpus-mtime-keyed cache (same
+    contract as `build_ivf_index`): a production PQ index trains ONCE per
+    corpus and every query serves from the stored codes — re-encoding the
+    whole corpus per query call was costing more than the ADC scan itself
+    (measured ~8 s of the composed IVF×PQ query at sf0.1). Training is
+    seeded, so cached and fresh codes are bit-identical (pinned by
+    test_pq_adc_deterministic across the cache boundary)."""
+    import json
+    import os
+
     import numpy as np
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    slug = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(PQ_CODES_ROOT, f"{slug}_{st.st_mtime_ns}_{st.st_size}")
+    marker = os.path.join(root, "_PQ_COMPLETE")
+
+    def _load(root):
+        with open(os.path.join(root, "codebooks.json")) as f:
+            books = [np.asarray(b) for b in json.load(f)]
+        return spark.read.parquet(os.path.join(root, "codes")), books
+
+    if os.path.exists(marker):
+        return _load(root)
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
@@ -713,7 +740,27 @@ def pq_encode_df(spark: SparkSession, sf_dir: str):
             codes[:, m] = d2.argmin(1)
         return pd.Series(list(codes))
 
-    return e.select("vec_id", encode("v").alias("codes")), books
+    # Stage + atomic publish, same crash/race discipline as build_ivf_index.
+    stage = f"{root}.tmp.{os.getpid()}"
+    e.select("vec_id", encode("v").alias("codes")).write.mode("overwrite").parquet(
+        os.path.join(stage, "codes")
+    )
+    with open(os.path.join(stage, "codebooks.json"), "w") as f:
+        json.dump([b.tolist() for b in books], f)
+    with open(os.path.join(stage, "_PQ_COMPLETE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(stage, root)
+    except OSError:
+        import shutil
+
+        if os.path.exists(marker):  # lost the race to a complete cache
+            shutil.rmtree(stage, ignore_errors=True)
+        else:  # stale half-built tree from a crashed run: replace it
+            shutil.rmtree(root, ignore_errors=True)
+            os.rename(stage, root)
+    prune_stale_cache_siblings(PQ_CODES_ROOT, slug, root)
+    return _load(root)
 
 
 @register(
