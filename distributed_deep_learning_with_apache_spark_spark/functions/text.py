@@ -934,3 +934,67 @@ def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY lang
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] mapInArrow: the zero-pandas columnar UDF surface (§2.11's last
+# Python-boundary API — pandas_udf / mapInPandas / applyInPandas / UDTF /
+# UDAF / spark.udf.register all have registered queries; this closes
+# mapInArrow).
+# ---------------------------------------------------------------------------
+@register(
+    "map_in_arrow_bytes",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(count(*) FILTER (WHERE strlen(text) = length(text))
+                 AS BIGINT) AS n_ascii
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="mapInArrow RecordBatch transform (utf8 byte lengths + ASCII flags via pyarrow.compute, no pandas), aggregated per lang.",
+    tags=("udf", "arrow", "text", "ext"),
+)
+def map_in_arrow_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the Python boundary WITHOUT the pandas detour —
+    batches arrive as ``pyarrow.RecordBatch`` and leave as RecordBatch,
+    so a columnar kernel (here ``pyarrow.compute``: utf8 byte length and
+    ASCII detection) runs zero-copy on Arrow buffers. For bytes-shaped
+    work (codecs, tokenizers, hashing) this skips pandas'
+    object-boxing entirely — the fastest Python path Spark offers.
+
+    Cross-engine parity: Arrow's ``binary_length`` (bytes) and
+    ``string_is_ascii`` agree with DuckDB's ``strlen`` (bytes) and the
+    bytes==codepoints ASCII test; NULL text stays NULL through both
+    pipelines, so the counts hash-match.
+
+    Scale: the transform is scan-local (no shuffle); the per-lang
+    aggregate above it is one partial-agg shuffle on a low-cardinality
+    key.
+    """
+
+    def per_batch(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column(b.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("lang")),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.string_is_ascii(text),
+                ],
+                ["lang", "text_bytes", "is_ascii"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    mapped = d.mapInArrow(
+        per_batch, "lang string, text_bytes long, is_ascii boolean"
+    )
+    return mapped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("text_bytes").cast("long").alias("total_bytes"),
+        F.count_if(F.col("is_ascii")).cast("long").alias("n_ascii"),
+    )

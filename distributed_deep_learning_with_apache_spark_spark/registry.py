@@ -90,6 +90,8 @@ _DRIVER_PRIORITY = [
     "grouped_quantile_exact",
     "distinct_multi_two_phase",
     "sql_registered_udf",
+    "map_in_arrow_bytes",
+    "pagerank_purchase_graph",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",
@@ -162,6 +164,7 @@ def load_all() -> dict[str, Query]:
         curation,
         decision_support,
         dedup,
+        graph,
         incremental,
         merge,
         quality,

@@ -78,6 +78,7 @@ DOC_QUERIES = [
     "tokenize_truncate",
     "corpus_token_stats",
     "heavy_hitters_sketch_verified",
+    "map_in_arrow_bytes",
 ]
 
 WORDS = ["spark", "hash", "join", "the", "a", "scan", "émigré", "data1"]
