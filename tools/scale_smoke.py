@@ -106,6 +106,8 @@ QUERIES = [
     "lake_deletion_vectors",
     "grouped_quantile_exact",
     "distinct_multi_two_phase",
+    # round-5 fourth batch
+    "pagerank_purchase_graph",
 ]
 
 
