@@ -92,6 +92,7 @@ _DRIVER_PRIORITY = [
     "sql_registered_udf",
     "map_in_arrow_bytes",
     "pagerank_purchase_graph",
+    "lake_compact_small_files",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

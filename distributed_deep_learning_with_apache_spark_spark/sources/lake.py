@@ -75,6 +75,82 @@ def compact(spark: SparkSession, src: str, dst: str, num_files: int) -> None:
     spark.read.parquet(src).coalesce(num_files).write.mode("overwrite").parquet(dst)
 
 
+COMPACT_SMALL_FILES = 64  # the fragmented layout a micro-batch ingest leaves
+COMPACT_TARGET_BYTES = 4 << 20  # demo-scale bin size; 128 MB-1 GB in production
+
+
+@register(
+    "lake_compact_small_files",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               floor(sum(floor(o_totalprice * 10000 + 0.5)) / 100 + 0.5) / 100
+                 AS total_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="OPTIMIZE-style bin-packing compaction: 64-file ingest layout rewritten to size-targeted files (shuffle-free coalesce), answered from the compacted copy.",
+    tags=("lake", "ext", "scale"),
+)
+def lake_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake-maintenance OPTIMIZE operation: a streaming/micro-batch
+    ingest leaves a table fragmented into many tiny files (staged here as
+    a 64-file orders copy), whose per-file open/footer/seek overhead
+    dominates scans at scale. Compaction sizes the target file count from
+    the ACTUAL byte size (``ceil(bytes / target)``, never fewer than one)
+    and rewrites via shuffle-free ``coalesce`` — input splits are glued,
+    no key layout exists to preserve, so the rewrite moves each byte
+    exactly once. The revenue query is answered from the compacted copy
+    and hash-matches DuckDB on the raw table: compaction must be
+    content-neutral.
+
+    Scale: on a real lake this runs per-partition with a manifest swap
+    (the snapshot pattern of `lake_snapshot_time_travel`); cost is one
+    read+write of the compacted partition, amortized against every
+    subsequent scan's file-count reduction. tests/test_lake.py pins the
+    before/after file counts and byte-size targeting.
+    """
+    import math
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sg_compact_")
+    small = _os.path.join(base, "small")
+    dst = _os.path.join(base, "compacted")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        orders.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").parquet(small)
+        total_bytes = sum(
+            _os.path.getsize(p)
+            for p in _glob.glob(_os.path.join(small, "*.parquet"))
+        )
+        n_files = max(1, math.ceil(total_bytes / COMPACT_TARGET_BYTES))
+        compact(spark, small, dst, n_files)
+        out = (
+            spark.read.parquet(dst)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                (
+                    F.floor(
+                        F.sum(
+                            F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long")
+                        )
+                        / 100
+                        + 0.5
+                    )
+                    / 100
+                ).alias("total_price"),
+            )
+        )
+        # Materialize before the temp lake directory is removed.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 @register(
     "lake_partition_pruned_revenue",
     oracle="""

@@ -197,3 +197,53 @@ def test_zorder_oracle_preserves_duplicate_rows():
     # both ranks are 1023 -> zval = 2^20-1 -> bucket 15; the count must be 4
     # (no collapse) and total_qty 20, not 5.
     assert rows == [(15, 4, 20.0)], rows
+
+
+def test_lake_compact_small_files_query_and_layout(spark, sf_dir, monkeypatch):
+    """r5: the registered compaction op must (a) produce the size-targeted
+    file count, (b) be content-neutral (aggregate parity vs the raw
+    table), and (c) never compact to zero files."""
+    import math
+
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+    from distributed_deep_learning_with_apache_spark_spark.sources import lake
+
+    REG = load_all()
+    # Intercept compact() to observe the staged layouts before cleanup.
+    seen = {}
+    orig = lake.compact
+
+    def spy(spark_, src, dst, n):
+        seen["small"] = len(_data_files(src))
+        small_bytes = sum(os.path.getsize(p) for p in _data_files(src))
+        seen["target"] = max(1, math.ceil(small_bytes / lake.COMPACT_TARGET_BYTES))
+        assert n == seen["target"]
+        orig(spark_, src, dst, n)
+        seen["compacted"] = len(_data_files(dst))
+
+    monkeypatch.setattr(lake, "compact", spy)
+    out = {
+        r["o_orderstatus"]: (r["n_orders"], r["total_price"])
+        for r in REG["lake_compact_small_files"].fn(spark, sf_dir).collect()
+    }
+    assert seen["small"] == lake.COMPACT_SMALL_FILES
+    assert 1 <= seen["compacted"] <= seen["target"]
+
+    raw = {
+        r["o_orderstatus"]: (r["n"], r["t"])
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.floor(
+                    F.sum(F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long"))
+                    / 100
+                    + 0.5
+                )
+                / 100
+            ).alias("t"),
+        )
+        .collect()
+    }
+    assert out == raw

@@ -108,6 +108,7 @@ QUERIES = [
     "distinct_multi_two_phase",
     # round-5 fourth batch
     "pagerank_purchase_graph",
+    "lake_compact_small_files",
 ]
 
 
