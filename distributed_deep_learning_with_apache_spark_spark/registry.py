@@ -93,6 +93,8 @@ _DRIVER_PRIORITY = [
     "map_in_arrow_bytes",
     "pagerank_purchase_graph",
     "lake_compact_small_files",
+    "events_ohlc_hourly",
+    "source_xml_events_agg",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

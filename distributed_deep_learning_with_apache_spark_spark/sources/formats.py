@@ -113,6 +113,61 @@ def source_json_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_xml_events_agg",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               floor(sum(floor(value * 10000 + 0.5)) / 100 + 0.5) / 100
+                 AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Round-trip events through Spark 4's native XML source (rowTag records, explicit schema) and aggregate from the XML copy; oracle aggregates the raw table.",
+    tags=("source", "xml"),
+)
+def source_xml_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip events through the native XML data source (built into
+    Spark 4 — ``format("xml")`` with a ``rowTag``) and aggregate from the
+    XML copy. Like CSV/JSON, XML is an ingest-edge row format: splittable
+    on row tags, no column stats, schema supplied explicitly so inference
+    never touches the plan. Doubles survive the text round-trip exactly
+    (Spark serializes shortest-repr and parses back the identical bits),
+    and the sum is cent-scaled integer-exact on both engines so the
+    aggregate is FP-order-independent. The oracle aggregates the original
+    parquet: the round-trip must be lossless.
+    """
+    import shutil
+    import tempfile
+
+    cols = ["event_id", "event_type", "value"]
+    base = tempfile.mkdtemp(prefix="sg_xml_")
+    load_table(spark, sf_dir, "events").select(*cols).write.mode("overwrite").format(
+        "xml"
+    ).option("rootTag", "events").option("rowTag", "event").save(base)
+
+    out = (
+        spark.read.schema(schema_for("events", cols))
+        .format("xml")
+        .option("rowTag", "event")
+        .load(base)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (
+                F.floor(
+                    F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long")) / 100
+                    + 0.5
+                )
+                / 100
+            ).alias("total_value"),
+        )
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@register(
     "source_orc_lineitem_agg",
     oracle="""
         SELECT l_returnflag,

@@ -102,6 +102,73 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OHLC downsample (time-series bar aggregation)
+# ---------------------------------------------------------------------------
+@register(
+    "events_ohlc_hourly",
+    oracle="""
+        WITH ranked AS (
+          SELECT floor(epoch(date_trunc('hour', ts::TIMESTAMP)))::BIGINT AS window_start_s,
+                 event_type, value,
+                 row_number() OVER (PARTITION BY date_trunc('hour', ts::TIMESTAMP), event_type
+                                    ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY date_trunc('hour', ts::TIMESTAMP), event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events
+        )
+        SELECT window_start_s, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+               max(value) AS high_v,
+               min(value) AS low_v,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close_v
+        FROM ranked
+        GROUP BY 1, 2
+    """,
+    doc="Hourly OHLC bars per event_type: open/close via min_by/max_by on a (ts, event_id) composite key, high/low/count in the same single-shuffle aggregate.",
+    tags=("streaming", "agg", "timeseries"),
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to hourly OHLC bars (the classic
+    time-series rollup): per (hour, event_type), the first value (open),
+    max (high), min (low), and last value (close).
+
+    Open/close use ``min_by``/``max_by`` over a ``struct(ts, event_id)``
+    composite key — event_id is unique, so exact timestamp ties resolve
+    deterministically (the corpus fuzz forces such ties). Unlike the
+    window-rank formulation the oracle uses, min_by/max_by is a real
+    aggregate with map-side partial merge: partials collapse each input
+    partition to ~|groups| rows before the single group-key shuffle,
+    where the rank form would shuffle every event and sort each partition
+    in both directions. (The struct key makes Spark pick SortAggregate —
+    a group-key sort, not a rank pass; plan pinned in
+    tests/test_r5_new_ops.py.) Values are raw row doubles (no FP
+    accumulation), so cross-engine parity is bit-exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min_by("value", key).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", key).alias("close_v"),
+        )
+        .select(
+            _epoch_s(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Keep-latest dedup (the batch form of dropDuplicates-with-watermark)
 # ---------------------------------------------------------------------------
 @register(

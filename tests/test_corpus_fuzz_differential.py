@@ -167,6 +167,8 @@ EVENT_QUERIES = [
     "psi_drift_events",
     "events_sliding_1h_30m",
     "stream_foreachbatch_merge",
+    "events_ohlc_hourly",
+    "source_xml_events_agg",
 ]
 
 import datetime as _dt

@@ -617,3 +617,83 @@ def test_multi_distinct_no_expand(spark, sf_dir):
     got = {(r.l_returnflag, r.n_parts, r.n_supps) for r in df.collect()}
     want = {(r.l_returnflag, r.a, r.b) for r in naive.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# events_ohlc_hourly: deterministic ties + aggregate (not sort-rank) plan
+# ---------------------------------------------------------------------------
+def test_ohlc_tie_determinism_first_principles(spark, tmp_path):
+    """Two events share the exact min ts and two the exact max ts inside
+    one (hour, type) bucket; event_id must break both ties, matching the
+    oracle's (ts, event_id) rank order."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        # (event_id, ts, value) — all one hour, one type
+        (7, t0, 111.0),          # min-ts tie, larger id
+        (3, t0, 222.0),          # min-ts tie, smaller id -> open
+        (5, t0 + dt.timedelta(minutes=30), -9.0),   # low
+        (9, t0 + dt.timedelta(minutes=59), 444.0),  # max-ts tie, larger id -> close
+        (8, t0 + dt.timedelta(minutes=59), 555.0),  # max-ts tie, smaller id; also high
+    ]
+    td = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([0] * 5, pa.int64()),
+                "event_type": pa.array(["click"] * 5),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * 5),
+            }
+        ),
+        os.path.join(td, "events.parquet"),
+    )
+    out = REG["events_ohlc_hourly"].fn(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_events, r.open_v, r.high_v, r.low_v, r.close_v) == (5, 222.0, 555.0, -9.0, 444.0)
+
+
+def test_ohlc_plan_partial_agg_one_exchange_no_window(spark, sf_dir):
+    """The scale property: OHLC is a real aggregate with map-side partial
+    merge and exactly one shuffle — NOT the oracle's double-direction
+    window-rank formulation (which shuffles every row and sorts each
+    partition twice). The struct min_by key forces SortAggregate (struct
+    is not a mutable hash-agg buffer type), but the sort is on the group
+    key only and partials collapse rows before the exchange."""
+    df = REG["events_ohlc_hourly"].fn(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_min_by" in plan and "partial_max_by" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# source_xml_events_agg: markup-hostile strings survive the XML round-trip
+# ---------------------------------------------------------------------------
+def test_xml_roundtrip_escapes_markup(spark, tmp_path):
+    """event_type values containing XML metacharacters must round-trip
+    bit-exactly (writer escapes, reader unescapes)."""
+    from distributed_deep_learning_with_apache_spark_spark.sources.formats import schema_for
+
+    hostile = ['a<b&c>"d\'', "&amp;", "<event>", "]]>", "plain"]
+    df = spark.createDataFrame(
+        [(i, s, float(i) + 0.25) for i, s in enumerate(hostile)],
+        schema_for("events", ["event_id", "event_type", "value"]),
+    )
+    path = str(tmp_path / "xml")
+    df.write.format("xml").option("rootTag", "events").option("rowTag", "event").save(path)
+    back = (
+        spark.read.schema(schema_for("events", ["event_id", "event_type", "value"]))
+        .format("xml")
+        .option("rowTag", "event")
+        .load(path)
+    )
+    assert sorted(back.collect()) == sorted(df.collect())
