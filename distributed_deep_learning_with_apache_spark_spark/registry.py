@@ -95,6 +95,7 @@ _DRIVER_PRIORITY = [
     "lake_compact_small_files",
     "events_ohlc_hourly",
     "source_xml_events_agg",
+    "lake_vacuum_expire",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

@@ -529,6 +529,116 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# [EXT r5] VACUUM: expire old snapshot versions and delete the data files
+# no retained manifest references (the retention half of table
+# maintenance, paired with lake_compact_small_files).
+# ---------------------------------------------------------------------------
+VACUUM_RETAIN_FROM = 3  # expire v1/v2; v3+ stay time-travelable
+
+
+def clone_snapshot_root(root: str, dst: str) -> None:
+    """Hardlink-copy a published snapshot table (manifests + data files)
+    so maintenance can run destructively without touching the shared
+    cached fixture. Hardlinks cost no data bytes; unlinking a clone file
+    never affects the original."""
+    for src in _glob.glob(_os.path.join(root, "snap_v*.json")):
+        _os.makedirs(dst, exist_ok=True)
+        _os.link(src, _os.path.join(dst, _os.path.basename(src)))
+    for src in _glob.glob(_os.path.join(root, "data", "*", "*.parquet")):
+        rel = _os.path.relpath(src, root)
+        _os.makedirs(_os.path.dirname(_os.path.join(dst, rel)), exist_ok=True)
+        _os.link(src, _os.path.join(dst, rel))
+
+
+def vacuum_snapshots(root: str, retain_from: int) -> list[str]:
+    """Expire every manifest below ``retain_from``, then delete each data
+    file referenced by NO retained manifest. Returns the removed
+    root-relative file paths. The live set is computed from manifests
+    alone (file lists — no data scan), so vacuum planning is O(files),
+    and because commits are copy-on-write, a file shared by a retained
+    version is never touched."""
+    live: set[str] = set()
+    expired: list[str] = []
+    for path in _glob.glob(_os.path.join(root, "snap_v*.json")):
+        with open(path) as f:
+            m = _json.load(f)
+        if m["version"] >= retain_from:
+            live.update(m["files"])
+        else:
+            expired.append(path)
+    removed = []
+    for f in _glob.glob(_os.path.join(root, "data", "*", "*.parquet")):
+        rel = _os.path.relpath(f, root)
+        if rel not in live:
+            _os.remove(f)
+            removed.append(rel)
+    for path in expired:
+        _os.remove(path)
+    return sorted(removed)
+
+
+@register(
+    "lake_vacuum_expire",
+    oracle=f"""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               floor(sum(floor((CASE WHEN o_orderpriority = '1-URGENT'
+                                     THEN o_totalprice * {SNAP_UPDATE_FACTOR}
+                                     ELSE o_totalprice END) * 10000 + 0.5))
+                     / 100 + 0.5) / 100 AS total_price
+        FROM orders
+        WHERE o_totalprice >= {SNAP_DELETE_BELOW}
+        GROUP BY o_orderpriority
+    """,
+    doc="VACUUM/expire-snapshots: retention drops v1/v2 manifests and every file only they reference (manifest set-difference, no data scan); the surviving current version still answers exactly.",
+    tags=("lake", "snapshot", "ext"),
+)
+def lake_vacuum_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run VACUUM on a clone of the snapshot table: expire versions 1-2,
+    physically delete the files no retained manifest references, and
+    answer the priority rollup from the surviving current version (v4 —
+    post-delete, post-update). The hash-match proves retention removed
+    only garbage: the current version is bit-identical to the oracle's
+    reconstruction from the raw table.
+
+    The live-file set is a set-difference over manifests — planning cost
+    O(total files), zero data scanned — and copy-on-write commits make
+    the rule exact: a file is garbage iff no retained manifest lists it.
+    At 100 TB, vacuum is metadata work followed by parallel deletes;
+    tests/test_lake.py pins that retained versions stay readable, expired
+    versions are gone, and the shared fixture is untouched (hardlink
+    clone). The uplifted price is the same IEEE multiply on both engines,
+    then cent-exact integer aggregation (cdc_snapshot_diff discipline).
+    """
+    import shutil
+    import tempfile
+
+    root = ensure_snapshot_table(spark, sf_dir)
+    clone = tempfile.mkdtemp(prefix="sg_vacuum_")
+    try:
+        clone_snapshot_root(root, clone)
+        vacuum_snapshots(clone, VACUUM_RETAIN_FROM)
+        out = (
+            read_snapshot(spark, clone, 4)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                (
+                    F.floor(
+                        F.sum(F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long"))
+                        / 100
+                        + 0.5
+                    )
+                    / 100
+                ).alias("total_price"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(clone, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # [EXT r5] Merge-on-read deletes: position delete vectors (Iceberg v2 /
 # Delta DV shape) — a delete writes a tiny (file, row_index) sidecar, the
 # base files are never rewritten, readers overlay with an anti join.

@@ -247,3 +247,50 @@ def test_lake_compact_small_files_query_and_layout(spark, sf_dir, monkeypatch):
         .collect()
     }
     assert out == raw
+
+
+def test_lake_vacuum_expire_mechanics(spark, sf_dir, tmp_path):
+    """r5 VACUUM: expired versions become unreadable, retained versions
+    stay bit-identical, exactly the files only-v1/v2 referenced are
+    removed, and the shared cached fixture is untouched."""
+    import json
+
+    from distributed_deep_learning_with_apache_spark_spark.sources.lake import (
+        VACUUM_RETAIN_FROM,
+        clone_snapshot_root,
+        ensure_snapshot_table,
+        read_snapshot,
+        vacuum_snapshots,
+    )
+
+    root = ensure_snapshot_table(spark, sf_dir)
+    clone = str(tmp_path / "clone")
+    clone_snapshot_root(root, clone)
+
+    manifests = {}
+    for p in glob.glob(os.path.join(clone, "snap_v*.json")):
+        with open(p) as f:
+            m = json.load(f)
+        manifests[m["version"]] = set(m["files"])
+    live = manifests[3] | manifests[4]
+    expected_garbage = sorted((manifests[1] | manifests[2]) - live)
+
+    before_v3 = sorted(read_snapshot(spark, clone, 3).collect())
+    removed = vacuum_snapshots(clone, VACUUM_RETAIN_FROM)
+    assert removed == expected_garbage and removed, removed
+
+    # retained versions still read, and identically
+    assert sorted(read_snapshot(spark, clone, 3).collect()) == before_v3
+    assert read_snapshot(spark, clone, 4).count() == len(before_v3)
+    # expired versions are gone (manifest deleted)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, clone, 1)
+    # garbage files physically deleted, live files intact
+    for rel in expected_garbage:
+        assert not os.path.exists(os.path.join(clone, rel))
+    for rel in sorted(live):
+        assert os.path.exists(os.path.join(clone, rel))
+    # the shared fixture is untouched: all its files and manifests remain
+    assert read_snapshot(spark, root, 1).count() > 0
+    for rel in expected_garbage:
+        assert os.path.exists(os.path.join(root, rel))
