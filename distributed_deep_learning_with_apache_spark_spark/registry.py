@@ -96,6 +96,8 @@ _DRIVER_PRIORITY = [
     "events_ohlc_hourly",
     "source_xml_events_agg",
     "lake_vacuum_expire",
+    "udf_iterator_scoring",
+    "grouped_apply_in_arrow",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",
@@ -179,7 +181,7 @@ def load_all() -> dict[str, Query]:
         textpipe,
         topk,
     )
-    from .functions import arrays, text  # noqa: F401
+    from .functions import arrays, text, udf_surface  # noqa: F401
     from .sources import arrow_writer_sink, binary, formats, lake, pngv_datasource  # noqa: F401
     from .streaming import events  # noqa: F401
     from .ml import cnn as ml_cnn  # noqa: F401

@@ -49,6 +49,7 @@ QUERIES = [
     "lake_dynamic_partition_overwrite","source_orc_lineitem_agg",
     "row_ids_distributed","grouped_quantile_exact","udaf_weighted_median",
     "distinct_multi_two_phase",
+    "udf_iterator_scoring","grouped_apply_in_arrow",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"

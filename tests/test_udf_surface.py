@@ -101,3 +101,57 @@ def test_apply_in_pandas_merge_asof_matches_window_asof(spark, sf_dir):
         .collect()
     }
     assert pandas_form == window_form
+
+
+def test_iterator_udf_amortizes_init_across_batches(spark):
+    """r5: the Iterator form must run its init site once per
+    partition-stream while consuming many Arrow batches — distinct init
+    ids ≤ partitions, and each init sees ≥5 batches at batch size 10."""
+    import uuid
+    from collections import defaultdict
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def tag(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        init = uuid.uuid4().hex  # once per partition-stream
+        for i, s in enumerate(batches):
+            yield pd.Series([f"{init}:{i}"] * len(s))
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "10")
+    try:
+        rows = spark.range(100).repartition(2).select(tag("id").alias("t")).collect()
+    finally:
+        spark.conf.set(key, old)
+    per_init = defaultdict(set)
+    for r in rows:
+        init, i = r.t.split(":")
+        per_init[init].add(int(i))
+    assert len(per_init) <= 2, per_init.keys()
+    assert max(max(v) for v in per_init.values()) >= 4, per_init
+
+
+def test_apply_in_arrow_matches_builtin_agg(spark, sf_dir):
+    """r5: the applyInArrow grouped-map must agree with the built-in
+    aggregate twin on every customer."""
+    from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+    got = {
+        r.o_custkey: (r.n_orders, r.total_cents)
+        for r in load_all()["grouped_apply_in_arrow"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        r.o_custkey: (r.n, r.c)
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
