@@ -998,3 +998,103 @@ def map_in_arrow_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("text_bytes").cast("long").alias("total_bytes"),
         F.count_if(F.col("is_ascii")).cast("long").alias("n_ascii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] String collations (new Spark 4 surface): case-insensitive
+# grouping via UTF8_LCASE, without rewriting every expression to lower().
+# ---------------------------------------------------------------------------
+@register(
+    "collated_token_counts",
+    oracle="""
+        SELECT lower(tok) AS token,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_case_variants
+        FROM (
+          SELECT regexp_extract(text, '^([A-Za-z]+)', 1) AS tok FROM documents
+        )
+        WHERE tok <> '' AND tok IS NOT NULL
+        GROUP BY 1
+    """,
+    doc="Case-insensitive grouping by leading word via the UTF8_LCASE collation (Spark 4 collation surface); count + distinct exact-case variants per collated group.",
+    tags=("text", "collation", "ext"),
+)
+def collated_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group documents by their leading ASCII word under the
+    ``UTF8_LCASE`` collation — Spark 4's collation surface makes the
+    GROUP BY itself case-insensitive instead of pushing ``lower()`` into
+    every expression. ``n_case_variants`` (distinct raw spellings inside
+    each collated group) is the proof the collation did the merging: it
+    exceeds 1 exactly when byte-distinct keys collated together.
+
+    The emitted key is ``lower(token)`` because a collated GROUP BY keeps
+    an arbitrary representative spelling (whichever row a partition saw
+    first) — fine inside the engine, nondeterministic as output. Keys are
+    restricted to ASCII letter runs so ICU lowercasing (Spark) and ASCII
+    lowercasing (DuckDB) agree by construction.
+
+    Scale: collation-aware grouping hashes the collation key directly —
+    same single partial-agg shuffle as any groupBy, no expression
+    rewrite, and (on sorted layouts) collated comparisons remain
+    sargable where a wrapping lower() would not be.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.regexp_extract(F.col("text"), r"^([A-Za-z]+)", 1)
+    return (
+        d.select(tok.alias("tok"))
+        .filter((F.col("tok") != "") & F.col("tok").isNotNull())
+        .groupBy(F.collate(F.col("tok"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct(F.col("tok")).cast("long").alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.collate(F.col("k"), "UTF8_BINARY")).alias("token"),
+            "n_docs",
+            "n_case_variants",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] ANSI-safe arithmetic: try_divide under ansi.enabled=true
+# ---------------------------------------------------------------------------
+@register(
+    "ansi_safe_doc_ratios",
+    oracle=f"""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE strlen(coalesce(text, '')) = 0)
+                    AS BIGINT) AS n_unmeasurable,
+               CAST(sum(floor(len({DUCK_TOKENS.format(col='text')})
+                              / nullif(strlen(coalesce(text, '')), 0)
+                              * 10000 + 0.5)) AS BIGINT) AS density_e4
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="ANSI-mode-safe token-density ratio: try_divide returns NULL for empty documents instead of raising under spark.sql.ansi.enabled=true; NULLs are counted, not silently dropped.",
+    tags=("text", "ansi", "ext"),
+)
+def ansi_safe_doc_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-per-byte density per language, computed with ``try_divide``:
+    this engine runs with ``spark.sql.ansi.enabled=true`` (Spark 4's
+    default), where a plain ``/`` by zero RAISES — the ``try_`` family is
+    the sanctioned way to make a known-partial computation total.
+    Empty documents (the zero denominator — the corpus fuzz draws them)
+    yield NULL density, which the aggregate skips, and ``n_unmeasurable``
+    reports them explicitly instead of letting the NULLs vanish.
+
+    Both engines divide the same exact integers (token count / byte
+    count: one IEEE divide), then floor to 1e-4 — bit-identical, the
+    cross-engine round() discipline. The oracle's ``nullif`` is the ANSI
+    twin of try_divide. Single partial-agg shuffle on lang.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    n_bytes = F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+    density = F.try_divide(n_tok, n_bytes)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(n_bytes == 0).cast("long").alias("n_unmeasurable"),
+        F.sum(F.floor(density * 10000 + 0.5)).cast("long").alias("density_e4"),
+    )

@@ -98,6 +98,8 @@ _DRIVER_PRIORITY = [
     "lake_vacuum_expire",
     "udf_iterator_scoring",
     "grouped_apply_in_arrow",
+    "collated_token_counts",
+    "ansi_safe_doc_ratios",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

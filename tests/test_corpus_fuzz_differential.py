@@ -79,9 +79,12 @@ DOC_QUERIES = [
     "corpus_token_stats",
     "heavy_hitters_sketch_verified",
     "map_in_arrow_bytes",
+    # r5: collation + ANSI-safe surfaces (need the mixed-case draws below)
+    "collated_token_counts",
+    "ansi_safe_doc_ratios",
 ]
 
-WORDS = ["spark", "hash", "join", "the", "a", "scan", "émigré", "data1"]
+WORDS = ["spark", "hash", "join", "the", "a", "scan", "émigré", "data1", "Spark", "THE"]
 
 doc_text = st.one_of(
     st.none(),  # NULL text — r4 advice: udtf_chunk_spans diverged on NULL

@@ -697,3 +697,48 @@ def test_xml_roundtrip_escapes_markup(spark, tmp_path):
         .load(path)
     )
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+# ---------------------------------------------------------------------------
+# collated_token_counts / ansi_safe_doc_ratios: first-principles semantics
+# ---------------------------------------------------------------------------
+def _write_docs(td, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": pa.array(texts, pa.string()),
+                "lang": ["en"] * len(texts),
+                "domain": ["web"] * len(texts),
+                "quality": [0.5] * len(texts),
+            }
+        ),
+        os.path.join(td, "documents.parquet"),
+    )
+
+
+def test_collation_merges_case_variants(spark, tmp_path):
+    """UTF8_LCASE grouping must merge byte-distinct spellings and report
+    how many it merged."""
+    td = str(tmp_path)
+    _write_docs(td, ["Spark rules", "SPARK again", "spark x", "other doc", "Other"])
+    out = {r.token: (r.n_docs, r.n_case_variants)
+           for r in REG["collated_token_counts"].fn(spark, td).collect()}
+    assert out == {"spark": (3, 3), "other": (2, 2)}, out
+
+
+def test_ansi_safe_ratio_nulls_on_empty_not_raises(spark, tmp_path):
+    """Under ansi.enabled=true, empty documents must yield NULL density
+    (counted in n_unmeasurable) — not a divide-by-zero error."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    td = str(tmp_path)
+    _write_docs(td, ["four words right here", "", "ab cd"])
+    [r] = REG["ansi_safe_doc_ratios"].fn(spark, td).collect()
+    assert r.n_docs == 3 and r.n_unmeasurable == 1
+    # densities: 4 tokens / 21 bytes and 2 tokens / 5 bytes, floor(x*1e4+0.5)
+    import math
+    want = math.floor(4 / 21 * 10000 + 0.5) + math.floor(2 / 5 * 10000 + 0.5)
+    assert r.density_e4 == want, (r.density_e4, want)
