@@ -122,3 +122,88 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rank", 8).alias("pagerank"),
         F.row_number().over(w).alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Triangle counting over the co-purchase part graph
+# ---------------------------------------------------------------------------
+TRI_MIN_SUPPORT = 2  # parts must co-occur in >= this many distinct orders
+
+
+@register(
+    "triangle_count_copurchase",
+    oracle=f"""
+        WITH po AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        pairs AS (
+          SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        ),
+        edges AS (
+          SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= {TRI_MIN_SUPPORT}
+        ),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM edges e1
+          JOIN edges e2 ON e1.v = e2.u
+          JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+               (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
+               (SELECT CAST(count(DISTINCT x) AS BIGINT) FROM (
+                  SELECT a AS x FROM tri
+                  UNION SELECT b FROM tri
+                  UNION SELECT c FROM tri)) AS n_tri_nodes
+    """,
+    doc="Triangle count on the support-filtered co-purchase part graph: id-oriented edges (u<v) make each triangle enumerable exactly once by two equi-joins; support >= 2 is the density control.",
+    tags=("graph", "ext"),
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count triangles in the part co-purchase graph (parts that co-occur
+    in >= TRI_MIN_SUPPORT distinct orders are connected). The classic
+    distributed formulation: orient every edge low-id -> high-id, join
+    edges on the shared middle node to enumerate wedges (a<b<c by
+    construction, so each triangle appears exactly once), then close each
+    wedge with a third equi-join — three shuffle joins, no cartesian.
+
+    Scale: the support threshold is the density control — random
+    co-occurrence rarely repeats, so edges collapse from ~1.2M raw pairs
+    to ~3.6k at sf0.1 and the wedge join is tiny. On a power-law graph
+    the production refinement is DEGREE orientation (orient toward the
+    higher-degree endpoint), which bounds per-node wedge fan-out by
+    O(sqrt(m)); id orientation is used here because the support-filtered
+    graph is near-uniform. The per-order pair expansion is bounded by the
+    ~7 lineitems/order TPC-H shape (<= 21 pairs/order before dedup).
+    """
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = po.alias("a"), po.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # reused three times below
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+        .join(e3, (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")))
+        .select("a", "b", "c")
+    )
+    tri_nodes = (
+        tri.select(F.col("a").alias("x"))
+        .union(tri.select("b"))
+        .union(tri.select("c"))
+        .distinct()
+    )
+    return (
+        edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+        .crossJoin(tri_nodes.agg(F.count(F.lit(1)).cast("long").alias("n_tri_nodes")))
+    )

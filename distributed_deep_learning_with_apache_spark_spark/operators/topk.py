@@ -234,3 +234,56 @@ def rolling_7d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_orders_7d"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] ntile bucketing: equal-frequency quartiles inside each nation
+# ---------------------------------------------------------------------------
+@register(
+    "ntile_balance_quartiles",
+    oracle="""
+        SELECT c_nationkey, quartile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               min(c_acctbal) AS min_bal,
+               max(c_acctbal) AS max_bal
+        FROM (
+          SELECT c_nationkey, c_acctbal,
+                 ntile(4) OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey) AS quartile
+          FROM customer
+        )
+        GROUP BY c_nationkey, quartile
+    """,
+    doc="ntile(4) equal-frequency quartiles per nation (deterministic via the c_custkey tiebreak), rolled up to per-bucket count and balance bounds.",
+    tags=("window", "ext"),
+)
+def ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every customer to an equal-frequency balance quartile
+    WITHIN its nation via ``ntile(4)``, then roll each bucket up to
+    count + balance bounds. The ``c_custkey`` tiebreak makes bucket
+    boundaries deterministic when balances tie (SQL-standard ntile gives
+    earlier buckets the extra rows; both engines implement that rule, so
+    the counts hash-match exactly). min/max are raw row doubles — no FP
+    accumulation.
+
+    Scale: the window partitions by nation — 25 bounded partitions whose
+    per-partition sort is the only cost; the rollup reuses the same
+    partitioning (no second shuffle of the full table). Unlike a global
+    ntile (single-partition sort — the anti-pattern), per-group ntile
+    parallelizes across groups.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_nationkey",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )

@@ -100,6 +100,8 @@ _DRIVER_PRIORITY = [
     "grouped_apply_in_arrow",
     "collated_token_counts",
     "ansi_safe_doc_ratios",
+    "triangle_count_copurchase",
+    "ntile_balance_quartiles",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

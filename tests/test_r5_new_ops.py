@@ -742,3 +742,47 @@ def test_ansi_safe_ratio_nulls_on_empty_not_raises(spark, tmp_path):
     import math
     want = math.floor(4 / 21 * 10000 + 0.5) + math.floor(2 / 5 * 10000 + 0.5)
     assert r.density_e4 == want, (r.density_e4, want)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count_copurchase: first-principles enumeration on a known graph
+# ---------------------------------------------------------------------------
+def test_triangle_count_known_graph(spark, tmp_path):
+    """Orders staged so the support-2 co-purchase graph is exactly
+    {1-2, 1-3, 2-3, 2-4, 3-4}: two triangles (1,2,3) and (2,3,4) sharing
+    edge 2-3, four participating nodes — each triangle counted once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # each inner list is one order's distinct parts; listed pairs co-occur
+    orders_parts = [
+        [1, 2, 3], [1, 2, 3],          # support 2 for 1-2, 1-3, 2-3
+        [2, 3, 4], [2, 3, 4],          # support 2 more for 2-3; 2-4, 3-4
+        [1, 4],                        # support 1 only -> NOT an edge
+        [5, 6],                        # isolated support-1 pair
+    ]
+    rows = [
+        (oid, p)
+        for oid, parts in enumerate(orders_parts)
+        for p in parts
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "lineitem.parquet"),
+    )
+    [r] = REG["triangle_count_copurchase"].fn(spark, str(tmp_path)).collect()
+    assert (r.n_edges, r.n_triangles, r.n_tri_nodes) == (5, 2, 4), r
+
+
+def test_triangle_plan_no_cartesian(spark, sf_dir):
+    """All three triangle joins must be equi-joins; the only cross joins
+    are the three singleton aggregate combiners."""
+    df = REG["triangle_count_copurchase"].fn(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
