@@ -102,6 +102,7 @@ _DRIVER_PRIORITY = [
     "ansi_safe_doc_ratios",
     "triangle_count_copurchase",
     "ntile_balance_quartiles",
+    "lake_dpp_star_join",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

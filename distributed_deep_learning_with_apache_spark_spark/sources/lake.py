@@ -1033,3 +1033,110 @@ def lake_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     out = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Dynamic partition pruning: the star-schema runtime-prune join
+# ---------------------------------------------------------------------------
+DPP_QUARTER = "1996-Q1"
+
+
+def _dpp_star_frames(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
+    """Build (lazily) the DPP star join over a month-partitioned lineitem
+    copy at ``base``: fact partitioned by ship_month, joined to a small
+    calendar dim filtered to one quarter. Split out so tests can inspect
+    the executed plan before the registered wrapper materializes it."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ship_month"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    write_partitioned(li, base, ["ship_month"])
+    fact = spark.read.parquet(base)
+
+    months = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("1992-01-01").cast("date"),
+                    F.lit("2002-12-01").cast("date"),
+                    F.expr("INTERVAL 1 MONTH"),
+                )
+            ).alias("m")
+        )
+        .select(
+            (F.year("m") * 100 + F.month("m")).alias("month_key"),
+            F.concat(F.year("m"), F.lit("-Q"), F.quarter("m")).alias("quarter"),
+        )
+    )
+    dim = months.filter(F.col("quarter") == DPP_QUARTER)
+    return (
+        fact.join(dim, fact["ship_month"] == dim["month_key"])
+        .groupBy("month_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "lake_dpp_star_join",
+    oracle=f"""
+        WITH months AS (
+          SELECT CAST(strftime(m, '%Y%m') AS INT) AS month_key,
+                 strftime(m, '%Y') || '-Q' ||
+                   CAST((CAST(strftime(m, '%m') AS INT) + 2) // 3 AS VARCHAR) AS quarter
+          FROM (SELECT unnest(generate_series(DATE '1992-01-01',
+                                              DATE '2002-12-01',
+                                              INTERVAL 1 MONTH)) AS m)
+        )
+        SELECT month_key,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN months
+          ON CAST(strftime(l_shipdate, '%Y%m') AS INT) = month_key
+        WHERE quarter = '{DPP_QUARTER}'
+        GROUP BY month_key
+    """,
+    doc="Dynamic partition pruning on a star join: fact partitioned by ship_month, calendar dim filtered to one quarter — the fact scan reads only the three matching month directories, decided at runtime from the broadcast dim.",
+    tags=("lake", "join", "ext", "scale"),
+)
+def lake_dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dynamic partition pruning (DPP), the read-side twin of
+    the static prune in ``lake_partition_pruned_revenue``: the selective
+    predicate lives on the DIM table (quarter = '1996-Q1'), not on the
+    fact's partition column, so static pruning can't help — Spark reuses
+    the broadcast dim as a runtime IN-filter on the fact scan's partition
+    values (`dynamicpruningexpression` in PartitionFilters, plan-gated in
+    tests/test_lake.py) and opens only the 3 matching month directories
+    of the ~84 written.
+
+    Scale: THE canonical 100 TB star-join pattern — a date-dim predicate
+    prunes a petabyte fact table to the requested quarter before any I/O,
+    with zero query rewrite. Cost is the broadcast of an 84-row dim; the
+    fact side never shuffles before the partial agg. The per-call
+    partitioned write is the demo fixture; a real lake table is written
+    once and pruned forever.
+    """
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sg_dpp_")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        if li.limit(1).count() == 0:
+            # Fuzz corpora include empty lineitem: nothing to write or prune.
+            return spark.createDataFrame(
+                [], "month_key int, n_items long, revenue double"
+            )
+        out = _dpp_star_frames(spark, sf_dir, base)
+        # Materialize before the temp lake directory is removed (bounded:
+        # one row per month in the quarter).
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -294,3 +294,25 @@ def test_lake_vacuum_expire_mechanics(spark, sf_dir, tmp_path):
     assert read_snapshot(spark, root, 1).count() > 0
     for rel in expected_garbage:
         assert os.path.exists(os.path.join(root, rel))
+
+
+def test_dpp_star_join_prunes_partitions_at_runtime(spark, sf_dir, tmp_path):
+    """The fact scan must carry a dynamicpruningexpression partition
+    filter (runtime pruning fed by the broadcast dim) — NOT read all
+    month directories; and the dim must arrive by broadcast."""
+    from distributed_deep_learning_with_apache_spark_spark.sources.lake import _dpp_star_frames
+
+    out = _dpp_star_frames(spark, sf_dir, str(tmp_path / "dpp"))
+    rows = out.collect()
+    assert len(rows) == 3, rows  # one row per month of the quarter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # Runtime-pruned scan: of the ~84 written month partitions, the files
+    # actually read are only the quarter's three (metric on the scan node).
+    n_parts = sum(
+        1
+        for d in (tmp_path / "dpp").iterdir()
+        if d.name.startswith("ship_month=")
+    )
+    assert n_parts > 70, n_parts

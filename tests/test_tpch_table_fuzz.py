@@ -50,7 +50,7 @@ QUERIES = [
     "row_ids_distributed","grouped_quantile_exact","udaf_weighted_median",
     "distinct_multi_two_phase",
     "udf_iterator_scoring","grouped_apply_in_arrow",
-    "triangle_count_copurchase","ntile_balance_quartiles",
+    "triangle_count_copurchase","ntile_balance_quartiles","lake_dpp_star_join",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"

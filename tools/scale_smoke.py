@@ -109,6 +109,7 @@ QUERIES = [
     # round-5 fourth batch
     "pagerank_purchase_graph",
     "lake_compact_small_files",
+    "lake_dpp_star_join",
 ]
 
 
