@@ -666,3 +666,29 @@ def distinct_multi_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("_rows_n_parts", "n_rows")
         .select("l_returnflag", "n_parts", "n_supps", "n_rows")
     )
+
+
+@register(
+    "intersect_all_order_priorities",
+    oracle="""
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="Bag-semantics INTERSECT ALL (intersectAll): per-value multiplicity is min(count_left, count_right) — completes the multiset set-op family beside exceptAll.",
+    tags=("setop", "ext"),
+)
+def intersect_all_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersectAll — the multiset intersection twin of
+    `except_all_order_priorities`: each priority value survives with
+    multiplicity min(count_open(v), count_filled(v)), exposing the
+    OVERLAP volume per value where exceptAll exposes the imbalance.
+
+    Scale: same aggregated plan class as exceptAll — Spark rewrites to a
+    per-value count pair + generator re-expansion, one shuffle on the
+    value, never a row-by-row join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    open_p = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    filled_p = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return open_p.intersectAll(filled_p)

@@ -287,3 +287,51 @@ def ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_acctbal").alias("max_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Correlated LATERAL subquery: per-customer top-3 orders
+# ---------------------------------------------------------------------------
+@register(
+    "lateral_top3_orders",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) t
+    """,
+    doc="Correlated LATERAL subquery (ORDER BY + LIMIT per outer row): the SQL-standard per-entity top-k form, decorrelated by Catalyst into one join — no per-customer execution.",
+    tags=("topk", "join", "ext"),
+)
+def lateral_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard spelling of grouped top-k: a correlated LATERAL
+    subquery with ORDER BY ... LIMIT 3 per outer customer row. Catalyst
+    DECORRELATES it — the executed plan is one equi-join feeding a
+    per-key limit, not 150k per-customer subquery executions (the naive
+    reading). Same result set as the window-function form
+    (`grouped_best_worst_orders` family) — registered because LATERAL is
+    the surface users port from Postgres/DuckDB/Trino, and the engines
+    must agree on tie handling, which the (o_totalprice DESC, o_orderkey)
+    ordering makes total.
+
+    Scale: decorrelation is the whole story — one shuffle on the join
+    key, per-group state bounded at k rows. A correlated-execution engine
+    would pay 150k index probes; Catalyst's rewrite is the reason LATERAL
+    is safe at 100 TB.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM {c} c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM {o}
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) t
+        """,
+        c=c,
+        o=o,
+    )

@@ -103,6 +103,9 @@ _DRIVER_PRIORITY = [
     "triangle_count_copurchase",
     "ntile_balance_quartiles",
     "lake_dpp_star_join",
+    "lateral_top3_orders",
+    "intersect_all_order_priorities",
+    "nullsafe_bucket_join",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

@@ -1630,3 +1630,93 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         return out.filter(F.col("p_user") >= 0)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Null-safe join: the missing-dimension bucket survives the join
+# ---------------------------------------------------------------------------
+@register(
+    "nullsafe_bucket_join",
+    oracle="""
+        WITH typed AS (
+          SELECT CASE WHEN json_extract(props, '$.k')::INTEGER < 10 THEN NULL
+                      ELSE json_extract(props, '$.k')::INTEGER // 10 END AS k_decile,
+                 event_type, value
+          FROM events
+        ),
+        clicks AS (
+          SELECT k_decile, CAST(count(*) AS BIGINT) AS n_clicks
+          FROM typed WHERE event_type = 'click' GROUP BY k_decile
+        ),
+        buys AS (
+          SELECT k_decile,
+                 CAST(count(*) AS BIGINT) AS n_buys,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+          FROM typed WHERE event_type = 'purchase' GROUP BY k_decile
+        )
+        SELECT coalesce(c.k_decile, b.k_decile) AS k_decile_joined,
+               (c.k_decile IS NULL AND b.k_decile IS NULL)
+                 AND (c.n_clicks IS NOT NULL OR b.n_buys IS NOT NULL)
+                 AS is_null_bucket,
+               c.n_clicks, b.n_buys, b.revenue_cents
+        FROM clicks c
+        FULL OUTER JOIN buys b ON c.k_decile IS NOT DISTINCT FROM b.k_decile
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL 'unknown bucket' rows from both sides pair up as ONE row instead of producing two dangling outer rows — the missing-dimension reconciliation shape.",
+    tags=("streaming", "join", "ext"),
+)
+def nullsafe_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join on NULL-SAFE equality (`eqNullSafe` / SQL `<=>`):
+    events whose prop bucket is out of range map to a NULL "unknown"
+    bucket, and the click-side and purchase-side NULL buckets must
+    reconcile into ONE joined row. Plain `=` can never do this — NULL = NULL
+    is NULL, so both NULL groups would dangle as separate outer rows; the
+    null-safe operator is the semantic the reconciliation report needs.
+    `is_null_bucket` pins which row carried the merged unknown bucket so
+    the hash check proves the pairing, and revenue accumulates
+    integer-exact cents (the cross-engine FP discipline).
+
+    Scale: both sides are pre-aggregated to ≤11 bucket rows before the
+    join — the join itself is trivial; the pattern's cost is the two
+    partial-agg scans. Spark hashes `<=>` keys like ordinary keys (NULL
+    gets a hash bucket), so the null-safe join shuffles and broadcasts
+    exactly like an equi-join — no nested-loop penalty.
+    """
+    from pyspark.sql import types as T
+
+    k = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))["k"]
+    typed = load_table(spark, sf_dir, "events").select(
+        F.when(k < 10, F.lit(None).cast("int")).otherwise(F.floor(k / 10).cast("int")).alias(
+            "k_decile"
+        ),
+        "event_type",
+        "value",
+    )
+    clicks = (
+        typed.filter(F.col("event_type") == "click")
+        .groupBy("k_decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clicks"))
+    )
+    buys = (
+        typed.filter(F.col("event_type") == "purchase")
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buys"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("long").alias(
+                "revenue_cents"
+            ),
+        )
+    )
+    c, b = clicks.alias("c"), buys.alias("b")
+    return c.join(b, F.col("c.k_decile").eqNullSafe(F.col("b.k_decile")), "full_outer").select(
+        F.coalesce(F.col("c.k_decile"), F.col("b.k_decile")).alias("k_decile_joined"),
+        (
+            F.col("c.k_decile").isNull()
+            & F.col("b.k_decile").isNull()
+            & (F.col("c.n_clicks").isNotNull() | F.col("b.n_buys").isNotNull())
+        ).alias("is_null_bucket"),
+        "c.n_clicks",
+        "b.n_buys",
+        "b.revenue_cents",
+    )

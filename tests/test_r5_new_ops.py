@@ -786,3 +786,68 @@ def test_triangle_plan_no_cartesian(spark, sf_dir):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# lateral_top3_orders: decorrelation plan + tie-handling semantics
+# ---------------------------------------------------------------------------
+def test_lateral_decorrelates_to_one_join(spark, sf_dir):
+    """The correlated LATERAL subquery must be rewritten into a single
+    equi-join (no per-outer-row execution): exactly one join node, no
+    CartesianProduct, and a per-key limit (window group limit / rank
+    filter) enforcing the 3-row cap."""
+    df = REG["lateral_top3_orders"].fn(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    import re
+    joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+    assert len(joins) >= 1, plan
+
+
+def test_lateral_matches_window_form(spark, sf_dir):
+    """LATERAL ... ORDER BY ... LIMIT 3 must equal the window-function
+    top-3 formulation row for row (same tiebreak)."""
+    from pyspark.sql import Window, functions as F
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import load_table
+
+    got = sorted(
+        (r.c_custkey, r.o_orderkey)
+        for r in REG["lateral_top3_orders"].fn(spark, sf_dir).collect()
+    )
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    want = sorted(
+        (r.o_custkey, r.o_orderkey)
+        for r in o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter("rn <= 3")
+        .collect()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# intersect_all: bag multiplicity on a constructed frame
+# ---------------------------------------------------------------------------
+def test_intersect_all_multiplicity(spark):
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 1 + [("z",)] * 2, "v string")
+    b = spark.createDataFrame([("x",)] * 1 + [("y",)] * 4, "v string")
+    got = sorted(r.v for r in a.intersectAll(b).collect())
+    assert got == ["x", "y"]  # min(3,1) x's, min(1,4) y's, no z
+
+
+# ---------------------------------------------------------------------------
+# nullsafe_bucket_join: the NULL buckets must pair into ONE row
+# ---------------------------------------------------------------------------
+def test_nullsafe_join_pairs_null_buckets(spark, sf_dir):
+    rows = REG["nullsafe_bucket_join"].fn(spark, sf_dir).collect()
+    null_rows = [r for r in rows if r.k_decile_joined is None]
+    # however many NULL-bucket events exist, the join must emit at most ONE
+    # reconciled NULL row — never one dangling outer row per side
+    assert len(null_rows) <= 1, null_rows
+    if null_rows:
+        [r] = null_rows
+        assert r.is_null_bucket
+        # at sf fixtures both clicks and purchases land in the NULL bucket,
+        # so both sides must be present on the single reconciled row
+        assert r.n_clicks is not None and r.n_buys is not None, r

@@ -51,6 +51,7 @@ QUERIES = [
     "distinct_multi_two_phase",
     "udf_iterator_scoring","grouped_apply_in_arrow",
     "triangle_count_copurchase","ntile_balance_quartiles","lake_dpp_star_join",
+    "lateral_top3_orders","intersect_all_order_priorities","nullsafe_bucket_join",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"
@@ -114,7 +115,8 @@ def gen(rng, td):
     n_e = rng.randint(1, 20)
     ev = [(i, dt.datetime(2024,3,1)+dt.timedelta(seconds=rng.randint(0,3600*72)),
            rng.randint(0,3), rng.choice(["click","error","purchase"]),
-           rng.choice([0.01,5.5,123.45]), '{"k": 1}') for i in range(n_e)]
+           rng.choice([0.01,5.5,123.45]),
+           '{"k": %d}' % rng.choice([1, 5, 9, 10, 42, 87])) for i in range(n_e)]
     pq.write_table(pa.table({
         "event_id": pa.array([r[0] for r in ev], pa.int64()),
         "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
