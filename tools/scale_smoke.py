@@ -110,6 +110,7 @@ QUERIES = [
     "pagerank_purchase_graph",
     "lake_compact_small_files",
     "lake_dpp_star_join",
+    "triangle_count_copurchase",
 ]
 
 
