@@ -341,3 +341,55 @@ def k_anonymity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
         .filter(F.col("group_size") < K_ANON)
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Batch observed metrics: dataset health stats riding the scan
+# ---------------------------------------------------------------------------
+@register(
+    "batch_observed_metrics",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty
+        FROM lineitem
+    """,
+    doc="df.observe free-rider metrics: row count / integer-exact price sum / quantity bounds computed as accumulators ON the existing scan — dataset health telemetry with zero extra passes.",
+    tags=("quality", "observability", "ext"),
+)
+def batch_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch half of `stream_observed_metrics`: `df.observe(...)`
+    attaches named aggregates to an existing plan as ACCUMULATORS — the
+    metrics are collected as a side effect of whatever action runs the
+    plan, never as a second scan. Here the "real work" is a count over
+    lineitem; the health stats (row count, integer-exact price cents,
+    quantity bounds) ride along and come back via `Observation.get`
+    after the action completes.
+
+    Scale: the whole point at 100 TB — a pipeline's DQ telemetry must
+    not re-read the input. `observe` aggregates are map-side
+    accumulators merged on the driver; cost is a few longs per task.
+    Returned as a one-row DataFrame so the driver can hash-check the
+    metrics against the direct SQL aggregate — proving the accumulator
+    path computes exactly what a dedicated pass would.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("lineitem_health")
+    li = load_table(spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    li.count()  # the action the metrics ride on (bounded: one pass, no collect)
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["price_cents"], m["min_qty"], m["max_qty"])],
+        "n_rows long, price_cents long, min_qty double, max_qty double",
+    )

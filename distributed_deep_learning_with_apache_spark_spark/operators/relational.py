@@ -1108,3 +1108,49 @@ def udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         wmedian("l_extendedprice", "l_quantity").alias("weighted_median")
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Join-strategy hint: SHUFFLE_HASH instead of sort-merge
+# ---------------------------------------------------------------------------
+@register(
+    "hinted_shuffle_hash_join",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    doc="SHUFFLE_HASH join hint: same fact-fact equi-join answered without sorting either side — the strategy override (plan-gated ShuffledHashJoin) engineers reach for when SMJ sort spills dominate.",
+    tags=("join", "relational", "ext"),
+)
+def hinted_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with an explicit SHUFFLE_HASH strategy hint on the
+    orders side: both sides still shuffle on the key, but the build side
+    is HASHED per partition instead of both sides being SORTED — plan
+    shows ShuffledHashJoin, never SortMergeJoin (gated in
+    tests/test_r5_new_ops.py). Results are identical to the unhinted
+    plan; only the physical strategy moves.
+
+    Scale: the knob that matters when sort spills dominate — SMJ pays
+    O(n log n) sort + spill on BOTH sides; SHJ pays one in-memory hash
+    table per build partition. Safe exactly when each build partition
+    fits executor memory (orders/partitions here; at 100 TB you size
+    shuffle partitions so it holds, or AQE falls back). The hint is
+    per-query and per-side — no global config flip.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o.hint("SHUFFLE_HASH"), li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -692,3 +692,52 @@ def intersect_all_order_priorities(spark: SparkSession, sf_dir: str) -> DataFram
     open_p = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
     filled_p = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     return open_p.intersectAll(filled_p)
+
+
+@register(
+    "union_by_name_schema_drift",
+    oracle="""
+        SELECT 'v1' AS src, user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(NULL AS BIGINT) AS revenue_cents
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+        UNION ALL BY NAME
+        SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n,
+               user_id, 'v2' AS src
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    """,
+    doc="unionByName(allowMissingColumns=True): schema-drifted extracts align by COLUMN NAME, missing columns null-fill — positional UNION ALL would silently mis-align or reject.",
+    tags=("setop", "ext"),
+)
+def union_by_name_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append two pipeline-version extracts whose schemas drifted: v2
+    added a `revenue_cents` column and reordered fields. `unionByName`
+    aligns by NAME and `allowMissingColumns=True` null-fills v1's missing
+    column — the union a long-lived ingestion pipeline actually needs
+    (positional UNION ALL would pair `n` with `user_id` after the
+    reorder: a silent corruption, not an error, when types coincide).
+
+    Scale: pure metadata — the alignment is a per-branch projection
+    inserted at plan time; no extra shuffle, no row cost. The two
+    branches keep their own partial-agg plans.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v1 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("v1").alias("src"), "user_id", "n")
+    )
+    v2 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select("revenue_cents", "n", "user_id", F.lit("v2").alias("src"))
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

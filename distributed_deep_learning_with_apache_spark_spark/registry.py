@@ -106,6 +106,9 @@ _DRIVER_PRIORITY = [
     "lateral_top3_orders",
     "intersect_all_order_priorities",
     "nullsafe_bucket_join",
+    "batch_observed_metrics",
+    "hinted_shuffle_hash_join",
+    "union_by_name_schema_drift",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

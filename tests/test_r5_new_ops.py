@@ -851,3 +851,70 @@ def test_nullsafe_join_pairs_null_buckets(spark, sf_dir):
         # at sf fixtures both clicks and purchases land in the NULL bucket,
         # so both sides must be present on the single reconciled row
         assert r.n_clicks is not None and r.n_buys is not None, r
+
+
+# ---------------------------------------------------------------------------
+# hinted_shuffle_hash_join: strategy override must stick
+# ---------------------------------------------------------------------------
+def test_shuffle_hash_hint_overrides_smj(spark, sf_dir):
+    """The hint must produce ShuffledHashJoin and suppress SortMergeJoin;
+    dropping the hint on the same shape is allowed to pick any strategy,
+    but the hinted plan may not silently fall back."""
+    df = REG["hinted_shuffle_hash_join"].fn(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# union_by_name_schema_drift: name alignment vs positional corruption
+# ---------------------------------------------------------------------------
+def test_union_by_name_aligns_and_nullfills(spark, sf_dir):
+    rows = REG["union_by_name_schema_drift"].fn(spark, sf_dir).collect()
+    v1 = [r for r in rows if r.src == "v1"]
+    v2 = [r for r in rows if r.src == "v2"]
+    assert v1 and v2
+    # v1 predates the revenue column -> null-filled; v2 always has it
+    assert all(r.revenue_cents is None for r in v1)
+    assert all(r.revenue_cents is not None for r in v2)
+    # name alignment: every n is a count (small positive), never a user_id
+    # smuggled into the wrong slot by position
+    assert all(r.n >= 1 for r in rows)
+
+
+def test_union_by_name_rejects_positional(spark):
+    """Negative control: plain positional union of the drifted schemas
+    either errors or mis-types — unionByName is the only safe spelling."""
+    import pytest as _pytest
+
+    a = spark.createDataFrame([(1, "x")], "id long, tag string")
+    b = spark.createDataFrame([("y", 2)], "tag string, id long")
+    got = sorted((r.id, r.tag) for r in a.unionByName(b).collect())
+    assert got == [(1, "x"), (2, "y")]
+    with _pytest.raises(Exception):
+        # positional union pairs long with string -> analysis error
+        a.union(b).collect()
+
+
+# ---------------------------------------------------------------------------
+# batch_observed_metrics: accumulator path == dedicated aggregate pass
+# ---------------------------------------------------------------------------
+def test_observed_metrics_equal_direct_agg(spark, sf_dir):
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    [got] = REG["batch_observed_metrics"].fn(spark, sf_dir).collect()
+    [want] = (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("price_cents"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .collect()
+    )
+    assert tuple(got) == tuple(want)

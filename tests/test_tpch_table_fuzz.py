@@ -52,6 +52,7 @@ QUERIES = [
     "udf_iterator_scoring","grouped_apply_in_arrow",
     "triangle_count_copurchase","ntile_balance_quartiles","lake_dpp_star_join",
     "lateral_top3_orders","intersect_all_order_priorities","nullsafe_bucket_join",
+    "batch_observed_metrics","hinted_shuffle_hash_join","union_by_name_schema_drift",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"
