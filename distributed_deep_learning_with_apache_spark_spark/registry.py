@@ -109,6 +109,7 @@ _DRIVER_PRIORITY = [
     "batch_observed_metrics",
     "hinted_shuffle_hash_join",
     "union_by_name_schema_drift",
+    "stream_dedup_within_watermark",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

@@ -528,6 +528,38 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_within_watermark",
+    oracle=None,
+    tags=("streaming", "structured", "dedup", "ext"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` — the Spark-3.5+ sibling of the
+    classic dedup above with a DIFFERENT state contract: two records are
+    duplicates when their keys match and their event times land within
+    the watermark delay of each other, and — the operational point —
+    per-key state is GUARANTEED evicted once the watermark passes, even
+    though `ts` is NOT part of the dedup key. Classic
+    `dropDuplicates(["event_id"])` on a watermarked stream only evicts if
+    the event-time column is in the key list; keyed on event_id alone its
+    state grows forever. This operator is how an at-least-once source
+    (Kafka redeliveries with fresh timestamps) is deduped with bounded
+    state.
+
+    Scale: state size is bounded by keys-per-watermark-window, not by
+    stream lifetime — the difference between a dedup that survives a
+    year-long run and one that OOMs. Same one-shuffle-on-key plan as the
+    classic form.
+    """
+    dedup = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_to_memory(dedup, spark, "stream_dedup_ww_sink", "append")
+
+
+@register(
     "stream_model_scoring",
     oracle=None,  # iterative fit upstream; rows-only
     tags=("streaming", "structured", "ml"),

@@ -918,3 +918,36 @@ def test_observed_metrics_equal_direct_agg(spark, sf_dir):
         .collect()
     )
     assert tuple(got) == tuple(want)
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_within_watermark: redelivered keys collapse to one row
+# ---------------------------------------------------------------------------
+def test_dedup_within_watermark_collapses_redeliveries(spark, tmp_path):
+    """At-least-once redelivery shape: the same event_id appears 3x with
+    slightly different timestamps (fresh send times) — within the
+    watermark delay they must collapse to ONE output row per key."""
+    import datetime as dt
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for eid in range(20):
+        for resend in range(3):  # redeliveries seconds apart
+            rows.append((eid, base + dt.timedelta(minutes=eid, seconds=resend),
+                         eid % 4, "click", 1.0, '{"k": 1}'))
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    out = REG["stream_dedup_within_watermark"].fn(spark, str(tmp_path))
+    got = sorted(r.event_id for r in out.collect())
+    assert got == list(range(20)), got  # one row per key, all 60 inputs collapsed
