@@ -1042,3 +1042,113 @@ def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WSAMPLE_K)
         .select("doc_id", "source", "n_chars", F.round("k", 6).alias("es_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Leakage-safe train/val/test split: assign by DEDUP CLUSTER
+# ---------------------------------------------------------------------------
+# Split buckets out of 10: 0-7 train, 8 val, 9 test. The bucket is an
+# engine-portable md5 hash of the CLUSTER id, so every member of a near-dup
+# cluster lands in the same split by construction — the guard against the
+# classic eval-contamination bug where a near-duplicate of a training doc
+# leaks into the test set and inflates the score.
+_DUCK_SPLIT_BUCKET = (
+    "(ascii(substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) * 256"
+    " + ascii(substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1))) % 10"
+)
+
+
+@register(
+    "leakage_safe_splits",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, {DUCK_SHINGLES} AS sh FROM documents
+        ),
+        posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b
+          WHERE c.shared * 1.0 / (len(sa.sh) + len(sb.sh) - c.shared) >= 0.5
+        ),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT s AS doc FROM edges),
+        reach AS (
+          SELECT doc, doc AS r FROM nodes
+          UNION
+          SELECT e.t AS doc, reach.r
+          FROM reach JOIN edges e ON e.s = reach.doc
+        ),
+        clusters AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc),
+        labeled AS (
+          SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN clusters c USING (doc_id)
+        ),
+        sized AS (
+          SELECT doc_id, cluster_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS csize,
+                 {_DUCK_SPLIT_BUCKET} AS bucket
+          FROM labeled
+        )
+        SELECT CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+               CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_docs
+        FROM sized
+        GROUP BY 1
+    """,
+    doc="Leakage-safe train/val/test split: the md5 split bucket keys on the NEAR-DUP CLUSTER id, not the doc id, so no near-duplicate pair can straddle splits — the eval-contamination guard a doc-keyed split cannot give.",
+    tags=("curation", "dedup", "ext"),
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that CANNOT leak near-duplicates across
+    splits: the split bucket is a deterministic md5 hash of the dedup
+    CLUSTER id (connected components over the jaccard ≥ 0.5 graph;
+    singletons are their own cluster), so cluster membership and split
+    assignment are the same function — a doc and its near-duplicate
+    always land together. A doc_id-keyed split scatters each cluster's
+    members ~independently, leaking a near-dup of a training doc into
+    test with probability 1-(0.8^(size-1)) per train cluster — the
+    classic silent eval inflation (cf. the dedup motivation in Lee et
+    al. 2022). Output: per-split doc / cluster / clustered-doc counts,
+    hash-checked against the shared recursive-CTE fixpoint oracle.
+
+    Scale: clustering cost is the near-dup pipeline (banded equi-joins,
+    measured at 10× in SCALE.md); everything after is one hash of the
+    label, one bounded window for cluster size, and a 3-group aggregate —
+    the split itself adds no join and no extra shuffle beyond the
+    cluster-size count. Re-runs are stable under appends: old docs keep
+    their cluster hence their split (the md5 gate property
+    sample_stratified_hash documents).
+    """
+    from .dedup import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = dedup_clusters(spark, sf_dir)
+    labeled = d.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    h = F.md5(F.col("cluster_id").cast("string"))
+    bucket = (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 10
+    sized = labeled.withColumn(
+        "csize", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    ).withColumn(
+        "split",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test"),
+    )
+    return sized.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+        F.sum(F.when(F.col("csize") > 1, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+    )

@@ -110,6 +110,7 @@ _DRIVER_PRIORITY = [
     "hinted_shuffle_hash_join",
     "union_by_name_schema_drift",
     "stream_dedup_within_watermark",
+    "leakage_safe_splits",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

@@ -82,6 +82,7 @@ DOC_QUERIES = [
     # r5: collation + ANSI-safe surfaces (need the mixed-case draws below)
     "collated_token_counts",
     "ansi_safe_doc_ratios",
+    "leakage_safe_splits",
 ]
 
 WORDS = ["spark", "hash", "join", "the", "a", "scan", "émigré", "data1", "Spark", "THE"]

@@ -951,3 +951,47 @@ def test_dedup_within_watermark_collapses_redeliveries(spark, tmp_path):
     out = REG["stream_dedup_within_watermark"].fn(spark, str(tmp_path))
     got = sorted(r.event_id for r in out.collect())
     assert got == list(range(20)), got  # one row per key, all 60 inputs collapsed
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_splits: no cluster may straddle splits; doc-keyed would
+# ---------------------------------------------------------------------------
+def test_leakage_safe_split_has_zero_cross_split_clusters(spark, sf_dir):
+    """End-to-end leakage audit at doc level: every near-dup cluster maps
+    to exactly one split. Negative control: keying the SAME bucket hash on
+    doc_id instead of cluster_id must leak (>0 clusters straddle splits)
+    on a corpus that has multi-doc clusters."""
+    from pyspark.sql import functions as F
+    from distributed_deep_learning_with_apache_spark_spark.operators.dedup import dedup_clusters
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = dedup_clusters(spark, sf_dir)
+    labeled = d.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+
+    def bucket_of(col):
+        h = F.md5(col.cast("string"))
+        return (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 10
+
+    multi = labeled.groupBy("cluster_id").count().filter("count > 1").count()
+    assert multi > 0, "fixture must contain multi-doc clusters for this audit"
+
+    cluster_keyed = labeled.withColumn("split", bucket_of(F.col("cluster_id")))
+    leaks = (
+        cluster_keyed.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter("n_splits > 1")
+        .count()
+    )
+    assert leaks == 0, leaks
+
+    doc_keyed = labeled.withColumn("split", bucket_of(F.col("doc_id")))
+    doc_leaks = (
+        doc_keyed.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter("n_splits > 1")
+        .count()
+    )
+    assert doc_leaks > 0, "doc-keyed split should leak on this corpus"
