@@ -42,6 +42,50 @@ R4_ORACLE = [
 
 ROWS_ONLY = sorted(n for n, q in REG.items() if q.oracle is None)
 
+# Oracle-bearing round-5 additions: same frozen-list treatment as R4_ORACLE
+# so they stay pinned at the DRIVER's scale factor (the routine parity suite
+# runs at sf0.001; the driver compares at sf0.01).
+R5_ORACLE = [
+    "ansi_safe_doc_ratios",
+    "batch_observed_metrics",
+    "bloom_semijoin_pruned",
+    "cdc_snapshot_diff",
+    "collated_token_counts",
+    "dedup_clusters_logstar",
+    "distinct_multi_two_phase",
+    "events_ohlc_hourly",
+    "except_all_order_priorities",
+    "grouped_apply_in_arrow",
+    "grouped_quantile_exact",
+    "heavy_hitters_sketch_verified",
+    "hinted_shuffle_hash_join",
+    "incremental_agg_maintenance",
+    "intersect_all_order_priorities",
+    "lake_compact_small_files",
+    "lake_deletion_vectors",
+    "lake_dpp_star_join",
+    "lake_dynamic_partition_overwrite",
+    "lake_vacuum_expire",
+    "lateral_top3_orders",
+    "leakage_safe_splits",
+    "map_in_arrow_bytes",
+    "notin_nullaware_anti",
+    "ntile_balance_quartiles",
+    "nullsafe_bucket_join",
+    "quantile_two_pass_exact",
+    "row_ids_distributed",
+    "segment_nation_rollcall",
+    "sink_custom_writer_roundtrip",
+    "skew_agg_two_phase",
+    "source_orc_lineitem_agg",
+    "source_xml_events_agg",
+    "sql_registered_udf",
+    "triangle_count_copurchase",
+    "udaf_weighted_median",
+    "udf_iterator_scoring",
+    "union_by_name_schema_drift",
+]
+
 
 @pytest.fixture(scope="module")
 def duck():
@@ -52,6 +96,13 @@ def duck():
 
 @pytest.mark.parametrize("name", R4_ORACLE)
 def test_r4_oracle_at_driver_sf(spark, duck, name):
+    q = REG[name]
+    ok, msg = compare(q.fn(spark, DRIVER_SF_DIR), duck, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", R5_ORACLE)
+def test_r5_oracle_at_driver_sf(spark, duck, name):
     q = REG[name]
     ok, msg = compare(q.fn(spark, DRIVER_SF_DIR), duck, q.oracle)
     assert ok, f"{name}: {msg}"
