@@ -335,3 +335,64 @@ def lateral_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         c=c,
         o=o,
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] percent_rank / cume_dist: relative-standing percentile bands
+# ---------------------------------------------------------------------------
+@register(
+    "percentile_band_segments",
+    oracle="""
+        SELECT c_mktsegment AS segment, band,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               min(c_acctbal) AS min_bal,
+               max(c_acctbal) AS max_bal,
+               round(max(cd), 6) AS max_cume_dist
+        FROM (
+          SELECT c_mktsegment, c_acctbal,
+                 least(CAST(floor(percent_rank() OVER w * 10) AS INT), 9) AS band,
+                 cume_dist() OVER w AS cd
+          FROM customer
+          WINDOW w AS (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal, c_custkey)
+        )
+        GROUP BY 1, 2
+    """,
+    doc="percent_rank + cume_dist relative standing inside each market segment, folded into 10 percentile bands — the remaining two ranking-window members beside rank/row_number/ntile.",
+    tags=("window", "ext"),
+)
+def percentile_band_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing via `percent_rank` ((rank-1)/(n-1)) and
+    `cume_dist` (rows ≤ current / n) inside each market segment, folded
+    into 10 equal-width percentile BANDS with per-band count, balance
+    bounds, and the band's top cumulative share. The (c_acctbal,
+    c_custkey) ordering makes ranks unique, so both functions are exact
+    rationals of integers — IEEE-identical across engines with no
+    rounding discipline needed beyond the display round.
+
+    Scale: same posture as `ntile_balance_quartiles` — the window
+    partitions by segment (5 bounded groups, parallel per-partition
+    sorts), never a global single-partition sort (the percent_rank
+    anti-pattern; for a truly global percentile at 100 TB, compose the
+    `row_ids_distributed` offset-map trick with a count broadcast).
+    The band rollup reuses the window's partitioning.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            "c_acctbal",
+            F.least(F.floor(F.percent_rank().over(w) * 10).cast("int"), F.lit(9)).alias(
+                "band"
+            ),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .groupBy("segment", "band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.round(F.max("cd"), 6).alias("max_cume_dist"),
+        )
+    )

@@ -111,6 +111,8 @@ _DRIVER_PRIORITY = [
     "union_by_name_schema_drift",
     "stream_dedup_within_watermark",
     "leakage_safe_splits",
+    "stream_stream_full_outer_join",
+    "percentile_band_segments",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

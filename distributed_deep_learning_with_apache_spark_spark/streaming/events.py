@@ -1573,76 +1573,12 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     matched == the inner join's pairs and unmatched == purchases that the
     batch twin proves have no in-window error.
     """
-    import os
     import shutil
     import tempfile
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts"
-    )
     base = tempfile.mkdtemp(prefix="sg_ssoj_")
     try:
-        far = ev.agg(F.max("ts")).first()[0]
-        sides = {}
-        for side, etype in (("purchases", "purchase"), ("errors", "error")):
-            d = os.path.join(base, side)
-            rows = ev.filter(F.col("event_type") == etype)
-            rows.coalesce(1).write.mode("overwrite").parquet(d)
-
-            def _touch_new(offset_s: int, seen=set()):  # noqa: B006 (per-side state)
-                import glob as _g
-
-                for p in _g.glob(os.path.join(d, "*.parquet")):
-                    if p not in seen:
-                        seen.add(p)
-                        os.utime(p, (1_700_000_000 + offset_s,) * 2)
-
-            # TWO far-future sentinels with strictly increasing mtimes:
-            # sentinel 1 pushes the watermark past every join window;
-            # sentinel 2 guarantees a later batch in which that watermark
-            # takes effect and evicts/emits the unmatched rows. The
-            # sentinels are NOT filtered on the stream — a pre-join filter
-            # gets pushed below the EventTimeWatermark node by Catalyst,
-            # silencing the very rows that must advance the watermark
-            # (measured: without them the final hour of purchases never
-            # drains). They carry side-distinct negative user ids so they
-            # cannot join each other, and are dropped from the
-            # MATERIALIZED batch output below, where no pushdown exists.
-            _touch_new(0)
-            uid = -1 if etype == "purchase" else -2
-            for i, days in enumerate((30, 60), start=1):
-                sentinel = spark.createDataFrame(
-                    [(-1, uid, etype)],
-                    "event_id long, user_id long, event_type string",
-                ).select(
-                    "event_id",
-                    "user_id",
-                    "event_type",
-                    (F.lit(far) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-                )
-                # repartition(1), not coalesce(1): coalescing a
-                # default-parallelism local relation serializes all its
-                # (empty) partitions through one task (~5 s measured per
-                # write); a 1-row shuffle is ~0.4 s and still yields the
-                # single file the maxFilesPerTrigger staging needs.
-                sentinel.repartition(1).write.mode("append").parquet(d)
-                _touch_new(i * 10)
-            sides[side] = (
-                spark.readStream.schema(rows.schema)
-                .option("maxFilesPerTrigger", "1")
-                .parquet(d)
-                .withWatermark("ts", "10 minutes")
-            )
-        purchases = sides["purchases"].select(
-            F.col("event_id").alias("p_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        errors = sides["errors"].select(
-            F.col("event_id").alias("e_id"),
-            F.col("user_id").alias("e_user"),
-            F.col("ts").alias("e_ts"),
-        )
+        purchases, errors = _stage_watermarked_sides(spark, sf_dir, base)
         joined = purchases.join(
             errors,
             (F.col("p_user") == F.col("e_user"))
@@ -1660,6 +1596,142 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         # Drop the watermark-pusher sentinels from the materialized batch
         # result (safe here: no streaming plan left to push through).
         return out.filter(F.col("p_user") >= 0)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _stage_watermarked_sides(spark: SparkSession, sf_dir: str, base: str):
+    """Stage the two-sided watermark-draining file source used by the
+    outer stream-stream joins: per side, one real-events file plus two
+    far-future sentinel files with increasing mtimes (read with
+    maxFilesPerTrigger=1) so the watermark provably passes every join
+    window and the engine evicts/emits unmatched rows. Returns the
+    (purchases, errors) streaming frames, both watermarked and renamed to
+    the p_*/e_* join columns. Sentinels carry side-distinct NEGATIVE user
+    ids; callers drop them from the materialized output."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    far = ev.agg(F.max("ts")).first()[0]
+    sides = {}
+    for side, etype in (("purchases", "purchase"), ("errors", "error")):
+        d = os.path.join(base, side)
+        rows = ev.filter(F.col("event_type") == etype)
+        rows.coalesce(1).write.mode("overwrite").parquet(d)
+
+        def _touch_new(offset_s: int, seen=set()):  # noqa: B006 (per-side state)
+            import glob as _g
+
+            for p in _g.glob(os.path.join(d, "*.parquet")):
+                if p not in seen:
+                    seen.add(p)
+                    os.utime(p, (1_700_000_000 + offset_s,) * 2)
+
+        # TWO far-future sentinels with strictly increasing mtimes:
+        # sentinel 1 pushes the watermark past every join window;
+        # sentinel 2 guarantees a later batch in which that watermark
+        # takes effect and evicts/emits the unmatched rows. The
+        # sentinels are NOT filtered on the stream — a pre-join filter
+        # gets pushed below the EventTimeWatermark node by Catalyst,
+        # silencing the very rows that must advance the watermark
+        # (measured: without them the final hour of purchases never
+        # drains). They carry side-distinct negative user ids so they
+        # cannot join each other, and are dropped from the
+        # MATERIALIZED batch output below, where no pushdown exists.
+        _touch_new(0)
+        uid = -1 if etype == "purchase" else -2
+        for i, days in enumerate((30, 60), start=1):
+            sentinel = spark.createDataFrame(
+                [(-1, uid, etype)],
+                "event_id long, user_id long, event_type string",
+            ).select(
+                "event_id",
+                "user_id",
+                "event_type",
+                (F.lit(far) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            )
+            # repartition(1), not coalesce(1): coalescing a
+            # default-parallelism local relation serializes all its
+            # (empty) partitions through one task (~5 s measured per
+            # write); a 1-row shuffle is ~0.4 s and still yields the
+            # single file the maxFilesPerTrigger staging needs.
+            sentinel.repartition(1).write.mode("append").parquet(d)
+            _touch_new(i * 10)
+        sides[side] = (
+            spark.readStream.schema(rows.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .withWatermark("ts", "10 minutes")
+        )
+    purchases = sides["purchases"].select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    errors = sides["errors"].select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    return purchases, errors
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Watermarked stream-stream FULL OUTER join: BOTH sides'
+# unmatched rows emit null-padded on watermark passage.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_stream_full_outer_join",
+    oracle=None,  # outer-emission timing is a streaming-only semantic
+    tags=("streaming", "structured", "join", "ext"),
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join — completes the join matrix beside
+    the inner and left-outer forms: a purchase with no error in its
+    1-hour window emits null-padded AND an error with no preceding
+    purchase emits null-padded, each only once the watermark proves its
+    match can no longer arrive. Same two-file-per-side sentinel staging
+    as the left-outer form (`_stage_watermarked_sides`); both sides'
+    state is watermark-evicted, so the full-outer form needs event-time
+    bounds on BOTH join inputs — exactly what the interval condition
+    provides.
+
+    Scale: identical state contract to the left-outer form — rows older
+    than watermark minus the window are evicted from both sides'
+    stores; the join hash-partitions on user_id. tests/test_r5_new_ops.py
+    pins matched == the inner pairs and each side's null-padded rows ==
+    the batch twin's matchless sets.
+    """
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sg_ssfo_")
+    try:
+        purchases, errors = _stage_watermarked_sides(spark, sf_dir, base)
+        joined = purchases.join(
+            errors,
+            (F.col("p_user") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("p_ts"))
+            & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+            "full_outer",
+        ).select(
+            "p_user",
+            "e_user",
+            "p_id",
+            "e_id",
+            _epoch_s("p_ts").alias("purchase_ts_s"),
+            _epoch_s("e_ts").alias("error_ts_s"),
+        )
+        out = _run_to_memory(joined, spark, "stream_ssfo_sink", "append")
+        # Drop the watermark-pusher sentinels (side-distinct negative user
+        # ids) from the materialized batch result; in a full outer they
+        # surface as one null-padded row per sentinel per side.
+        return out.filter(
+            (F.col("p_user").isNull() | (F.col("p_user") >= 0))
+            & (F.col("e_user").isNull() | (F.col("e_user") >= 0))
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

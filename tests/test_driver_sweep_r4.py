@@ -84,6 +84,7 @@ R5_ORACLE = [
     "udaf_weighted_median",
     "udf_iterator_scoring",
     "union_by_name_schema_drift",
+    "percentile_band_segments",
 ]
 
 

@@ -995,3 +995,35 @@ def test_leakage_safe_split_has_zero_cross_split_clusters(spark, sf_dir):
         .count()
     )
     assert doc_leaks > 0, "doc-keyed split should leak on this corpus"
+
+
+# ---------------------------------------------------------------------------
+# stream_stream_full_outer_join: BOTH sides' outer rows via watermark
+# ---------------------------------------------------------------------------
+def test_stream_full_outer_matches_batch_twin(spark, sf_dir):
+    out = REG["stream_stream_full_outer_join"].fn(spark, sf_dir)
+    matched = out.filter(F.col("p_id").isNotNull() & F.col("e_id").isNotNull())
+    left_only = out.filter(F.col("e_id").isNull())
+    right_only = out.filter(F.col("p_id").isNull())
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    binner = p.join(
+        e,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    n_pairs = binner.count()
+    n_matched_p = binner.select("p_id").distinct().count()
+    n_matched_e = binner.select("e_id").distinct().count()
+    assert matched.count() == n_pairs
+    assert left_only.count() == p.count() - n_matched_p
+    assert right_only.count() == e.count() - n_matched_e
+    assert left_only.count() > 0 and right_only.count() > 0, (
+        "fixture should exercise both outer sides"
+    )

@@ -53,6 +53,7 @@ QUERIES = [
     "triangle_count_copurchase","ntile_balance_quartiles","lake_dpp_star_join",
     "lateral_top3_orders","intersect_all_order_priorities","nullsafe_bucket_join",
     "batch_observed_metrics","hinted_shuffle_hash_join","union_by_name_schema_drift",
+    "percentile_band_segments",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"
