@@ -377,8 +377,16 @@ def batch_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Observation
 
+    # Run the observed action on an ISOLATED session (shared SparkContext,
+    # fresh session state): a used Observation stays registered in the
+    # session's ObservationManager, which is NOT java-serializable and
+    # poisons closure cleaning for any LATER RDD-based job on the same
+    # session (java.io.NotSerializableException: ObservationManager —
+    # surfaced by the distributed-training queries downstream in the
+    # driver sweep). The throwaway session's manager dies with it.
+    iso = spark.newSession()
     obs = Observation("lineitem_health")
-    li = load_table(spark, sf_dir, "lineitem").observe(
+    li = load_table(iso, sf_dir, "lineitem").observe(
         obs,
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))

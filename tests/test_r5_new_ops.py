@@ -1027,3 +1027,17 @@ def test_stream_full_outer_matches_batch_twin(spark, sf_dir):
     assert left_only.count() > 0 and right_only.count() > 0, (
         "fixture should exercise both outer sides"
     )
+
+
+def test_observe_does_not_poison_later_rdd_jobs(spark, sf_dir):
+    """Regression: a used Observation stays registered in the session's
+    ObservationManager, which is not java-serializable — on a SHARED
+    session it breaks closure cleaning for every later RDD-based job
+    (Task not serializable: ObservationManager). batch_observed_metrics
+    must therefore observe on an isolated newSession(); this pins that an
+    RDD closure job on the shared session still serializes afterwards."""
+    [r] = REG["batch_observed_metrics"].fn(spark, sf_dir).collect()
+    assert r.n_rows > 0
+    # an RDD mapPartitions job on the SAME session — the poisoned path
+    got = spark.range(100).rdd.mapPartitions(lambda it: [sum(x.id for x in it)]).sum()
+    assert got == 4950
