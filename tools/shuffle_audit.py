@@ -57,7 +57,13 @@ def main() -> None:
     ui = "http://localhost:4050"
 
     reg = load_all()
-    headline = {n: q for n, q in reg.items() if q.bench}
+    only = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        only = sys.argv[2].split(",")
+    if only:
+        headline = {n: reg[n] for n in only}
+    else:
+        headline = {n: q for n, q in reg.items() if q.bench}
     report = {}
     for name, q in sorted(headline.items()):
         before = _stage_totals(ui)
