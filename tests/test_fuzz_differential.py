@@ -81,8 +81,16 @@ agg_specs = st.lists(
 
 
 def _render(preds, conns):
-    """One predicate expression, rendered for both engines identically."""
-    sql_parts, spark_expr = [], None
+    """One predicate expression, rendered for both engines identically.
+
+    The SQL string is parenthesized around every fold step to mirror the
+    Spark side's LEFT-fold exactly: without it, ``A OR B AND C`` parses
+    as ``A OR (B AND C)`` (AND binds tighter) while the Column fold
+    builds ``(A OR B) AND C`` — the two engines then evaluate different
+    expressions (caught by the SG_FUZZ_MULT=3 extended run: count 0 vs
+    3010 on a 3-predicate OR/AND draw; a harness bug, not an engine
+    divergence)."""
+    sql_expr, spark_expr = None, None
     for i, (col, op, val) in enumerate(preds):
         lit = f"'{val}'" if op == "=" else repr(val)
         sql_atom = f"({col} {op} {lit})"
@@ -94,13 +102,13 @@ def _render(preds, conns):
             "=": F.col(col) == val,
         }[op]
         if spark_expr is None:
-            sql_parts.append(sql_atom)
+            sql_expr = sql_atom
             spark_expr = e
         else:
             conn = conns[(i - 1) % len(conns)]
-            sql_parts.append(f"{conn} {sql_atom}")
+            sql_expr = f"({sql_expr} {conn} {sql_atom})"
             spark_expr = (spark_expr & e) if conn == "AND" else (spark_expr | e)
-    return " ".join(sql_parts), spark_expr
+    return sql_expr, spark_expr
 
 
 def _aggs(specs):
