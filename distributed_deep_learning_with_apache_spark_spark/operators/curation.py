@@ -1152,3 +1152,62 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("cluster_id").alias("n_clusters"),
         F.sum(F.when(F.col("csize") > 1, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] Temperature-scaled source mixing weights (p ∝ q^alpha)
+# ---------------------------------------------------------------------------
+@register(
+    "temperature_mixture_weights",
+    oracle=f"""
+        WITH per_source AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len({DUCK_TOKENS.format(col="text")})) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        m AS (SELECT max(n_tokens) AS max_tokens FROM per_source)
+        SELECT source, n_docs, n_tokens,
+               round(sqrt(n_tokens * 1.0 / nullif(max_tokens, 0)), 6)
+                 AS weight_rel
+        FROM per_source, m
+    """,
+    doc="Temperature-scaled mixing weights p ∝ tokens^0.5 (the multilingual up/down-sampling scheme), expressed relative to the largest source so every FP step is IEEE-exact — normalization is deferred to serve time.",
+    tags=("curation", "ext"),
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights with temperature alpha = 0.5
+    (p ∝ tokens^alpha — the exponentiated-count scheme multilingual
+    corpora use to boost low-resource sources without letting the head
+    dominate; alpha=1 is proportional, alpha→0 uniform). Weights are
+    published RELATIVE to the largest source — weight_rel =
+    sqrt(n_tokens / max_tokens) — deliberately NOT normalized to sum 1:
+    the ratio of two BIGINTs and sqrt are both correctly-rounded IEEE
+    ops (bit-identical across engines), while a normalizing sum of
+    doubles is partial-order-dependent on a distributed engine — the
+    serve-time sampler normalizes the handful of weights on one node.
+    alpha=0.5 specifically keeps the whole pipeline exact; arbitrary
+    alpha would route through pow(), which is not correctly rounded.
+
+    Scale: one map-side-combinable aggregate over (source); shuffle
+    volume is |sources| rows. The token count rides the same scan that
+    any corpus statistics pass already makes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    m = per_source.agg(F.max("n_tokens").alias("max_tokens"))
+    return per_source.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        # nullif: a corpus whose every doc tokenizes empty has max_tokens = 0
+        # — weight is undefined (NULL), not a divide-by-zero (ANSI mode
+        # raises; found by the hostile-corpus fuzz).
+        F.round(
+            F.sqrt(F.col("n_tokens") / F.nullif(F.col("max_tokens"), F.lit(0))), 6
+        ).alias("weight_rel"),
+    )

@@ -113,6 +113,8 @@ _DRIVER_PRIORITY = [
     "leakage_safe_splits",
     "stream_stream_full_outer_join",
     "percentile_band_segments",
+    "temperature_mixture_weights",
+    "locf_forward_fill",
     # --- green in r1-r4, oracle-bearing re-confirmation ------------------
     "events_retention_cohorts",
     "near_dup_containment_stopfiltered",

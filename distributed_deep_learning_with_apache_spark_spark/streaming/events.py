@@ -1824,3 +1824,54 @@ def nullsafe_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b.n_buys",
         "b.revenue_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r5] LOCF forward fill: last purchase value carried to every event
+# ---------------------------------------------------------------------------
+@register(
+    "locf_forward_fill",
+    oracle="""
+        SELECT event_id, user_id,
+               floor(epoch(ts::TIMESTAMP))::BIGINT AS ts_s,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_purchase_value
+        FROM events
+    """,
+    doc="LOCF (last-observation-carried-forward) via last_value IGNORE NULLS over an unbounded-preceding frame: the step-function fill, complementing the linear interpolation in events_value_interpolate.",
+    tags=("streaming", "window", "timeseries", "ext"),
+)
+def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF): every event carries its user's most recent
+    PURCHASE value — NULL until the first purchase, then a step function.
+    `last_value(..., ignorenulls=True)` over an unbounded-preceding frame
+    is the canonical spelling; the (ts, event_id) ordering makes the fill
+    deterministic under timestamp ties. The carried values are untouched
+    doubles (no arithmetic), so cross-engine parity needs no rounding
+    discipline — this is the step-function complement of the LINEAR fill
+    in `events_value_interpolate`.
+
+    Scale: one window shuffle on user_id; the running frame is computed
+    in a single per-partition pass (Spark keeps only the last non-null
+    seen, not the frame's rows). Sparse observations over a huge event
+    stream is exactly the telemetry/feature-store shape this serves.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        _epoch_s(F.col("ts")).alias("ts_s"),
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_purchase_value"),
+    )

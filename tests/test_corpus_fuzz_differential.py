@@ -83,6 +83,7 @@ DOC_QUERIES = [
     "collated_token_counts",
     "ansi_safe_doc_ratios",
     "leakage_safe_splits",
+    "temperature_mixture_weights",
 ]
 
 WORDS = ["spark", "hash", "join", "the", "a", "scan", "émigré", "data1", "Spark", "THE"]
@@ -173,6 +174,7 @@ EVENT_QUERIES = [
     "stream_foreachbatch_merge",
     "events_ohlc_hourly",
     "source_xml_events_agg",
+    "locf_forward_fill",
 ]
 
 import datetime as _dt

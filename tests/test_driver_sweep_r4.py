@@ -85,6 +85,8 @@ R5_ORACLE = [
     "udf_iterator_scoring",
     "union_by_name_schema_drift",
     "percentile_band_segments",
+    "temperature_mixture_weights",
+    "locf_forward_fill",
 ]
 
 
