@@ -609,14 +609,18 @@ def connected_components_logstar(pairs: DataFrame) -> tuple[DataFrame, int]:
         )
         return empty, 0
 
-    def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-        row = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.crc32(F.concat_ws(",", "u", "v"))).alias("h"),
-        ).collect()[0]
-        return int(row["n"]), int(row["h"] or 0)
+    def _converged(prev: DataFrame, prev_n: int, nxt: DataFrame, nxt_n: int) -> bool:
+        """Exact edge-set equality — NOT a fingerprint. A summed-crc32
+        fingerprint can collide between two different edge sets, which
+        would terminate early and emit wrong cluster labels. Both sides
+        are distinct(); with equal cardinality, `nxt \\ prev == ∅` ⟺
+        set equality. Cost: one anti-join per round over the shrinking
+        (localCheckpointed) star forest — bounded by the edge count."""
+        if prev_n != nxt_n:
+            return False
+        return nxt.exceptAll(prev).limit(1).count() == 0
 
-    fp = _fingerprint(e)
+    n_edges = e.count()
     rounds = 0
     while True:
         rounds += 1
@@ -647,11 +651,11 @@ def connected_components_logstar(pairs: DataFrame) -> tuple[DataFrame, int]:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        nfp = _fingerprint(nxt)
-        e = nxt
-        if nfp == fp:
+        nxt_n = nxt.count()
+        done = _converged(e, n_edges, nxt, nxt_n)
+        e, n_edges = nxt, nxt_n
+        if done:
             break
-        fp = nfp
     # Fixpoint is a star forest: each non-root points straight at its
     # component min. Emit root labels too (root labels itself).
     labels = (

@@ -1038,8 +1038,11 @@ def row_ids_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(local) + off_expr).cast("long").alias("row_id"),
     )
     # Materialize while `ranged` is still cached, then release it.
-    out = out.persist()
-    out.count()
+    # localCheckpoint (not persist): checkpoint blocks are freed by the
+    # ContextCleaner once the frame is unreferenced, whereas an unmatched
+    # persist() pins an InMemoryRelation in the CacheManager for the life
+    # of the session — a leak across a 240-query driver sweep.
+    out = out.localCheckpoint(eager=True)
     ranged.unpersist()
     return out
 
@@ -1118,7 +1121,8 @@ def udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_items,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               floor(sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5))
+                     / 100 + 0.5) / 100 AS revenue
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,
@@ -1144,13 +1148,16 @@ def hinted_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
+    scaled = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
     return (
         li.join(o.hint("SHUFFLE_HASH"), li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # Cent-scaled BIGINT accumulation — order-independent across
+            # engines (round(sum(double),2) can flip on a .xx5 boundary).
+            (F.floor(F.sum(scaled) / 100 + 0.5) / 100).alias("revenue"),
         )
     )

@@ -69,24 +69,48 @@ class ArrowSinkWriter(DataSourceArrowWriter):
 
     # -- driver side --------------------------------------------------------
     def commit(self, messages: List[Optional[ArrowSinkCommit]]) -> None:
-        if self.overwrite:
-            for old in _glob.glob(_os.path.join(self.path, "part-*.parquet")):
-                _os.remove(old)
+        # Per-COMMIT uuid in every final file name: a second append can
+        # never rename over a prior commit's files, and an overwrite's new
+        # file set is disjoint from the old one (so the old set can outlive
+        # the rename step and be deleted only after publish).
+        commit_id = _uuid.uuid4().hex[:12]
         committed, total = [], 0
         for i, m in enumerate(messages):
             if m is None or not m.staged:
                 continue
-            final = _os.path.join(self.path, f"part-{i:05d}.parquet")
+            final = _os.path.join(self.path, f"part-{commit_id}-{i:05d}.parquet")
             _os.rename(m.staged, final)
             committed.append(_os.path.basename(final))
             total += m.n_rows
+        manifest_path = _os.path.join(self.path, "_SUCCESS")
+        prior_files: List[str] = []
+        if _os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                prior = _json.load(f)
+            prior_files = list(prior.get("files", []))
+            if not self.overwrite:
+                # Append: the new manifest is the UNION of prior + new —
+                # prior rows are never lost or re-pointed.
+                committed = prior_files + committed
+                total += int(prior.get("n_rows", 0))
         # Publish the manifest LAST: readers key off it, so a crash any
-        # earlier leaves the previous table version intact.
+        # earlier leaves the previous table version fully intact (its
+        # files are untouched — overwrite deletion happens after publish).
         manifest = {"files": sorted(committed), "n_rows": total}
         tmp = _os.path.join(self.path, f"_SUCCESS.tmp.{_os.getpid()}")
         with open(tmp, "w") as f:
             _json.dump(manifest, f)
-        _os.rename(tmp, _os.path.join(self.path, "_SUCCESS"))
+        _os.rename(tmp, manifest_path)
+        # Only NOW delete superseded files (overwrite) — a crash between
+        # publish and here leaves harmless orphans, never a manifest that
+        # references deleted files.
+        if self.overwrite:
+            keep = set(manifest["files"])
+            for name in prior_files:
+                if name not in keep:
+                    old = _os.path.join(self.path, name)
+                    if _os.path.exists(old):
+                        _os.remove(old)
         # Sweep retry orphans.
         for orphan in _glob.glob(_os.path.join(self.path, "_staging", "*.parquet")):
             _os.remove(orphan)

@@ -1076,9 +1076,22 @@ def _dpp_star_frames(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
         .groupBy("month_key")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # Cent-scaled integer accumulation: sums of doubles can straddle
+            # a .xx5 rounding boundary differently per engine depending on
+            # accumulation order; summing BIGINT cents is order-independent.
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                            + 0.5
+                        ).cast("long")
+                    )
+                    / 100
+                    + 0.5
+                )
+                / 100
+            ).alias("revenue"),
         )
     )
 
@@ -1096,7 +1109,8 @@ def _dpp_star_frames(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
         )
         SELECT month_key,
                CAST(count(*) AS BIGINT) AS n_items,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               floor(sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5))
+                     / 100 + 0.5) / 100 AS revenue
         FROM lineitem
         JOIN months
           ON CAST(strftime(l_shipdate, '%Y%m') AS INT) = month_key

@@ -512,6 +512,46 @@ def test_arrowsink_commit_protocol(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_arrowsink_append_merges_manifest(spark, sf_dir):
+    """Append mode must UNION the manifest with prior commits — a second
+    write can neither rename over the first commit's files (per-commit
+    uuid in names) nor replace the manifest wholesale (r5 advisor
+    finding: both happened)."""
+    import json
+    import tempfile
+    import shutil
+
+    from distributed_deep_learning_with_apache_spark_spark.sources.arrow_writer_sink import (
+        read_arrowsink_table,
+        register_arrowsink,
+    )
+
+    register_arrowsink(spark)
+    base = tempfile.mkdtemp(prefix="sg_arrowsink_append_")
+    try:
+        src = load_table(spark, sf_dir, "orders").select("o_orderkey").repartition(2)
+        n = src.count()
+        src.write.format("arrowsink").mode("overwrite").option("path", base).save()
+        first_files = set(
+            os.path.basename(p) for p in glob.glob(os.path.join(base, "part-*.parquet"))
+        )
+        # Append a second, smaller commit.
+        src.limit(7).repartition(1).write.format("arrowsink").mode("append").option(
+            "path", base
+        ).save()
+        with open(os.path.join(base, "_SUCCESS")) as f:
+            manifest = json.load(f)
+        # Prior files survive on disk and in the manifest; totals sum.
+        assert first_files <= set(manifest["files"])
+        assert len(manifest["files"]) == len(first_files) + 1
+        assert manifest["n_rows"] == n + 7
+        assert read_arrowsink_table(spark, base).count() == n + 7
+        # Every file name embeds its commit id — two commits never collide.
+        assert len(set(manifest["files"])) == len(manifest["files"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # stream_stream_left_outer_join: outer rows emitted via watermark passage
 # ---------------------------------------------------------------------------
