@@ -483,29 +483,48 @@ def ml_word2vec_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [EXT r3] FP-Growth market-basket mining — itemsets of size <=2 are exact
 # SQL, so MLlib's answer is hash-checked against DuckDB
 # ---------------------------------------------------------------------------
-FP_MIN_COUNT = 3  # absolute support; converted to a fraction per corpus
+# Support threshold SCALES with the corpus: max(floor, ceil(n_baskets *
+# NUM/DEN)). An absolute threshold (r1-r5: 3) made the qualifying pattern
+# count grow with the data (measured 5.77× wall at 10× — the worst ratio in
+# SCALE.md), because 10× more baskets means 10× more items crossing a fixed
+# bar. A relative bar keeps "frequent" meaning the same fraction of the
+# corpus at any SF, so output (and mining work) stays scale-stable.
+# Integer arithmetic only — ceil(n*2/10000) == (2n + 9999) // 10000 — so
+# Spark (Python ints) and DuckDB (BIGINT) can never diverge on the bar.
+FP_MIN_FLOOR = 3  # never below the r1-r5 absolute bar (tiny fixtures)
+FP_FRAC_NUM, FP_FRAC_DEN = 2, 10000  # 0.02% of baskets
+
+
+def _fp_min_count(n_baskets: int) -> int:
+    return max(FP_MIN_FLOOR, (FP_FRAC_NUM * n_baskets + FP_FRAC_DEN - 1) // FP_FRAC_DEN)
 
 
 @register(
     "ml_fpgrowth_item_pairs",
     oracle=f"""
         WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+        n AS (
+          SELECT greatest({FP_MIN_FLOOR},
+                          ({FP_FRAC_NUM} * count(DISTINCT l_orderkey) + {FP_FRAC_DEN - 1})
+                            // {FP_FRAC_DEN}) AS min_count
+          FROM items
+        ),
         singles AS (
           SELECT l_partkey AS item_a, CAST(NULL AS BIGINT) AS item_b,
                  CAST(count(*) AS BIGINT) AS freq
-          FROM items GROUP BY l_partkey HAVING count(*) >= {FP_MIN_COUNT}
+          FROM items GROUP BY l_partkey
+          HAVING count(*) >= (SELECT min_count FROM n)
         ),
         pairs AS (
           SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
                  CAST(count(*) AS BIGINT) AS freq
           FROM items a JOIN items b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          GROUP BY 1, 2 HAVING count(*) >= {FP_MIN_COUNT}
+          GROUP BY 1, 2 HAVING count(*) >= (SELECT min_count FROM n)
         )
         SELECT * FROM singles UNION ALL SELECT * FROM pairs
     """,
-    doc="FP-Growth frequent itemsets over order baskets; size<=2 sets hash-checked vs exact SQL.",
+    doc="FP-Growth frequent itemsets over order baskets with corpus-scaled support; size<=2 sets hash-checked vs exact SQL.",
     tags=("ml", "mining", "ext", "scale"),
 )
 def ml_fpgrowth_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,27 +537,54 @@ def ml_fpgrowth_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: basket build is one collect_set hash-agg on l_orderkey;
     FP-Growth itself is the distributed PFP algorithm (items partitioned
     by frequency-list suffix), which is the published way to mine 100 TB
-    of baskets. minSupport is set as an absolute count ({FP_MIN_COUNT})
-    converted to a fraction, so semantics are SF-invariant.
+    of baskets. Two growth bounds (r6):
+
+    - minSupport is RELATIVE (`_fp_min_count`: 0.02% of baskets, floored
+      at 3), so the qualifying pattern space no longer grows with the
+      corpus the way a fixed absolute bar did.
+    - baskets are pre-trimmed to support-passing items before the fit —
+      the classic Apriori prefilter. Exact-equivalent (every item of a
+      frequent itemset is itself frequent, so no frequent itemset is
+      lost) but it bounds FP-tree width by the frequent-item vocabulary.
+      The ML-API FPGrowth exposes no maxPatternLength knob (checked:
+      minSupport/minConfidence/itemsCol/predictionCol/numPartitions
+      only), so this prefilter is the available pattern-space control.
     """
     from pyspark.ml.fpm import FPGrowth
 
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("items"))
-    )
-    n_baskets = baskets.count()
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = items.select("l_orderkey").distinct().count()
     if n_baskets == 0:
         # partition-pruned-to-nothing case: no baskets -> no itemsets
         return spark.createDataFrame([], "item_a bigint, item_b bigint, freq bigint")
+    min_count = _fp_min_count(n_baskets)
+    # Apriori prefilter: keep only items that individually clear the bar.
+    freq_items = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("item_freq"))
+        .filter(F.col("item_freq") >= min_count)
+        .select("l_partkey")
+    )
+    baskets = (
+        items.join(freq_items, "l_partkey", "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+    )
+    # The prefilter DROPS baskets left with zero frequent items, and
+    # FPGrowth turns minSupport into an absolute bar by multiplying by ITS
+    # input row count — so the fraction must be relative to the trimmed
+    # count, or the bar silently drops below min_count and admits pairs
+    # the oracle rejects. (Dropped baskets contribute to no itemset's
+    # freq, so the counts themselves are unaffected.)
+    n_trimmed = baskets.count()
+    if n_trimmed == 0:
+        return spark.createDataFrame([], "item_a bigint, item_b bigint, freq bigint")
     fp = FPGrowth(
         itemsCol="items",
-        # ceil(minSupport * n) == FP_MIN_COUNT: nudge below the exact
+        # ceil(minSupport * n) == min_count: nudge below the exact
         # fraction so float rounding can't push the threshold to +1.
-        minSupport=(FP_MIN_COUNT - 0.5) / n_baskets,
+        minSupport=(min_count - 0.5) / n_trimmed,
         minConfidence=0.5,
     )
     model = fp.fit(baskets)

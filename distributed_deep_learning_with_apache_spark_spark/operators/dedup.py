@@ -777,6 +777,9 @@ _DUCK_SIMHASH = f"""
 """
 
 HAMMING_MAX = 3  # with 4 bands, any pair at distance ≤ 3 shares a clean band
+SIMHASH16_TOP_K = 5  # per-doc nearest-neighbor cap: a 16-bit space saturates,
+# so the raw pair set grows ~quadratically with duplicate density (3.85M rows
+# at sf0.1); capping to the K nearest per doc_a bounds output at K·n rows.
 
 
 @register(
@@ -792,28 +795,42 @@ HAMMING_MAX = 3  # with 4 bands, any pair at distance ≤ 3 shares a clean band
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
             ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+          SELECT c.doc_a, c.doc_b,
+                 bit_count(xor(sa.simhash16, sb.simhash16)) AS hamming
+          FROM cand c
+          JOIN fp sa ON sa.doc_id = c.doc_a
+          JOIN fp sb ON sb.doc_id = c.doc_b
+          WHERE bit_count(xor(sa.simhash16, sb.simhash16)) <= {HAMMING_MAX}
         )
-        SELECT c.doc_a, c.doc_b,
-               bit_count(xor(sa.simhash16, sb.simhash16)) AS hamming
-        FROM cand c
-        JOIN fp sa ON sa.doc_id = c.doc_a
-        JOIN fp sb ON sb.doc_id = c.doc_b
-        WHERE bit_count(xor(sa.simhash16, sb.simhash16)) <= {HAMMING_MAX}
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT doc_a, doc_b, hamming,
+                 row_number() OVER (PARTITION BY doc_a
+                                    ORDER BY hamming ASC, doc_b ASC) AS rn
+          FROM verified
+        ) WHERE rn <= {SIMHASH16_TOP_K}
     """,
     tags=("dedup", "ext", "scale"),
 )
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: band the 16-bit fingerprint into four 4-bit
     bands; candidates = pairs equal on ANY band (equi-join on (band_id,
-    band_val)); verify hamming(simhash_a, simhash_b) ≤ 3 via bit_count(xor).
+    band_val)); verify hamming(simhash_a, simhash_b) ≤ 3 via bit_count(xor),
+    then keep each doc's SIMHASH16_TOP_K nearest verified neighbors
+    (ordered by hamming, then doc_b — deterministic).
 
-    Recall is exact by pigeonhole: ≤ 3 differing bits across 4 bands
-    forces at least one band with zero differing bits, so every qualifying
-    pair appears in some bucket. Scale: the only shuffle keys are band
-    values — bucket size tracks fingerprint collision density, never n²;
-    the verify step is a cheap integer xor/popcount per candidate.
-    (At production scale widen to a 64-bit xxhash64-based fingerprint and
-    more bands; 16-bit md5-nibble form keeps the oracle bit-identical.)
+    Recall within the cap is exact by pigeonhole: ≤ 3 differing bits
+    across 4 bands forces at least one band with zero differing bits, so
+    every qualifying pair appears in some bucket. The per-doc cap (r6)
+    bounds the EMISSION: a 16-bit fingerprint space saturates at corpus
+    scale, and the uncapped pair set grew ~quadratically with duplicate
+    density (3.85M rows at sf0.1 → ~1.4M capped). This query is the
+    engine-portable parity demo of the family; `simhash64_near_dup_pairs`
+    (64-bit, 8 bands) is the production form whose collision density —
+    hence emission — actually tracks true near-dups. Scale: shuffle keys
+    are band values; the cap is a WindowGroupLimit (partial top-k on the
+    map side), never a global sort.
     """
     fp = simhash_fingerprints(spark, sf_dir)
     bands = fp.select(
@@ -840,11 +857,17 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash16").alias("sim_a"))
     sb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash16").alias("sim_b"))
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
+    verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(hamming <= HAMMING_MAX)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.col("hamming").asc(), F.col("doc_b").asc())
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SIMHASH16_TOP_K)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
@@ -1473,4 +1496,218 @@ def simhash64_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(hamming <= HAMMING_MAX)
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Incremental near-dup vs a PERSISTED MinHash band index
+# ---------------------------------------------------------------------------
+# Same history/batch split as curation.dedup_incremental (HIST_MOD there;
+# curation imports from this module, so the constant lives here to avoid a
+# cycle — equality is pinned in tests/test_r6_new_ops.py).
+INC_HIST_MOD = 10
+INC_HIST_KEEP = 8  # doc_id % INC_HIST_MOD < 8 -> history; rest -> new batch
+BAND_INDEX_ROOT = "/tmp/ddl_spark_band_index_v1"
+
+
+def build_band_index(spark: SparkSession, sf_dir: str, root: str | None = None) -> str:
+    """Materialize the HISTORY side of the continuous-ingest near-dup
+    store, once per corpus: (a) the LSH band postings
+    ``(band_id, band_val, doc_id)`` the probe join hits, and (b) the
+    verify-side shingle hashes ``(doc_id, hx array<bigint>)`` so exact
+    Jaccard never re-reads or re-shingles history text. Staged into a
+    process-private dir then atomically renamed (identical crash/race
+    discipline to `build_ivf_index` / `pq_encode_df`; corpus-mtime cache
+    key, stale siblings pruned).
+
+    At 100 TB the postings table is bucketed by (band_id, band_val) and
+    the shingle store by doc_id, so both probe joins are co-located; the
+    store grows by appending each accepted batch's postings — history
+    text is never re-scanned.
+    """
+    import os
+
+    from ..sources.catalog import prune_stale_cache_siblings
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    slug = sf_dir.strip("/").replace("/", "_")
+    default_root = root is None
+    root = root or os.path.join(BAND_INDEX_ROOT, f"{slug}_{st.st_mtime_ns}_{st.st_size}")
+    marker = os.path.join(root, "_INDEX_COMPLETE")
+    if os.path.exists(marker):
+        return root
+
+    stage = f"{root}.tmp.{os.getpid()}"
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % INC_HIST_MOD < INC_HIST_KEEP
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        _widen_scan(d, spark, __import__("os").path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") % INC_HIST_MOD < INC_HIST_KEEP)
+        .select("doc_id", shingles().alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.transform(F.col("sh"), F.md5).alias("hs"),
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hx"),
+        )
+        .repartition(n_part)
+        .localCheckpoint(eager=True)  # shared by both writes below
+    )
+    bands = _band_signature(sh).select(
+        "doc_id",
+        F.explode(
+            F.create_map(
+                *[x for b in range(N_BANDS) for x in (F.lit(f"band_{b}"), F.col(f"band_{b}"))]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    bands.write.mode("overwrite").parquet(os.path.join(stage, "bands"))
+    sh.select("doc_id", "hx").write.mode("overwrite").parquet(
+        os.path.join(stage, "shingles")
+    )
+    with open(os.path.join(stage, "_INDEX_COMPLETE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(stage, root)  # atomic publish (same filesystem)
+    except OSError:
+        import shutil
+
+        if os.path.exists(marker):  # lost the race to a complete index
+            shutil.rmtree(stage, ignore_errors=True)
+        else:  # stale half-built tree from a crashed run: replace it
+            shutil.rmtree(root, ignore_errors=True)
+            os.rename(stage, root)
+    if default_root:
+        prune_stale_cache_siblings(BAND_INDEX_ROOT, slug, root)
+    return root
+
+
+_DUCK_INC_JACC = (
+    "len(list_intersect(sa.sh, sb.sh)) * 1.0"
+    " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
+)
+
+
+@register(
+    "near_dup_incremental",
+    oracle=f"""
+        WITH hist_sig AS (
+          SELECT doc_id, {_DUCK_BANDS}
+          FROM documents
+          WHERE doc_id % {INC_HIST_MOD} < {INC_HIST_KEEP} AND len({DUCK_SHINGLES}) > 0
+        ),
+        hist_bands AS (
+          SELECT doc_id, band_id, band_val FROM hist_sig
+          UNPIVOT (band_val FOR band_id IN (band_0, band_1, band_2, band_3))
+        ),
+        batch_sig AS (
+          SELECT doc_id, {_DUCK_BANDS}
+          FROM documents
+          WHERE doc_id % {INC_HIST_MOD} >= {INC_HIST_KEEP} AND len({DUCK_SHINGLES}) > 0
+        ),
+        batch_bands AS (
+          SELECT doc_id, band_id, band_val FROM batch_sig
+          UNPIVOT (band_val FOR band_id IN (band_0, band_1, band_2, band_3))
+        ),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+          FROM batch_bands b JOIN hist_bands h
+            ON b.band_id = h.band_id AND b.band_val = h.band_val
+        ),
+        sh AS (SELECT doc_id, {DUCK_SHINGLES} AS sh FROM documents),
+        dup AS (
+          SELECT DISTINCT c.bid
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.bid
+          JOIN sh sb ON sb.doc_id = c.hid
+          WHERE {_DUCK_INC_JACC} >= 0.5
+        ),
+        ncand AS (SELECT bid, CAST(count(*) AS BIGINT) AS n FROM cand GROUP BY bid)
+        SELECT d.doc_id,
+               CAST(coalesce(ncand.n, 0) AS BIGINT) AS n_band_candidates
+        FROM documents d LEFT JOIN ncand ON ncand.bid = d.doc_id
+        WHERE d.doc_id % {INC_HIST_MOD} >= {INC_HIST_KEEP}
+          AND d.doc_id NOT IN (SELECT bid FROM dup)
+    """,
+    doc="Continuous-ingest NEAR-dup: new batch probes the persisted MinHash band index (band equi-join), exact Jaccard verifies candidates against stored shingle hashes, fresh docs emitted — history is never re-shingled.",
+    tags=("dedup", "ext", "lsh", "scale"),
+)
+def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production LLM-corpus-ingest shape `dedup_incremental` (exact
+    fingerprints) and `near_dup_minhash_verified` (full-corpus batch) each
+    cover half of: a NEW batch arrives, its MinHash band signatures probe
+    the PERSISTED history band index, exact Jaccard (over the index's
+    stored shingle hashes) verifies the band candidates, and only docs
+    with no verified near-dup in history are emitted as fresh — with
+    their probe fan-out (`n_band_candidates`) for observability.
+
+    History cost at steady state: ZERO recompute — signatures and shingle
+    hashes are read from the store built once by `build_band_index`; the
+    probe shuffle is ∝ batch size, the verify join touches only candidate
+    history docs (never the history corpus). The oracle recomputes both
+    sides from scratch in SQL, proving the store's contents equal a
+    from-scratch evaluation.
+    """
+    import os
+
+    root = build_band_index(spark, sf_dir)
+    hist_bands = spark.read.parquet(os.path.join(root, "bands"))
+    hist_sh = spark.read.parquet(os.path.join(root, "shingles"))
+
+    d = load_table(spark, sf_dir, "documents")
+    batch_ids = d.filter(F.col("doc_id") % INC_HIST_MOD >= INC_HIST_KEEP).select(
+        "doc_id"
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bsh = (
+        _widen_scan(d, spark, os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") % INC_HIST_MOD >= INC_HIST_KEEP)
+        .select("doc_id", shingles().alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.transform(F.col("sh"), F.md5).alias("hs"),
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hx"),
+        )
+        .repartition(n_part)
+    )
+    batch_bands = _band_signature(bsh).select(
+        "doc_id",
+        F.explode(
+            F.create_map(
+                *[x for b in range(N_BANDS) for x in (F.lit(f"band_{b}"), F.col(f"band_{b}"))]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    cand = (
+        batch_bands.alias("b")
+        .join(
+            hist_bands.alias("h"),
+            (F.col("b.band_id") == F.col("h.band_id"))
+            & (F.col("b.band_val") == F.col("h.band_val")),
+        )
+        .select(F.col("b.doc_id").alias("bid"), F.col("h.doc_id").alias("hid"))
+        .distinct()
+    )
+    sa = bsh.select(F.col("doc_id").alias("bid"), F.col("hx").alias("sha"))
+    sb = hist_sh.select(F.col("doc_id").alias("hid"), F.col("hx").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    jacc = inter / (F.size("sha") + F.size("shb") - inter)
+    dup = (
+        cand.join(sa, "bid")
+        .join(sb, "hid")
+        .filter(jacc >= 0.5)
+        .select("bid")
+        .distinct()
+    )
+    ncand = cand.groupBy("bid").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        batch_ids.join(dup, batch_ids.doc_id == dup.bid, "left_anti")
+        .join(ncand, batch_ids.doc_id == ncand.bid, "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_band_candidates"),
+        )
     )

@@ -91,9 +91,131 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = PR_DAMPIN
     return ranks
 
 
+PR_SCALE = 10**12  # fixed-point denominator: rank is held as rank*1e12 BIGINT
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an exact integer ratio
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame, iters: int = PR_ITERS, scale: int = PR_SCALE
+) -> DataFrame:
+    """Power-iteration PageRank in integer FIXED-POINT arithmetic: ranks
+    are scaled BIGINTs (rank × 1e12), every per-edge share and damping
+    step is integer division, every aggregate is an exact integer sum.
+
+    Why this variant exists alongside the float `pagerank`: float sums
+    are accumulation-order-dependent, so no float power iteration can be
+    hash-checked against another engine — whereas every integer op here
+    is defined identically in Spark and DuckDB, making the result
+    bit-exact and ORDER-INDEPENDENT (the same cross-engine discipline as
+    the repo's cent-scaled revenue aggregates). The quantization error
+    vs the float ranks is ≤ ~(3·iters)/scale ≈ 3e-11 absolute (pinned
+    vs the float implementation in tests/test_graph.py).
+
+    Same scale posture as `pagerank`: per round one key-partitioned
+    edge⋈rank join + map-side-combinable integer sum, dangling mass as a
+    broadcast singleton, localCheckpoint lineage truncation.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "node string, rank long")
+    ed = e.join(out_deg, "src").select("src", "dst", "deg").localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
+    base = (PR_D_DEN - PR_D_NUM) * scale // (PR_D_DEN * n)
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("rank DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("contrib"))
+        )
+        dang = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dmass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left_outer")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({PR_D_NUM} * dmass) DIV ({PR_D_DEN} * {n})")
+                    + F.expr(f"({PR_D_NUM} * coalesce(contrib, 0)) DIV {PR_D_DEN}")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def _pagerank_oracle(iters: int = PR_ITERS, scale: int = PR_SCALE, top: int = PR_TOP) -> str:
+    """Unrolled fixed-point power iteration as plain DuckDB SQL — one CTE
+    per round (a recursive CTE can reference its working table only once
+    per step, but each round here needs it three times: contrib join,
+    dangling sum, rank rebuild). Arithmetic mirrors `pagerank_fixedpoint`
+    op-for-op in BIGINT, so the driver hash must match exactly."""
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        r0 AS MATERIALIZED (
+          SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS rank
+          FROM nodes
+        )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        c{k} AS MATERIALIZED (
+          SELECT e.dst AS node,
+                 CAST(sum(r.rank // d.deg) AS BIGINT) AS contrib
+          FROM e JOIN r{k - 1} r ON r.node = e.src
+                 JOIN deg d ON d.src = e.src
+          GROUP BY e.dst
+        ),
+        d{k} AS MATERIALIZED (
+          SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dmass
+          FROM r{k - 1} WHERE node NOT IN (SELECT src FROM deg)
+        ),
+        r{k} AS MATERIALIZED (
+          SELECT nodes.node,
+                 CAST(({PR_D_DEN - PR_D_NUM} * {scale}) // ({PR_D_DEN} * (SELECT n FROM nn))
+                      + ({PR_D_NUM} * (SELECT dmass FROM d{k})) // ({PR_D_DEN} * (SELECT n FROM nn))
+                      + ({PR_D_NUM} * coalesce(c{k}.contrib, 0)) // {PR_D_DEN}
+                   AS BIGINT) AS rank
+          FROM nodes LEFT JOIN c{k} ON c{k}.node = nodes.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node,
+               CAST(rank AS BIGINT) AS pagerank_e12,
+               CAST(row_number() OVER (ORDER BY rank DESC, node ASC) AS INT) AS rnk
+        FROM r{iters}
+        ORDER BY rank DESC, node ASC
+        LIMIT {top}"""
+    )
+    return "".join(parts)
+
+
 @register(
     "pagerank_purchase_graph",
-    oracle=None,  # fixed-round power iteration; numpy-reference-pinned in tests
+    oracle=_pagerank_oracle(),
+    doc="Fixed-point PageRank over the purchase graph, hash-checked against a 10-round unrolled DuckDB power iteration (integer arithmetic — order-independent, so cross-engine bit-exact).",
     tags=("graph", "iterative", "ext", "scale"),
 )
 def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,6 +225,10 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangling (no out-edges), so their mass redistributes uniformly —
     ranking suppliers by how much purchase attention flows to them while
     customers stay near the uniform floor.
+
+    Ranks are fixed-point BIGINTs (rank × 1e12, `pagerank_fixedpoint`),
+    which is what makes the DuckDB oracle hash-exact: integer sums are
+    accumulation-order-independent where float sums are not.
 
     Top-k extraction is sort+limit (TakeOrderedAndProject — executor-side
     partial top-k, no global single-partition window); the row_number
@@ -114,12 +240,12 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), "o_custkey").alias("src"),
         F.concat(F.lit("s"), "l_suppkey").alias("dst"),
     )
-    ranks = pagerank(edges)
+    ranks = pagerank_fixedpoint(edges)
     top = ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(PR_TOP)
     w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
     return top.select(
         "node",
-        F.round("rank", 8).alias("pagerank"),
+        F.col("rank").alias("pagerank_e12"),
         F.row_number().over(w).alias("rnk"),
     )
 

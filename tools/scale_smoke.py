@@ -111,6 +111,9 @@ QUERIES = [
     "lake_compact_small_files",
     "lake_dpp_star_join",
     "triangle_count_copurchase",
+    # round-6: new ops + the heaviest late-r5 source without a ratio
+    "near_dup_incremental",
+    "source_xml_events_agg",
 ]
 
 
