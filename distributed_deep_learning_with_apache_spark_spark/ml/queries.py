@@ -663,3 +663,75 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.item").cast("long").alias("event_type_id"),
         F.round(F.col("rec.rating").cast("double"), 4).alias("affinity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Gradient-boosted trees: the nonlinear-regression pillar
+# ---------------------------------------------------------------------------
+GBT_N = 4000
+GBT_SEED = 42
+
+
+@register(
+    "ml_gbt_regression",
+    oracle=None,  # iterative boosted ensemble; R² pinned in tests
+    doc="GBTRegressor on a deterministic nonlinear target (product + step): distributed histogram split-finding, hash-split train/test, held-out R² reported.",
+    tags=("ml", "regression", "ext"),
+)
+def ml_gbt_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonlinear regression with MLlib gradient-boosted trees — the tree
+    ensemble the chapter-5 linear `ml_regression_sum` can't represent:
+    y = a·b + 10·[a > 5] (multiplicative interaction + a step). The
+    reference's regression chapters sweep layer sizes on a dense net
+    (chapter_5/...Regression.java:62-84); GBT is the Spark-native model
+    family that learns such targets without feature engineering.
+
+    Determinism: features derive from `spark.range` ids (exact rationals),
+    the train/test split is a hash split (xxhash64 % 5 — no RNG), and the
+    fit is seeded. Held-out R² ≥ 0.9 is pinned in tests/test_r6_new_ops.py
+    — trees must actually capture the interaction, a linear fit caps at
+    ~0.85 on this target.
+
+    Scale: MLlib GBT finds splits from per-feature HISTOGRAMS aggregated
+    across partitions (map-side-combinable, like every agg in this repo) —
+    rows never leave their executor; depth×iters drives cost, not n.
+    """
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    base = spark.range(GBT_N).select(
+        "id",
+        (((F.col("id") * 7) % 100) / 10.0).alias("a"),
+        (((F.col("id") * 13) % 80) / 8.0).alias("b"),
+    )
+    data = base.select(
+        "id",
+        "a",
+        "b",
+        (
+            F.col("a") * F.col("b")
+            + F.when(F.col("a") > 5.0, F.lit(10.0)).otherwise(F.lit(0.0))
+        ).alias("label"),
+    )
+    feat = VectorAssembler(inputCols=["a", "b"], outputCol="features").transform(data)
+    test_bucket = F.pmod(F.xxhash64("id"), F.lit(5)) == 0  # 20% held out
+    train, test = feat.filter(~test_bucket), feat.filter(test_bucket)
+    model = GBTRegressor(
+        maxDepth=5, maxIter=20, seed=GBT_SEED, stepSize=0.2
+    ).fit(train)
+    pred = model.transform(test)
+    r2 = RegressionEvaluator(metricName="r2").evaluate(pred)
+    rmse = RegressionEvaluator(metricName="rmse").evaluate(pred)
+    return spark.createDataFrame(
+        [
+            (
+                int(train.count()),
+                int(test.count()),
+                float(round(r2, 4)),
+                float(round(rmse, 4)),
+                int(model.getNumTrees),
+            )
+        ],
+        "n_train long, n_test long, r2 double, rmse double, n_trees long",
+    )

@@ -870,3 +870,84 @@ def promotion_candidate_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         s.join(F.broadcast(keep), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
         .select("s_name", _r2(F.col("s_acctbal")).alias("s_acctbal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Spark-4 SQL surface: pipe syntax + GROUP BY ALL
+# ---------------------------------------------------------------------------
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               floor(sum(floor(o_totalprice * 10000 + 0.5)) / 100 + 0.5) / 100
+                 AS total_price
+        FROM orders
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        HAVING count(*) > 10
+        ORDER BY o_orderpriority
+    """,
+    doc="Spark-4 SQL pipe syntax (FROM |> WHERE |> AGGREGATE |> WHERE |> ORDER BY) hash-checked against the classic SELECT form — same Catalyst plan, new parse surface.",
+    tags=("relational", "sql", "ext"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 pipe-operator SQL dialect end-to-end: each `|>` stage
+    applies one operator to the previous result, in execution order —
+    the readability answer to deeply-nested subqueries. The hash check
+    proves the pipe parse is sugar: identical rows to the classic
+    SELECT/GROUP BY/HAVING the oracle runs. Post-aggregation filtering in
+    pipe syntax is a plain `|> WHERE` (there is no HAVING keyword —
+    stage order replaces clause re-ordering rules).
+
+    Scale: parse-surface only; the logical plan is the same aggregate
+    Catalyst builds from the classic form (partial agg + one shuffle).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     floor(sum(floor(o_totalprice * 10000 + 0.5)) / 100 + 0.5) / 100
+                       AS total_price
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> SELECT o_orderpriority, n_orders, total_price
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "group_by_all_revenue",
+    oracle="""
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_items,
+               floor(sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5))
+                     / 100 + 0.5) / 100 AS revenue
+        FROM lineitem
+        GROUP BY ALL
+    """,
+    doc="GROUP BY ALL: grouping keys inferred from the non-aggregate select list — the same sugar in Spark 4 and DuckDB, hash-checked through both resolvers.",
+    tags=("relational", "sql", "ext"),
+)
+def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` resolution: every non-aggregate select item becomes
+    a grouping key. Both engines implement the inference independently —
+    the hash check pins that they infer the SAME key set (a resolver
+    divergence would show up as a row-count mismatch, not an error).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gba_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_items,
+               floor(sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5))
+                     / 100 + 0.5) / 100 AS revenue
+        FROM lineitem_gba_v
+        GROUP BY ALL
+        """
+    )

@@ -333,3 +333,110 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
         .crossJoin(tri_nodes.agg(F.count(F.lit(1)).cast("long").alias("n_tri_nodes")))
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Bounded-hop BFS shortest paths over the co-purchase graph
+# ---------------------------------------------------------------------------
+BFS_MAX_HOPS = 4
+
+
+def _bfs_oracle(hops: int = BFS_MAX_HOPS, min_support: int = TRI_MIN_SUPPORT) -> str:
+    """Unrolled BFS relaxation as DuckDB SQL — MATERIALIZED per round for
+    the same 3^k-inlining reason as `_pagerank_oracle` (d{k} references
+    d{k-1} twice). A recursive CTE is unusable here anyway: the graph has
+    cycles and Spark-portable recursion is UNION ALL only (no fixpoint
+    dedup), which would loop forever."""
+    parts = [
+        f"""
+        WITH po AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        edges AS MATERIALIZED (
+          SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+          GROUP BY a.p, b.p HAVING count(*) >= {min_support}
+        ),
+        sym AS MATERIALIZED (
+          SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+        ),
+        d0 AS MATERIALIZED (
+          SELECT min(u) AS node, 0 AS dist FROM edges
+        )"""
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f""",
+        d{k} AS MATERIALIZED (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d{k - 1}
+            UNION ALL
+            SELECT sym.v AS node, d{k - 1}.dist + 1 AS dist
+            FROM d{k - 1} JOIN sym ON sym.u = d{k - 1}.node
+          ) GROUP BY node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node AS part, CAST(dist AS BIGINT) AS dist
+        FROM d{hops} WHERE (SELECT count(*) FROM edges) > 0"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "shortest_paths_bfs",
+    oracle=_bfs_oracle(),
+    doc="Bounded-hop BFS (4 rounds of frontier relaxation) from the min-id part over the support-filtered co-purchase graph, hash-checked against an unrolled MATERIALIZED-CTE relaxation.",
+    tags=("graph", "iterative", "ext", "scale"),
+)
+def shortest_paths_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest hop distances (≤ BFS_MAX_HOPS) from the
+    lowest part id over the undirected, support-filtered co-purchase
+    graph (same edge build as `triangle_count_copurchase`). Per round one
+    key-partitioned frontier⋈edges join + a min-combine — integer
+    distances, so the cross-engine hash is exact with no FP discipline
+    needed. Bellman-Ford-style relaxation keeps the whole reachable set
+    in the frame (min over old∪new), which is idempotent past
+    convergence — a fixed round count can't overshoot.
+
+    Scale: the frontier never exceeds the reachable node set; each round
+    shuffles |dist| + |frontier⋈edges| rows on node id,
+    localCheckpointed like the pagerank loop. The hop bound is the
+    production guard for power-law graphs where hop-5 would touch the
+    whole corpus (friend-of-friend queries stop at 2-3 for the same
+    reason).
+    """
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = po.alias("a"), po.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    if edges.limit(1).count() == 0:
+        return spark.createDataFrame([], "part long, dist long")
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    dist = edges.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(BFS_MAX_HOPS):
+        relaxed = (
+            dist.join(sym, dist.node == sym.u)
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("node").alias("part"), F.col("dist").cast("long").alias("dist"))

@@ -401,3 +401,94 @@ def batch_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["price_cents"], m["min_qty"], m["max_qty"])],
         "n_rows long, price_cents long, min_qty double, max_qty double",
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Benford first-digit screen: fraud/synthetic-data detector
+# ---------------------------------------------------------------------------
+# Benford expectation log10(1 + 1/d), pre-scaled to integer basis points at
+# DEFINITION time (Python computes the literals once; both engines consume
+# identical integers — no runtime log10 to diverge on).
+import math as _math
+
+_BENFORD_E4 = {d: int(_math.floor(_math.log10(1 + 1 / d) * 10000 + 0.5)) for d in range(1, 10)}
+_BENFORD_SQL_CASE = " ".join(
+    f"WHEN {d} THEN {v}" for d, v in _BENFORD_E4.items()
+)
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+        WITH digits AS (
+          SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                      AS BIGINT) AS digit
+          FROM orders WHERE o_totalprice >= 1
+        ),
+        n AS (SELECT count(*) AS total FROM digits),
+        obs AS (
+          SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY digit
+        )
+        SELECT d.digit,
+               CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs,
+               CAST(coalesce(obs.n_obs, 0) * 10000
+                    // greatest((SELECT total FROM n), 1) AS BIGINT) AS pct_e4,
+               CAST(CASE d.digit {_BENFORD_SQL_CASE} END AS BIGINT) AS benford_e4,
+               CAST(abs(coalesce(obs.n_obs, 0) * 10000
+                        // greatest((SELECT total FROM n), 1)
+                        - CASE d.digit {_BENFORD_SQL_CASE} END) AS BIGINT)
+                 AS dev_e4
+        FROM (SELECT unnest(generate_series(1, 9)) AS digit) d
+        LEFT JOIN obs ON obs.digit = d.digit
+        -- empty screen (no qualifying totals): no verdict, zero rows
+        WHERE (SELECT total FROM n) > 0
+    """,
+    doc="Benford's-law first-digit screen over order totals: observed vs expected digit frequencies in integer basis points — the classic synthetic/fabricated-numbers detector, integer-exact across engines.",
+    tags=("quality", "dq", "ext"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality screen: natural multiplicative quantities (prices,
+    populations) follow Benford's law — P(first digit = d) = log10(1+1/d);
+    uniform or fabricated synthetics don't. Reported per digit: observed
+    count, observed share, Benford expectation, absolute deviation — all
+    in integer basis points (×1e4, floor division), so the cross-engine
+    hash is exact. The log10 expectations are Python-computed literals
+    baked into BOTH the plan and the oracle — no runtime transcendental.
+
+    First digit via string head of floor(x) as BIGINT — numeric-format
+    independent (no locale/format drift between engines' float printing).
+
+    Scale: one scan + a 9-group partial agg; the digit spine is a
+    9-row broadcast. (The TPC-H price generator is uniform-ish, so the
+    fixture legitimately FAILS Benford — dev_e4 is the signal, pinned in
+    tests, not asserted small.)
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    total = digits.agg(F.count(F.lit(1)).alias("total"))
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    benford = F.create_map(
+        *[F.lit(x) for d, v in _BENFORD_E4.items() for x in (d, v)]
+    )[F.col("digit")]
+    # greatest(total, 1) inside the division + a total>0 filter: an empty
+    # screen emits ZERO rows (no verdict), and ANSI integer division never
+    # sees a zero divisor (fuzz-found: an all-sub-1-price corpus threw
+    # DIVIDE_BY_ZERO here).
+    pct = F.expr("coalesce(n_obs, 0) * 10000 DIV greatest(total, 1)")
+    return (
+        spine.join(obs, "digit", "left_outer")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("total") > 0)
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            pct.cast("long").alias("pct_e4"),
+            benford.cast("long").alias("benford_e4"),
+            F.abs(pct - benford).cast("long").alias("dev_e4"),
+        )
+    )

@@ -7,7 +7,7 @@ standard relational set-op family the oracle harness can exercise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -741,3 +741,106 @@ def union_by_name_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("revenue_cents", "n", "user_id", F.lit("v2").alias("src"))
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Robust outlier detection: grouped median + MAD, order-statistic
+# exact (no interpolation, no engine-divergent FP anywhere).
+# ---------------------------------------------------------------------------
+MAD_K = 3  # flag |x - med| > K * MAD
+
+
+@register(
+    "mad_price_outliers",
+    oracle=f"""
+        WITH c AS (
+          SELECT l_returnflag AS g, l_extendedprice AS v,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem
+        ),
+        med AS (
+          SELECT g, min(v) AS med FROM c WHERE rn >= (n + 1) // 2 GROUP BY g
+        ),
+        d AS (
+          SELECT c.g, c.v, abs(c.v - med.med) AS dev, med.med
+          FROM c JOIN med ON med.g = c.g
+        ),
+        dr AS (
+          SELECT g, dev, med,
+                 row_number() OVER (PARTITION BY g ORDER BY dev) AS rn,
+                 count(*) OVER (PARTITION BY g) AS n
+          FROM d
+        ),
+        mad AS (
+          SELECT g, min(dev) AS mad FROM dr WHERE rn >= (n + 1) // 2 GROUP BY g
+        )
+        SELECT d.g AS l_returnflag,
+               min(d.med) AS med,
+               min(mad.mad) AS mad,
+               CAST(sum(CASE WHEN d.dev > {MAD_K} * mad.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM d JOIN mad ON mad.g = d.g
+        GROUP BY d.g
+    """,
+    doc="Robust outliers per group: lower median + median-absolute-deviation, |x-med| > 3*MAD flagged. Lower (order-statistic) medians — zero interpolation, so the cross-engine hash is exact.",
+    tags=("agg", "quantile", "curation", "ext"),
+)
+def mad_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen — the robust alternative to
+    z-scores (`events_rate_anomaly_zscore`) when the data itself is
+    contaminated: median and MAD have a 50% breakdown point where mean/std
+    have 0%. Classic numeric-feature curation stage.
+
+    Determinism: both medians are the LOWER median (the ⌈n/2⌉-th order
+    statistic — min over the rank suffix, immune to tie ordering), never
+    the interpolated midpoint, so no arithmetic happens that could differ
+    across engines; |x - med| and the K·MAD threshold are single IEEE ops
+    on identical doubles.
+
+    Scale: the window forms here sort WITHIN each group (3 bounded
+    groups). For unbounded groups the same statistic composes from the
+    histogram-narrowing engine instead: `exact_grouped_order_statistics`
+    resolves each group's ⌈n/2⌉-th rank for the median, a second
+    narrowing over |x−med| gives the MAD — two O(log₂₅₆ n)-pass scans,
+    no per-group sort (see `grouped_quantile_exact`).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
+    )
+    w_rank = Window.partitionBy("g").orderBy("v")
+    w_all = Window.partitionBy("g")
+    c = li.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
+    med = (
+        c.filter(F.col("rn") >= F.expr("(n + 1) DIV 2"))
+        .groupBy("g")
+        .agg(F.min("v").alias("med"))
+    )
+    d = li.join(F.broadcast(med), "g").select(
+        "g", "v", "med", F.abs(F.col("v") - F.col("med")).alias("dev")
+    )
+    dr = d.withColumn("rn", F.row_number().over(Window.partitionBy("g").orderBy("dev"))).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
+    mad = (
+        dr.filter(F.col("rn") >= F.expr("(n + 1) DIV 2"))
+        .groupBy("g")
+        .agg(F.min("dev").alias("mad"))
+    )
+    return (
+        d.join(F.broadcast(mad), "g")
+        .groupBy("g")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > MAD_K * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .withColumnRenamed("g", "l_returnflag")
+    )

@@ -1202,3 +1202,80 @@ def ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Filtered ANN: metadata predicate + vector search composed
+# ---------------------------------------------------------------------------
+FILTER_LABEL_MOD = 4  # candidates restricted to label % 4 == 1 (~25% of corpus)
+
+
+@register(
+    "cosine_topk_filtered",
+    oracle=f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+        cand AS (
+          SELECT vec_id, v FROM e WHERE label % {FILTER_LABEL_MOD} = 1
+        ),
+        scored AS (
+          SELECT q.query_id, cand.vec_id AS neighbor_id,
+                 list_dot_product(q.qv, cand.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(cand.v, cand.v))) AS cos
+          FROM q JOIN cand ON cand.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cosine_sim, rnk FROM (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rnk
+          FROM scored
+        ) WHERE rnk <= {TOP_K}
+    """,
+    doc="Filtered vector search: metadata predicate (label % 4 == 1) pushed to the parquet scan BEFORE scoring — pre-filtered ANN, the semantics every production vector store must pick a side on.",
+    tags=("similarity", "ext", "scale"),
+)
+def cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — top-k cosine among ONLY the candidates
+    passing a metadata predicate. The composition every real retrieval
+    system needs (tenant/language/recency filters) and where naive ANN
+    breaks: POST-filtering an index's top-k can return < k (or zero)
+    survivors when the filter is selective. This operator pins the
+    PRE-filtering semantics: the predicate prunes candidates at the scan
+    (PushedFilters, plan-gated in tests/test_r6_new_ops.py), scoring and
+    ranking see only qualifying vectors, so k results survive whenever k
+    qualifying candidates exist.
+
+    Scale: same broadcast-query/map-side-score shape as
+    `cosine_topk_exact`, but the candidate scan is cut by the predicate's
+    selectivity BEFORE any arithmetic — with a label-partitioned or
+    z-ordered layout the pruning happens at I/O, not post-decode. The IVF
+    composition (probe cells, then filter in-cell) trades that for
+    possible under-fill; the exact form here is the semantics oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v"), "label"
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = e.filter(F.col("label") % FILTER_LABEL_MOD == 1).select("vec_id", "v")
+    scored = cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            (F.round("cos", 6) + 0.0).alias("cosine_sim"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TOP_K)
+    )

@@ -396,3 +396,89 @@ def percentile_band_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cd"), 6).alias("max_cume_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Skyline (Pareto frontier) without a single-partition pass
+# ---------------------------------------------------------------------------
+SKYLINE_PARTS = 16  # price-range partitions; thousands on a real cluster
+
+
+@register(
+    "skyline_pareto_parts",
+    oracle="""
+        SELECT a.p_partkey, a.p_retailprice, CAST(a.p_size AS BIGINT) AS p_size
+        FROM part a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part b
+          WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+            AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+        )
+    """,
+    doc="2D skyline (min price, max size) via range partitioning + per-partition prefix maxima + a bounded cross-partition max map — no quadratic join, no SinglePartition pass; oracle is the NOT EXISTS dominance form.",
+    tags=("topk", "relational", "ext", "scale"),
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skyline query: parts not DOMINATED by any other part, where b
+    dominates a iff b is no pricier AND no smaller, strictly better on at
+    least one axis (minimize p_retailprice, maximize p_size — the classic
+    'cheap and big' frontier). Equal (price, size) twins do not dominate
+    each other, so both survive — matching the NOT EXISTS oracle.
+
+    The naive plan is the oracle's O(n²) anti-join; the sorted-scan trick
+    is a SINGLE-partition cumulative max — both scale cliffs. This plan is
+    the distributed 2D skyline:
+
+    1. ``repartitionByRange(price)`` — partition i holds a contiguous
+       price interval (equal keys never straddle a boundary).
+    2. within each partition, per-price max size + a prefix max over
+       strictly cheaper price groups — all windows PARTITIONED BY pid,
+       fully parallel.
+    3. one bounded (≤ SKYLINE_PARTS rows) per-partition max collected and
+       prefix-folded into a literal map: the max size in any strictly
+       cheaper PARTITION — driver-side metadata, like the row-id offsets.
+    4. a is dominated iff a cheaper-price row (same pid via prefix max,
+       earlier pid via the map) has size ≥ a's, or a same-price row has
+       size > a's.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+    )
+    ranged = (
+        p.repartitionByRange(SKYLINE_PARTS, "p_retailprice")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pid: both consumers must agree
+    )
+    grp = ranged.groupBy("pid", "p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w_prev = (
+        Window.partitionBy("pid")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = grp.withColumn("prev_max", F.max("gmax").over(w_prev))
+    pmax = sorted(
+        (r["pid"], r["mx"])
+        for r in grp.groupBy("pid").agg(F.max("gmax").alias("mx")).collect()
+    )
+    if not pmax:
+        return spark.createDataFrame(
+            [], "p_partkey long, p_retailprice double, p_size long"
+        )
+    ext: dict[int, int] = {}
+    run = None
+    for pid, mx in pmax:
+        ext[pid] = -1 if run is None else run  # -1: no cheaper partition
+        run = mx if run is None else max(run, mx)
+    ext_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in ext.items() for x in kv]), F.col("pid")
+    )
+    dominated = (
+        (F.coalesce(F.col("prev_max"), F.lit(-1)) >= F.col("p_size"))
+        | (F.col("gmax") > F.col("p_size"))
+        | (ext_expr >= F.col("p_size"))
+    )
+    return (
+        ranged.join(grp, ["pid", "p_retailprice"])
+        .filter(~dominated)
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

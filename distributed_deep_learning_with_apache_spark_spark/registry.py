@@ -63,6 +63,16 @@ def register(
 _DRIVER_PRIORITY = [
     # --- new in r6 (inserted as they land) --------------------------------
     "near_dup_incremental",
+    "skyline_pareto_parts",
+    "mad_price_outliers",
+    "events_session_window_builtin",
+    "benford_first_digit",
+    "shortest_paths_bfs",
+    "cosine_topk_filtered",
+    "lake_wap_publish",
+    "ml_gbt_regression",
+    "sql_pipe_syntax",
+    "group_by_all_revenue",
     # --- changed in r6: new oracle / changed semantics --------------------
     "pagerank_purchase_graph",  # rows-only -> fixed-point + DuckDB oracle
     "ml_fpgrowth_item_pairs",  # support bar now corpus-relative

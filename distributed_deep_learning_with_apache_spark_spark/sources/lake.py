@@ -1154,3 +1154,117 @@ def lake_dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Write-Audit-Publish (WAP): staged branch + DQ gate + atomic swap
+# ---------------------------------------------------------------------------
+WAP_SPLIT_LINE = 4  # l_linenumber <= 4 -> already-published base; rest -> batch
+
+
+def wap_stage_audit_publish(
+    spark: SparkSession, root: str, version: int, batch: DataFrame, tag: str
+) -> tuple[bool, int]:
+    """One WAP cycle against the manifest table at ``root``: stage the
+    batch's files under data/<tag>/ (invisible — no manifest references
+    them), AUDIT the staged files by reading them back, and only on a
+    clean audit publish version+1 referencing prior files + the batch.
+    Returns (published, latest_version).
+
+    Audit rule here: no negative quantities and no NULL keys — the
+    constraint-check shape of `dq_constraint_checks`. A failed audit
+    leaves the table at the prior version; the staged files are orphans
+    no reader can reach (the manifest IS the table), swept like any
+    uncommitted data. This is the Iceberg/Delta WAP pattern: writers
+    never mutate the readable version, auditors see the branch, publish
+    is one atomic manifest rename."""
+    files = _snap_write_data(batch, root, tag)
+    if files:
+        staged = spark.read.parquet(*(_os.path.join(root, f) for f in files))
+        bad = staged.filter(
+            (F.col("l_quantity") < 0) | F.col("l_orderkey").isNull()
+        ).limit(1).count()
+        if bad > 0:
+            for f in files:  # sweep the rejected branch's orphans
+                _os.remove(_os.path.join(root, f))
+            return False, version
+    with open(_os.path.join(root, f"snap_v{version}.json")) as f:
+        prior = _json.load(f)
+    _snap_commit(root, version + 1, prior["files"] + files, f"wap_publish_{tag}")
+    return True, version + 1
+
+
+@register(
+    "lake_wap_publish",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               floor(sum(floor(l_quantity * 10000 + 0.5)) / 100 + 0.5) / 100
+                 AS total_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Write-Audit-Publish: base published as v1, a corrupted batch stages but FAILS the DQ audit (table stays at v1, no reader ever saw it), the clean batch stages, audits, publishes as v2 — final state hash-checked against base ∪ clean batch (= the whole table).",
+    tags=("lake", "dq", "ext", "scale"),
+)
+def lake_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAP ingestion gate every production lake pipeline runs: a batch
+    becomes readable ONLY after passing data-quality audit on a staged,
+    manifest-invisible branch.
+
+    Cycle exercised per call: (1) publish the base slice (l_linenumber ≤
+    {WAP_SPLIT_LINE}) as v1; (2) stage the remaining slice CORRUPTED
+    (negated quantities) — the audit rejects it, the manifest stays at
+    v1, the branch files are swept; (3) stage the same slice clean — the
+    audit passes and v2 publishes atomically. The final read must equal
+    base ∪ clean batch = the ORIGINAL TABLE, which is what the oracle
+    aggregates — so a leaked bad row, a lost good row, or a premature
+    publish all break the hash.
+
+    Scale: audit cost is one scan of the STAGED BATCH only (never the
+    table); publish is a manifest rename (same contract as
+    `lake_snapshot_time_travel` — conditional PUT on object storage).
+    """
+    import shutil
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    if li.limit(1).count() == 0:
+        # Empty table (fuzz corpora): nothing to publish, a zero-file
+        # manifest would make the final read unscannable — match the
+        # oracle's 0-row aggregate directly.
+        return spark.createDataFrame(
+            [], "l_returnflag string, n_items long, total_qty double"
+        )
+    root = tempfile.mkdtemp(prefix="sg_wap_")
+    try:
+        base = li.filter(F.col("l_linenumber") <= WAP_SPLIT_LINE)
+        batch = li.filter(F.col("l_linenumber") > WAP_SPLIT_LINE)
+        _snap_commit(root, 1, _snap_write_data(base, root, "base"), "base")
+        v = 1
+        # An EMPTY batch stages no files, so there is nothing for the audit
+        # to reject (fuzz corpora hit this) — the corrupted-branch rehearsal
+        # only makes sense when rows exist to corrupt.
+        if batch.limit(1).count() > 0:
+            corrupted = batch.withColumn("l_quantity", -F.abs("l_quantity") - 1)
+            ok_bad, v = wap_stage_audit_publish(spark, root, v, corrupted, "bad_batch")
+            assert not ok_bad and v == 1, "corrupted batch must fail the audit"
+        ok_good, v = wap_stage_audit_publish(spark, root, v, batch, "good_batch")
+        assert ok_good and v == 2, "clean batch must audit and publish as v2"
+        final = read_snapshot(spark, root, v)
+        out = final.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            (
+                F.floor(
+                    F.sum(F.floor(F.col("l_quantity") * 10000 + 0.5).cast("long")) / 100
+                    + 0.5
+                )
+                / 100
+            ).alias("total_qty"),
+        )
+        # Materialize before the temp root is removed (bounded: one row/flag).
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

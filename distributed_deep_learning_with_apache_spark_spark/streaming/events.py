@@ -1875,3 +1875,75 @@ def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("last_purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Built-in session_window as a BATCH aggregation, hash-checked.
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_window_builtin",
+    oracle=f"""
+        WITH o AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events
+        ),
+        flagged AS (
+          -- microsecond-integer gap: epoch_us avoids the /1e6 double
+          -- division that could drift on the exact-boundary comparison.
+          -- Split on gap STRICTLY GREATER than the timeout: probed
+          -- empirically (tests/test_r6_new_ops.py), an event at exactly
+          -- prev_ts + gap still MERGES into the session.
+          SELECT user_id, ts,
+                 CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts)
+                          > {SESSION_GAP_MIN}::BIGINT * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM o
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id,
+               floor(epoch(min(ts)))::BIGINT AS session_start_s,
+               CAST(count(*) AS BIGINT) AS n_events,
+               floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
+                 AS span_s
+        FROM s GROUP BY user_id, session_seq
+    """,
+    doc="F.session_window as a batch aggregation, hash-checked against the lag/gap-island SQL — pins Spark's session-merge semantics (a gap of exactly the timeout still MERGES; split is strictly greater).",
+    tags=("streaming", "window", "events", "ext"),
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`F.session_window(ts, gap)` in a BATCH groupBy — the same built-in
+    the streaming form (`stream_session_counts`) uses, but here its exact
+    merge semantics are cross-checked against the lag/gap-island
+    formulation (`events_sessionized`): an event arriving at EXACTLY
+    prev_ts + gap still MERGES into the running session (probed
+    empirically and pinned in tests/test_r6_new_ops.py — the naive
+    '[start, end)' reading would predict a split), so the oracle's split
+    condition is `gap > timeout`, the same boundary as the hand-rolled
+    sessionizer. That off-by-an-instant question is exactly the kind of
+    semantic drift a hash check exists to settle.
+
+    Scale: one shuffle on user_id; Spark merges session windows inside
+    the aggregate (MergingSessionsExec) — no window-function sort pass,
+    which is why the built-in is preferred at 100 TB over the lag/cumsum
+    form (two window sorts).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            _epoch_s(F.min("ts")).alias("session_start_s"),
+            (_epoch_s(F.max("ts")) - _epoch_s(F.min("ts"))).alias("span_s"),
+        )
+        .select("user_id", "session_start_s", "n_events", "span_s")
+    )

@@ -176,6 +176,7 @@ EVENT_QUERIES = [
     "events_ohlc_hourly",
     "source_xml_events_agg",
     "locf_forward_fill",
+    "events_session_window_builtin",  # r6: built-in session merge semantics
 ]
 
 import datetime as _dt
@@ -315,6 +316,7 @@ def test_embedding_queries_match_oracle_on_hostile_vectors(
 # id-aligned documents table for semantic_dedup.
 EMB_COSINE_QUERIES = [
     "cosine_topk_exact",
+    "cosine_topk_filtered",  # r6: pre-filtered ANN
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
     "ann_ivf_by_label",

@@ -94,6 +94,15 @@ R5_ORACLE = [
 R6_ORACLE = [
     "pagerank_purchase_graph",
     "near_dup_incremental",
+    "skyline_pareto_parts",
+    "mad_price_outliers",
+    "events_session_window_builtin",
+    "benford_first_digit",
+    "shortest_paths_bfs",
+    "cosine_topk_filtered",
+    "lake_wap_publish",
+    "sql_pipe_syntax",
+    "group_by_all_revenue",
 ]
 
 

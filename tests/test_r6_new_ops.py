@@ -103,3 +103,189 @@ def test_pagerank_oracle_materializes_every_round():
     for k in range(1, PR_ITERS + 1):
         for cte in (f"c{k}", f"d{k}", f"r{k}"):
             assert f"{cte} AS MATERIALIZED" in sql, f"{cte} not materialized"
+
+
+# ---------------------------------------------------------------------------
+# session_window boundary semantics (what the oracle's split condition pins)
+# ---------------------------------------------------------------------------
+def test_session_window_merges_at_exact_gap(spark):
+    """An event at EXACTLY prev_ts + gap merges; one past it splits. The
+    oracle's `gap > timeout` split condition encodes this — if Spark ever
+    flips to [start, end) exclusion, this test and the hash check both go
+    red."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + datetime.timedelta(minutes=30)),  # exactly the gap
+        (2, base),
+        (2, base + datetime.timedelta(minutes=30, microseconds=1)),  # past it
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .collect()
+    )
+    got = {r["user_id"]: r["n_sessions"] for r in out}
+    assert got == {1: 1, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# skyline: no SinglePartition pass + frontier property
+# ---------------------------------------------------------------------------
+def test_skyline_no_single_partition_and_is_frontier(spark, sf_dir):
+    df = REG["skyline_pareto_parts"].fn(spark, sf_dir)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert rows
+    # no skyline member dominates another (mutual non-domination)
+    pts = [(r["p_retailprice"], r["p_size"]) for r in rows]
+    for i, (pa, sa) in enumerate(pts):
+        for pb, sb in pts[i + 1 :]:
+            assert not (pb <= pa and sb >= sa and (pb < pa or sb > sa))
+            assert not (pa <= pb and sa >= sb and (pa < pb or sa > sb))
+
+
+# ---------------------------------------------------------------------------
+# MAD: threshold actually separates (robustness sanity)
+# ---------------------------------------------------------------------------
+def test_mad_outliers_bounded_by_group_size(spark, sf_dir):
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import (
+        load_table as lt,
+    )
+
+    rows = REG["mad_price_outliers"].fn(spark, sf_dir).collect()
+    sizes = {
+        r["l_returnflag"]: r["n"]
+        for r in lt(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r["l_returnflag"] for r in rows} == set(sizes)
+    for r in rows:
+        assert 0 <= r["n_outliers"] < sizes[r["l_returnflag"]] / 2  # robust: <50%
+        assert r["mad"] >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# BFS: triangle inequality on hops + source at distance 0
+# ---------------------------------------------------------------------------
+def test_bfs_distances_structurally_sound(spark, sf_dir):
+    from distributed_deep_learning_with_apache_spark_spark.operators.graph import (
+        BFS_MAX_HOPS,
+    )
+
+    rows = REG["shortest_paths_bfs"].fn(spark, sf_dir).collect()
+    dist = {r["part"]: r["dist"] for r in rows}
+    assert rows
+    assert min(dist.values()) == 0 and list(dist.values()).count(0) == 1
+    assert max(dist.values()) <= BFS_MAX_HOPS
+    # hop levels are contiguous: a node at dist d implies some node at d-1
+    levels = sorted(set(dist.values()))
+    assert levels == list(range(levels[-1] + 1))
+
+
+# ---------------------------------------------------------------------------
+# Benford: spine completeness + integer accounting
+# ---------------------------------------------------------------------------
+def test_benford_accounting(spark, sf_dir):
+    rows = REG["benford_first_digit"].fn(spark, sf_dir).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    total = sum(r["n_obs"] for r in rows)
+    assert total > 0
+    assert sum(r["pct_e4"] for r in rows) <= 10000  # floor-division shares
+    for r in rows:
+        assert r["dev_e4"] == abs(r["pct_e4"] - r["benford_e4"])
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN: predicate reaches the scan; every neighbor passes the filter
+# ---------------------------------------------------------------------------
+def test_filtered_ann_pushes_predicate_and_respects_filter(spark, sf_dir):
+    from distributed_deep_learning_with_apache_spark_spark.operators.similarity import (
+        FILTER_LABEL_MOD,
+        TOP_K,
+    )
+
+    df = REG["cosine_topk_filtered"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    per_q = {}
+    for r in rows:
+        assert labels[r["neighbor_id"]] % FILTER_LABEL_MOD == 1
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, TOP_K + 1))
+    # the label predicate must reach the parquet scan (pre-filtering, not
+    # post-filtering an unfiltered index)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    # post-filter comparison: results differ from the unfiltered top-k
+    unfiltered = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REG["cosine_topk_exact"].fn(spark, sf_dir).collect()
+    }
+    filtered = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert filtered != unfiltered
+
+
+# ---------------------------------------------------------------------------
+# WAP: failed audit leaves no readable trace
+# ---------------------------------------------------------------------------
+def test_wap_failed_audit_invisible(spark, sf_dir):
+    """Drive one WAP cycle by hand: after the corrupted batch's audit
+    fails, the manifest must still be v1, the staged files swept, and a
+    reader at v1 must see exactly the base rows."""
+    import tempfile
+    import shutil
+    import glob as g
+
+    from distributed_deep_learning_with_apache_spark_spark.sources.lake import (
+        WAP_SPLIT_LINE,
+        _snap_commit,
+        _snap_write_data,
+        read_snapshot,
+        wap_stage_audit_publish,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="sg_wap_test_")
+    try:
+        base = li.filter(F.col("l_linenumber") <= WAP_SPLIT_LINE)
+        n_base = base.count()
+        batch = li.filter(F.col("l_linenumber") > WAP_SPLIT_LINE)
+        _snap_commit(root, 1, _snap_write_data(base, root, "base"), "base")
+        bad = batch.withColumn("l_quantity", -F.abs("l_quantity") - 1)
+        ok, v = wap_stage_audit_publish(spark, root, 1, bad, "bad")
+        assert not ok and v == 1
+        assert not os.path.exists(os.path.join(root, "snap_v2.json"))
+        assert g.glob(os.path.join(root, "data", "bad", "*.parquet")) == []
+        assert read_snapshot(spark, root, 1).count() == n_base
+        # clean publish then reaches v2 with base + batch
+        ok, v = wap_stage_audit_publish(spark, root, 1, batch, "good")
+        assert ok and v == 2
+        assert read_snapshot(spark, root, 2).count() == li.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# GBT: trees beat linear on the interaction target
+# ---------------------------------------------------------------------------
+def test_gbt_r2_pinned(spark, sf_dir):
+    row = REG["ml_gbt_regression"].fn(spark, sf_dir).collect()[0]
+    assert row["r2"] >= 0.9, row
+    assert row["n_trees"] == 20
+    assert row["n_train"] + row["n_test"] == 4000

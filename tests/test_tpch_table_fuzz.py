@@ -54,6 +54,10 @@ QUERIES = [
     "lateral_top3_orders","intersect_all_order_priorities","nullsafe_bucket_join",
     "batch_observed_metrics","hinted_shuffle_hash_join","union_by_name_schema_drift",
     "percentile_band_segments",
+    # r6 additions
+    "skyline_pareto_parts","mad_price_outliers","benford_first_digit",
+    "shortest_paths_bfs","pagerank_purchase_graph","ml_fpgrowth_item_pairs",
+    "lake_wap_publish","sql_pipe_syntax","group_by_all_revenue",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"

@@ -114,6 +114,11 @@ QUERIES = [
     # round-6: new ops + the heaviest late-r5 source without a ratio
     "near_dup_incremental",
     "source_xml_events_agg",
+    "skyline_pareto_parts",
+    "shortest_paths_bfs",
+    "cosine_topk_filtered",
+    "lake_wap_publish",
+    "events_session_window_builtin",
 ]
 
 
