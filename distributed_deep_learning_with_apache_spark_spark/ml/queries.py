@@ -735,3 +735,70 @@ def ml_gbt_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_train long, n_test long, r2 double, rmse double, n_trees long",
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] K-fold cross-validated regularization sweep (chapter-6 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "ml_crossval_ridge",
+    oracle=None,  # K-fold model selection; best-param + R² pinned in tests
+    doc="CrossValidator (3-fold) regularization sweep over ridge regression on a noisy linear target — the chapter-6 hyperparameter sweep as K-fold model selection instead of a single validation split.",
+    tags=("ml", "regression", "sweep", "ext"),
+)
+def ml_crossval_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chapter-6 hyperparameter sweep (ChangeAmountOfHiddenLayers /
+    ...Regression.java:62-84 sweeps configs against ONE validation split)
+    upgraded to K-FOLD cross-validation — MLlib's CrossValidator trains
+    folds × params models in parallel and averages fold metrics, the
+    variance-reduced selection a single split can't give.
+
+    Target: y = 3a - 2b + deterministic pseudo-noise (integer-derived, no
+    RNG). With informative features and mild noise, the smallest
+    regParam in the grid must win (pinned in tests) — shrinking real
+    coefficients only hurts; the sweep exists to SHOW that, not to tune.
+
+    Determinism: seeded CrossValidator, hash-derived noise, fixed grid.
+    Scale: folds × params fits are independent jobs over the same cached
+    input; MLlib parallelizes them with `parallelism=4`; each normal-
+    equations fit is one pass (map-side gram matrix).
+    """
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    base = spark.range(3000).select(
+        "id",
+        (((F.col("id") * 7) % 100) / 10.0).alias("a"),
+        (((F.col("id") * 13) % 80) / 8.0).alias("b"),
+    )
+    noise = ((F.pmod(F.xxhash64("id"), F.lit(1000)) / 1000.0) - 0.5).alias("noise")
+    data = base.select(
+        "id",
+        "a",
+        "b",
+        (3.0 * F.col("a") - 2.0 * F.col("b") + noise).alias("label"),
+    )
+    feat = VectorAssembler(inputCols=["a", "b"], outputCol="features").transform(data)
+    lr = LinearRegression(solver="normal", elasticNetParam=0.0)
+    grid = (
+        ParamGridBuilder().addGrid(lr.regParam, [0.01, 1.0, 100.0]).build()
+    )
+    cv = CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(metricName="rmse"),
+        numFolds=3,
+        parallelism=4,
+        seed=SEED,
+    )
+    model = cv.fit(feat)
+    best_reg = model.bestModel.getRegParam()
+    rows = [
+        (float(g[lr.regParam]), float(round(m, 4)), bool(g[lr.regParam] == best_reg))
+        for g, m in zip(grid, model.avgMetrics)
+    ]
+    return spark.createDataFrame(
+        rows, "reg_param double, avg_rmse double, is_best boolean"
+    )

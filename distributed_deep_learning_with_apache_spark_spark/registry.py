@@ -73,6 +73,9 @@ _DRIVER_PRIORITY = [
     "ml_gbt_regression",
     "sql_pipe_syntax",
     "group_by_all_revenue",
+    "lake_restore_version",
+    "events_local_hour_histogram",
+    "ml_crossval_ridge",
     # --- changed in r6: new oracle / changed semantics --------------------
     "pagerank_purchase_graph",  # rows-only -> fixed-point + DuckDB oracle
     "ml_fpgrowth_item_pairs",  # support bar now corpus-relative

@@ -1268,3 +1268,84 @@ def lake_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] RESTORE: roll the table back to an earlier version AS A NEW COMMIT
+# ---------------------------------------------------------------------------
+RESTORE_TO = 2  # roll back past the v3 delete and v4 update
+
+
+@register(
+    "lake_restore_version",
+    oracle=f"""
+        SELECT CAST(5 AS BIGINT) AS version,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               floor(sum(floor(o_totalprice * 10000 + 0.5)) / 100 + 0.5) / 100
+                 AS total_price
+        FROM orders
+        UNION ALL
+        SELECT CAST(4 AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               floor(sum(floor((CASE WHEN o_orderpriority = '1-URGENT'
+                                     THEN o_totalprice * {SNAP_UPDATE_FACTOR}
+                                     ELSE o_totalprice END) * 10000 + 0.5))
+                     / 100 + 0.5) / 100
+        FROM orders
+        WHERE o_totalprice >= {SNAP_DELETE_BELOW}
+    """,
+    doc="RESTORE (Delta/Iceberg rollback): commit v5 whose file list IS v2's manifest — no data movement, history intact (v4 still answers as-of), the bad delete+update undone.",
+    tags=("lake", "snapshot", "ext"),
+)
+def lake_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll the snapshot table back to v{RESTORE_TO} as a NEW commit (v5),
+    the way Delta's RESTORE and Iceberg's rollback work: the restore
+    manifest simply references the old version's files — zero bytes
+    rewritten, and the 'mistake' versions (v3 delete, v4 update) remain
+    readable as-of for audit. Runs on a hardlink clone so the shared
+    cached fixture is never mutated.
+
+    The hash check proves both directions: v5 must equal the FULL orders
+    table (v2's content — the delete and update undone), while v4 must
+    still answer with the post-delete post-update numbers.
+
+    Scale: restore cost is one manifest write regardless of table size —
+    the whole point of manifest-versioned tables (object-store
+    conditional PUT in production).
+    """
+    import json
+    import shutil
+    import tempfile
+
+    root = ensure_snapshot_table(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sg_restore_")
+    try:
+        clone_snapshot_root(root, work)
+        with open(_os.path.join(work, f"snap_v{RESTORE_TO}.json")) as f:
+            target = json.load(f)
+        _snap_commit(work, 5, target["files"], f"restore_to_v{RESTORE_TO}")
+        out_rows = []
+        for v in (5, 4):
+            agg = (
+                read_snapshot(spark, work, v)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orders"),
+                    (
+                        F.floor(
+                            F.sum(
+                                F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long")
+                            )
+                            / 100
+                            + 0.5
+                        )
+                        / 100
+                    ).alias("total_price"),
+                )
+                .first()
+            )
+            out_rows.append((v, agg["n_orders"], agg["total_price"]))
+        return spark.createDataFrame(
+            out_rows, "version long, n_orders long, total_price double"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1947,3 +1947,53 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("user_id", "session_start_s", "n_events", "span_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Timezone semantics: UTC events bucketed by local wall-clock hour
+# ---------------------------------------------------------------------------
+EVENTS_TZ = "America/New_York"
+
+
+@register(
+    "events_local_hour_histogram",
+    oracle=f"""
+        SELECT CAST(extract(hour FROM
+                 timezone('{EVENTS_TZ}', timezone('UTC', ts))) AS BIGINT)
+                 AS local_hour,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY 1
+    """,
+    doc="Timezone-correct local-hour histogram: stored-as-UTC timestamps converted through the IANA zone on both engines — the cross-engine divergence trap every time-bucketed report walks into.",
+    tags=("events", "window", "ext"),
+)
+def events_local_hour_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity histogram by LOCAL wall-clock hour: the stored timestamps
+    are UTC instants; analysis wants '{EVENTS_TZ}' hours (daily-rhythm
+    features, peak-load reports). Both engines resolve the conversion
+    through IANA tzdata — Spark `from_utc_timestamp`, DuckDB
+    `timezone(zone, timezone('UTC', ts))` — so the hash check pins that
+    the two tz databases and conversion semantics agree, including
+    across DST transitions (integer hour + counts: no FP anywhere).
+
+    Scale: a per-row JVM expression + one 24-group partial agg; the
+    distinct-user count is the only shuffle-widening term (exact
+    two-level distinct; swap for approx_count_distinct or the HLL rollup
+    when users no longer hash-fit).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.hour(F.from_utc_timestamp("ts", EVENTS_TZ)).cast("long").alias(
+                "local_hour"
+            ),
+            "user_id",
+        )
+        .groupBy("local_hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -177,6 +177,7 @@ EVENT_QUERIES = [
     "source_xml_events_agg",
     "locf_forward_fill",
     "events_session_window_builtin",  # r6: built-in session merge semantics
+    "events_local_hour_histogram",  # r6: IANA tz conversion parity
 ]
 
 import datetime as _dt

@@ -103,6 +103,8 @@ R6_ORACLE = [
     "lake_wap_publish",
     "sql_pipe_syntax",
     "group_by_all_revenue",
+    "lake_restore_version",
+    "events_local_hour_histogram",
 ]
 
 

@@ -289,3 +289,67 @@ def test_gbt_r2_pinned(spark, sf_dir):
     assert row["r2"] >= 0.9, row
     assert row["n_trees"] == 20
     assert row["n_train"] + row["n_test"] == 4000
+
+
+# ---------------------------------------------------------------------------
+# RESTORE: zero data movement, mistake versions stay readable
+# ---------------------------------------------------------------------------
+def test_restore_is_metadata_only(spark, sf_dir):
+    """The restore commit must reference v2's EXACT file list (no new data
+    files written) and leave v3/v4 manifests readable."""
+    import json
+    import tempfile
+    import shutil
+    import glob as g
+
+    from distributed_deep_learning_with_apache_spark_spark.sources.lake import (
+        RESTORE_TO,
+        _snap_commit,
+        clone_snapshot_root,
+        ensure_snapshot_table,
+        read_snapshot,
+    )
+
+    root = ensure_snapshot_table(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sg_restore_test_")
+    try:
+        clone_snapshot_root(root, work)
+        files_before = set(g.glob(os.path.join(work, "data", "*", "*.parquet")))
+        with open(os.path.join(work, f"snap_v{RESTORE_TO}.json")) as f:
+            target = json.load(f)
+        _snap_commit(work, 5, target["files"], "restore")
+        files_after = set(g.glob(os.path.join(work, "data", "*", "*.parquet")))
+        assert files_before == files_after  # zero data movement
+        with open(os.path.join(work, "snap_v5.json")) as f:
+            v5 = json.load(f)
+        assert v5["files"] == target["files"]
+        # every version 1..5 still readable (history intact)
+        for v in range(1, 6):
+            assert read_snapshot(spark, work, v).count() >= 0
+        # v5 content == v2 content exactly
+        a = read_snapshot(spark, work, 5).orderBy("o_orderkey").collect()
+        b = read_snapshot(spark, work, RESTORE_TO).orderBy("o_orderkey").collect()
+        assert a == b
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# CrossValidator: least regularization wins on a true linear target
+# ---------------------------------------------------------------------------
+def test_crossval_selects_least_regularization(spark, sf_dir):
+    rows = {r["reg_param"]: r for r in REG["ml_crossval_ridge"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {0.01, 1.0, 100.0}
+    assert rows[0.01]["is_best"] and not rows[1.0]["is_best"]
+    # metric must be monotone in over-regularization on this target
+    assert rows[0.01]["avg_rmse"] < rows[1.0]["avg_rmse"] < rows[100.0]["avg_rmse"]
+
+
+# ---------------------------------------------------------------------------
+# Local-hour histogram: conservation + hour domain
+# ---------------------------------------------------------------------------
+def test_local_hour_histogram_conserves_events(spark, sf_dir):
+    rows = REG["events_local_hour_histogram"].fn(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_total
+    assert all(0 <= r["local_hour"] <= 23 for r in rows)
