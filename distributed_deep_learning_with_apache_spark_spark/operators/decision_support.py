@@ -951,3 +951,99 @@ def group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] RFM customer segmentation
+# ---------------------------------------------------------------------------
+@register(
+    "customer_rfm_segments",
+    oracle="""
+        WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+        rfm AS (
+          SELECT o_custkey,
+                 date_diff('day', max(o_orderdate), (SELECT mx FROM anchor))
+                   AS r_days,
+                 CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+                   AS monetary_cents
+          FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+          SELECT o_custkey,
+                 ntile(4) OVER (ORDER BY r_days ASC,  o_custkey ASC) AS r_score,
+                 ntile(4) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_score,
+                 ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey ASC)
+                   AS m_score,
+                 monetary_cents
+          FROM rfm
+        )
+        SELECT CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(monetary_cents) AS BIGINT) AS total_cents
+        FROM scored GROUP BY 1, 2, 3
+    """,
+    doc="RFM segmentation: per-customer recency/frequency/monetary quartiles (ntile with deterministic tiebreaks), rolled up per (r,f,m) cell — the classic CRM cohorting query, integer-exact.",
+    tags=("relational", "window", "ext"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-Frequency-Monetary segmentation: each customer scored into
+    quartiles on days-since-last-order (lower = better), order count, and
+    lifetime spend (cents — integer-exact), then cohort sizes + spend per
+    (r,f,m) cell. Score 1 is best on every axis (most recent / most
+    frequent / highest spend). Ties break on custkey so both engines'
+    ntile frontiers are identical.
+
+    Scale: the per-customer rollup is one hash agg; the three ntile
+    windows are global-ORDER windows over the CUSTOMER table (one row per
+    customer — the already-reduced side), not the fact table. At 100 TB
+    of orders the rollup stays a map-side-combinable agg; if customers
+    themselves outgrow a single sort, quartile FRONTIERS come from
+    `quantile_two_pass_exact` and the scores become broadcast range
+    lookups — same output, no global window.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("mx", "last_order").alias("r_days"),
+            "freq",
+            "monetary_cents",
+        )
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("r_days").asc(), F.col("o_custkey").asc()))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("freq").desc(), F.col("o_custkey").asc()))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(
+            Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey").asc())
+        )
+        .cast("long")
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("total_cents"),
+    )

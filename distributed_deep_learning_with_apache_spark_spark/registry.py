@@ -76,6 +76,8 @@ _DRIVER_PRIORITY = [
     "lake_restore_version",
     "events_local_hour_histogram",
     "ml_crossval_ridge",
+    "customer_rfm_segments",
+    "attribution_last_touch",
     # --- changed in r6: new oracle / changed semantics --------------------
     "pagerank_purchase_graph",  # rows-only -> fixed-point + DuckDB oracle
     "ml_fpgrowth_item_pairs",  # support bar now corpus-relative

@@ -1997,3 +1997,84 @@ def events_local_hour_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Last-touch conversion attribution
+# ---------------------------------------------------------------------------
+ATTR_WINDOW_S = 3600  # a click attributes a purchase within 1 hour
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+        WITH tagged AS (
+          SELECT user_id, event_type, ts, event_id,
+                 max(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_click_ts
+          FROM events WHERE event_type IN ('click', 'purchase')
+        )
+        SELECT CASE WHEN last_click_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(last_click_ts)
+                         <= {ATTR_WINDOW_S}::BIGINT * 1000000
+                    THEN 'click_attributed' ELSE 'organic' END AS attribution,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM tagged WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    doc="Last-touch attribution: each purchase attributed to the user's most recent prior click within 1 h (conditional running max over event time), else organic — the marketing-analytics join-free formulation.",
+    tags=("events", "window", "ext"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution without a self-join: one pass over the
+    user's click/purchase timeline carrying the most recent click
+    timestamp as a conditional running max (ROWS … 1 PRECEDING keeps a
+    purchase from attributing to a simultaneous click), then each
+    purchase classifies as click-attributed (≤ {ATTR_WINDOW_S}s gap,
+    microsecond-integer comparison) or organic.
+
+    The naive formulation is a range self-join (purchases × clicks
+    within the window) followed by a per-purchase argmax — two shuffles
+    and a fan-out that explodes with click density. The running-max
+    window is one shuffle on user_id, O(1) state per row, and no
+    intermediate pair blowup — the same plan at any click volume.
+
+    Scale: single user_id-partitioned window + a 2-group agg. The
+    distinct-user count is exact two-level; everything else is
+    map-side-combinable.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    purchases = (
+        e.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("last_click_ts").isNotNull()
+                & (
+                    F.unix_micros("ts") - F.unix_micros("last_click_ts")
+                    <= ATTR_WINDOW_S * 1_000_000
+                ),
+                F.lit("click_attributed"),
+            )
+            .otherwise(F.lit("organic"))
+            .alias("attribution"),
+            "user_id",
+        )
+    )
+    return purchases.groupBy("attribution").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

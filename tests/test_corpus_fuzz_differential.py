@@ -178,6 +178,7 @@ EVENT_QUERIES = [
     "locf_forward_fill",
     "events_session_window_builtin",  # r6: built-in session merge semantics
     "events_local_hour_histogram",  # r6: IANA tz conversion parity
+    "attribution_last_touch",  # r6: conditional running-max attribution
 ]
 
 import datetime as _dt

@@ -105,6 +105,8 @@ R6_ORACLE = [
     "group_by_all_revenue",
     "lake_restore_version",
     "events_local_hour_histogram",
+    "customer_rfm_segments",
+    "attribution_last_touch",
 ]
 
 
