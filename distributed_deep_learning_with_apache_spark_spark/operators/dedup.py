@@ -1711,3 +1711,149 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("long").alias("n_band_candidates"),
         )
     )
+
+
+def append_band_index(spark: SparkSession, root: str, batch: DataFrame) -> None:
+    """Grow the band index by an ACCEPTED batch: compute the batch's band
+    postings + shingle hashes with the exact builders history used and
+    append them as new parquet files — existing store files are never
+    rewritten (the same append-only discipline as the snapshot table's
+    data dir). After this, the batch IS history: a re-probe of the same
+    docs candidates against itself at Jaccard 1.0.
+
+    ``batch`` must carry (doc_id, text)."""
+    import os
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        batch.select("doc_id", shingles().alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.transform(F.col("sh"), F.md5).alias("hs"),
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hx"),
+        )
+        .repartition(min(n_part, 8))
+        .localCheckpoint(eager=True)
+    )
+    bands = _band_signature(sh).select(
+        "doc_id",
+        F.explode(
+            F.create_map(
+                *[x for b in range(N_BANDS) for x in (F.lit(f"band_{b}"), F.col(f"band_{b}"))]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    bands.write.mode("append").parquet(os.path.join(root, "bands"))
+    sh.select("doc_id", "hx").write.mode("append").parquet(
+        os.path.join(root, "shingles")
+    )
+
+
+@register(
+    "near_dup_index_append_cycle",
+    oracle=f"""
+        WITH batch AS (
+          SELECT doc_id, {DUCK_SHINGLES} AS sh FROM documents
+          WHERE doc_id % {INC_HIST_MOD} >= {INC_HIST_KEEP}
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_batch,
+               -- coalesce twice: len(sh) is NULL for NULL text (those docs
+               -- have no signature, hence stay fresh), and sum() over an
+               -- empty batch is NULL (fuzz-found, both)
+               CAST(coalesce(sum(CASE WHEN coalesce(len(sh), 0) = 0
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_fresh_after_append
+        FROM batch
+    """,
+    doc="Continuous-ingest index lifecycle: accepted batch's postings APPEND to the band store (no rewrite), after which re-probing the same batch self-matches at Jaccard 1.0 — only shingle-less docs stay 'fresh'.",
+    tags=("dedup", "ext", "lsh", "scale"),
+)
+def near_dup_index_append_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the `near_dup_incremental` lifecycle: after a batch is
+    ACCEPTED, its signatures append to the persisted band index (history
+    grows without rewriting or re-shingling anything), and the proof is a
+    RE-PROBE of the same batch — every doc with a non-empty shingle set
+    now collides with its own stored signature (Jaccard 1.0 ≥ threshold)
+    and is suppressed; exactly the shingle-less docs remain fresh. Both
+    counts are SQL-expressible, so the cycle is hash-checked.
+
+    Runs against a throwaway hardlink-free copy of the store build (same
+    corpus-keyed builder, private root) so the shared cache keeps serving
+    `near_dup_incremental` unmutated.
+
+    Scale: the append writes ∝ batch size; the store is never compacted
+    here — a production table would OPTIMIZE the postings files on the
+    same schedule as any append-heavy lake table
+    (`lake_compact_small_files`).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % INC_HIST_MOD >= INC_HIST_KEEP).select(
+        "doc_id", "text"
+    )
+    work = tempfile.mkdtemp(prefix="sg_bandappend_")
+    shutil.rmtree(work)  # build_band_index wants to create it atomically
+    try:
+        root = build_band_index(spark, sf_dir, root=work)
+        append_band_index(spark, root, _widen_scan(
+            batch, spark, os.path.join(sf_dir, "documents.parquet")
+        ).filter(F.col("doc_id") % INC_HIST_MOD >= INC_HIST_KEEP).select("doc_id", "text"))
+
+        hist_bands = spark.read.parquet(os.path.join(root, "bands"))
+        hist_sh = spark.read.parquet(os.path.join(root, "shingles"))
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        bsh = (
+            _widen_scan(d, spark, os.path.join(sf_dir, "documents.parquet"))
+            .filter(F.col("doc_id") % INC_HIST_MOD >= INC_HIST_KEEP)
+            .select("doc_id", shingles().alias("sh"))
+            .filter(F.size("sh") > 0)
+            .select(
+                "doc_id",
+                F.transform(F.col("sh"), F.md5).alias("hs"),
+                F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hx"),
+            )
+            .repartition(n_part)
+        )
+        batch_bands = _band_signature(bsh).select(
+            "doc_id",
+            F.explode(
+                F.create_map(
+                    *[
+                        x
+                        for b in range(N_BANDS)
+                        for x in (F.lit(f"band_{b}"), F.col(f"band_{b}"))
+                    ]
+                )
+            ).alias("band_id", "band_val"),
+        )
+        cand = (
+            batch_bands.alias("b")
+            .join(
+                hist_bands.alias("h"),
+                (F.col("b.band_id") == F.col("h.band_id"))
+                & (F.col("b.band_val") == F.col("h.band_val")),
+            )
+            .select(F.col("b.doc_id").alias("bid"), F.col("h.doc_id").alias("hid"))
+            .distinct()
+        )
+        sa = bsh.select(F.col("doc_id").alias("bid"), F.col("hx").alias("sha"))
+        sb = hist_sh.select(F.col("doc_id").alias("hid"), F.col("hx").alias("shb"))
+        inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+        jacc = inter / (F.size("sha") + F.size("shb") - inter)
+        dup = (
+            cand.join(sa, "bid").join(sb, "hid").filter(jacc >= 0.5).select("bid").distinct()
+        )
+        batch_ids = batch.select("doc_id")
+        fresh_after = batch_ids.join(
+            dup, batch_ids.doc_id == dup.bid, "left_anti"
+        ).count()
+        n_batch = batch_ids.count()
+        return spark.createDataFrame(
+            [(n_batch, fresh_after)], "n_batch long, n_fresh_after_append long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -78,6 +78,9 @@ _DRIVER_PRIORITY = [
     "ml_crossval_ridge",
     "customer_rfm_segments",
     "attribution_last_touch",
+    "stream_attribution_last_touch",
+    "near_dup_index_append_cycle",
+    "stream_rate_limited_backfill",
     # --- changed in r6: new oracle / changed semantics --------------------
     "pagerank_purchase_graph",  # rows-only -> fixed-point + DuckDB oracle
     "ml_fpgrowth_item_pairs",  # support bar now corpus-relative

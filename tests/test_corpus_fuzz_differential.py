@@ -76,6 +76,7 @@ DOC_QUERIES = [
     "sample_stratified_hash",
     "dedup_incremental",
     "near_dup_incremental",  # r6: persisted-band-index probe (split + anti-join)
+    "near_dup_index_append_cycle",  # r6: append lifecycle self-match
     "tokenize_truncate",
     "corpus_token_stats",
     "heavy_hitters_sketch_verified",

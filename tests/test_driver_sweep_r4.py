@@ -107,6 +107,7 @@ R6_ORACLE = [
     "events_local_hour_histogram",
     "customer_rfm_segments",
     "attribution_last_touch",
+    "near_dup_index_append_cycle",
 ]
 
 

@@ -353,3 +353,60 @@ def test_local_hour_histogram_conserves_events(spark, sf_dir):
     n_total = load_table(spark, sf_dir, "events").count()
     assert sum(r["n_events"] for r in rows) == n_total
     assert all(0 <= r["local_hour"] <= 23 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Streaming attribution: stateful twin equals the batch window formulation
+# ---------------------------------------------------------------------------
+def test_stream_attribution_equals_batch_twin(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from distributed_deep_learning_with_apache_spark_spark.streaming.events import (
+        ATTR_WINDOW_S,
+    )
+
+    out = REG["stream_attribution_last_touch"].fn(spark, sf_dir)
+    # counts are monotone over update-mode emissions: final truth = max
+    got = {
+        r["user_id"]: (r["n_attributed"], r["n_organic"])
+        for r in out.groupBy("user_id")
+        .agg(F.max("n_attributed").alias("a"), F.max("n_organic").alias("o"))
+        .select("user_id", F.col("a").alias("n_attributed"), F.col("o").alias("n_organic"))
+        .collect()
+    }
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    attributed = F.col("last_click_ts").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("last_click_ts") <= ATTR_WINDOW_S * 1_000_000
+    )
+    want = {
+        r["user_id"]: (r["a"], r["o"])
+        for r in e.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(attributed, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(attributed, 0).otherwise(1)).alias("o"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Rate-limited backfill: one micro-batch per file, totals conserved
+# ---------------------------------------------------------------------------
+def test_backfill_one_batch_per_file(spark, sf_dir):
+    row = REG["stream_rate_limited_backfill"].fn(spark, sf_dir).collect()[0]
+    assert row["n_batches"] == row["n_files"]
+    n_total = load_table(spark, sf_dir, "events").count()
+    assert row["total_rows"] == n_total
+    # admission control: no batch swallowed the backlog
+    assert row["max_batch_rows"] < n_total

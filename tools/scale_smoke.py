@@ -119,6 +119,11 @@ QUERIES = [
     "cosine_topk_filtered",
     "lake_wap_publish",
     "events_session_window_builtin",
+    "customer_rfm_segments",
+    "attribution_last_touch",
+    "events_local_hour_histogram",
+    "mad_price_outliers",
+    "near_dup_index_append_cycle",
 ]
 
 
