@@ -492,3 +492,87 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(pct - benford).cast("long").alias("dev_e4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Quarantine routing: rule-tagged dead-letter split
+# ---------------------------------------------------------------------------
+@register(
+    "dq_quarantine_split",
+    oracle="""
+        WITH corrupted AS (
+          SELECT event_id, user_id,
+                 CASE WHEN event_id % 13 = 0 THEN -value ELSE value END AS value,
+                 CASE WHEN event_id % 17 = 0 THEN 'zz_' || event_type
+                      ELSE event_type END AS event_type
+          FROM events
+        ),
+        routed AS (
+          SELECT *,
+                 CASE WHEN value IS NULL THEN 'quarantine:null_value'
+                      WHEN value < 0 THEN 'quarantine:negative_value'
+                      WHEN event_type NOT IN
+                           ('click','error','purchase','signup','view')
+                        THEN 'quarantine:unknown_type'
+                      ELSE 'clean' END AS bucket
+          FROM corrupted
+        )
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)
+                    AS BIGINT) AS value_cents
+        FROM routed GROUP BY bucket
+    """,
+    doc="Dead-letter routing: every row lands in exactly one bucket — first failing rule (null -> negative -> unknown type, fixed precedence) or clean — with per-bucket integer-exact totals; the quarantine-table ingestion gate.",
+    tags=("quality", "dq", "curation", "ext"),
+)
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row-level complement of `dq_constraint_checks` (which only
+    counts): ingest routing where every record lands in exactly ONE
+    bucket — the first rule it fails, in fixed precedence (null value →
+    negative value → unknown type), or 'clean'. Production shape: clean
+    rows continue to the table, quarantine rows go to a dead-letter
+    table keyed by reason for replay after a fix (the WAP audit's
+    row-level sibling). Corruption is injected deterministically
+    (event_id-keyed) since the fixture is clean — the routing logic is
+    what's under test.
+
+    Scale: one scan, one projection, one bounded groupBy — the routing
+    CASE is a per-row JVM expression; no rule ever requires a second
+    pass, which is why precedence-ordered single-CASE routing beats
+    per-rule filters (k rules = k scans) at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    corrupted = e.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 13 == 0, -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(
+            F.col("event_id") % 17 == 0, F.concat(F.lit("zz_"), F.col("event_type"))
+        )
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+    )
+    bucket = (
+        F.when(F.col("value").isNull(), F.lit("quarantine:null_value"))
+        .when(F.col("value") < 0, F.lit("quarantine:negative_value"))
+        .when(
+            ~F.col("event_type").isin("click", "error", "purchase", "signup", "view"),
+            F.lit("quarantine:unknown_type"),
+        )
+        .otherwise(F.lit("clean"))
+    )
+    return (
+        corrupted.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )

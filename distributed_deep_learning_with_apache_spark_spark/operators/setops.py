@@ -589,8 +589,13 @@ def grouped_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
+    # NULL measures excluded explicitly on BOTH sides: the narrowing
+    # engine's min/max skip NULLs while the oracle's row_number would
+    # count them, so rank arithmetic must agree on the population.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v"))
     )
     counts = {r.g: r.n for r in li.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
     if not counts:
@@ -759,6 +764,7 @@ MAD_K = 3  # flag |x - med| > K * MAD
                                     ORDER BY l_extendedprice) AS rn,
                  count(*) OVER (PARTITION BY l_returnflag) AS n
           FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
         ),
         med AS (
           SELECT g, min(v) AS med FROM c WHERE rn >= (n + 1) // 2 GROUP BY g
@@ -807,8 +813,13 @@ def mad_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 6.6× at 10× data because each group's sort runs on ONE
     partition; this form re-measured 1.79× (absolute cost at small SF is higher — ~6 narrowing scans — but it cannot cliff).
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
+    # NULL measures excluded explicitly on BOTH sides: the narrowing
+    # engine's min/max skip NULLs while the oracle's row_number would
+    # count them, so rank arithmetic must agree on the population.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v"))
     )
     counts = {r.g: r.n for r in li.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
     if not counts:

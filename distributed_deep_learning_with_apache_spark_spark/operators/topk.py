@@ -409,7 +409,8 @@ SKYLINE_PARTS = 16  # price-range partitions; thousands on a real cluster
     oracle="""
         SELECT a.p_partkey, a.p_retailprice, CAST(a.p_size AS BIGINT) AS p_size
         FROM part a
-        WHERE NOT EXISTS (
+        WHERE a.p_retailprice IS NOT NULL AND a.p_size IS NOT NULL
+          AND NOT EXISTS (
           SELECT 1 FROM part b
           WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
             AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
@@ -441,8 +442,17 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
        earlier pid via the map) has size ≥ a's, or a same-price row has
        size > a's.
     """
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+    # NULL-measure rows are excluded EXPLICITLY on both sides: dominance
+    # comparisons against NULL are three-valued, and the two engines'
+    # NOT-EXISTS vs window formulations would otherwise diverge on them
+    # (the oracle keeps such rows, the window plan drops them). The
+    # fixture has no NULLs; the filter makes the contract explicit.
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
+        .select(
+            "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+        )
     )
     ranged = (
         p.repartitionByRange(SKYLINE_PARTS, "p_retailprice")

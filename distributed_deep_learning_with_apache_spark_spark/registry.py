@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = [
     "stream_attribution_last_touch",
     "near_dup_index_append_cycle",
     "stream_rate_limited_backfill",
+    "dq_quarantine_split",
     # --- changed in r6: new oracle / changed semantics --------------------
     "pagerank_purchase_graph",  # rows-only -> fixed-point + DuckDB oracle
     "ml_fpgrowth_item_pairs",  # support bar now corpus-relative

@@ -180,6 +180,7 @@ EVENT_QUERIES = [
     "events_session_window_builtin",  # r6: built-in session merge semantics
     "events_local_hour_histogram",  # r6: IANA tz conversion parity
     "attribution_last_touch",  # r6: conditional running-max attribution
+    "dq_quarantine_split",  # r6: precedence-ordered dead-letter routing
 ]
 
 import datetime as _dt

@@ -108,6 +108,7 @@ R6_ORACLE = [
     "customer_rfm_segments",
     "attribution_last_touch",
     "near_dup_index_append_cycle",
+    "dq_quarantine_split",
 ]
 
 
