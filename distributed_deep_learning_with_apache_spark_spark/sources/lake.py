@@ -1349,3 +1349,86 @@ def lake_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Shallow clone: zero-copy table fork with independent evolution
+# ---------------------------------------------------------------------------
+@register(
+    "lake_shallow_clone_divergence",
+    oracle=f"""
+        SELECT 'clone_v5' AS side,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               floor(sum(floor((CASE WHEN o_totalprice >= {SNAP_DELETE_BELOW}
+                                      AND o_orderpriority = '1-URGENT'
+                                     THEN o_totalprice * {SNAP_UPDATE_FACTOR}
+                                     ELSE o_totalprice END) * 10000 + 0.5))
+                     / 100 + 0.5) / 100 AS total_price
+        FROM orders
+        UNION ALL
+        SELECT 'original_v4',
+               CAST(count(*) AS BIGINT),
+               floor(sum(floor((CASE WHEN o_orderpriority = '1-URGENT'
+                                     THEN o_totalprice * {SNAP_UPDATE_FACTOR}
+                                     ELSE o_totalprice END) * 10000 + 0.5))
+                     / 100 + 0.5) / 100
+        FROM orders
+        WHERE o_totalprice >= {SNAP_DELETE_BELOW}
+    """,
+    doc="Shallow clone (zero-copy fork): hardlink the snapshot table, commit v5 on the CLONE ONLY (re-appending the v3-deleted cheap orders) — original history and file set untouched, both sides hash-checked.",
+    tags=("lake", "snapshot", "ext"),
+)
+def lake_shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta/Iceberg SHALLOW CLONE semantics: a dev/test fork that shares
+    every existing data file with the source (hardlinks here, metadata
+    pointers on object storage — zero bytes copied) and then EVOLVES
+    INDEPENDENTLY: the clone commits v5 re-appending the orders the v3
+    delete removed; the original table never sees v5 and its files stay
+    byte-identical (pinned in tests/test_r6_new_ops.py).
+
+    The hash check proves both sides: the clone's v5 must equal the full
+    orders table (uplift applied only to the surviving-set's 1-URGENT
+    rows, re-appended cheap rows raw), while the original's v4 still
+    answers with the post-delete/post-update numbers.
+
+    Scale: clone cost is O(manifests), not O(data) — why shallow clones
+    are THE pattern for staging-environment tables over petabyte lakes.
+    """
+    import shutil
+    import tempfile
+
+    root = ensure_snapshot_table(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sg_clone_")
+    try:
+        clone_snapshot_root(root, work)
+        cheap = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") < SNAP_DELETE_BELOW
+        )
+        new_files = _snap_write_data(cheap, work, "clone_readd_cheap")
+        with open(_os.path.join(work, "snap_v4.json")) as f:
+            v4 = _json.load(f)
+        _snap_commit(work, 5, v4["files"] + new_files, "clone_append")
+
+        def agg(df: DataFrame, side: str) -> tuple:
+            row = df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                (
+                    F.floor(
+                        F.sum(F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long"))
+                        / 100
+                        + 0.5
+                    )
+                    / 100
+                ).alias("t"),
+            ).first()
+            return (side, row["n"], row["t"])
+
+        rows = [
+            agg(read_snapshot(spark, work, 5), "clone_v5"),
+            agg(read_snapshot(spark, root, 4), "original_v4"),
+        ]
+        return spark.createDataFrame(
+            rows, "side string, n_orders long, total_price double"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

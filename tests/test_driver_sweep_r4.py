@@ -109,6 +109,7 @@ R6_ORACLE = [
     "attribution_last_touch",
     "near_dup_index_append_cycle",
     "dq_quarantine_split",
+    "lake_shallow_clone_divergence",
 ]
 
 

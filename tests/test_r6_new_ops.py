@@ -410,3 +410,27 @@ def test_backfill_one_batch_per_file(spark, sf_dir):
     assert row["total_rows"] == n_total
     # admission control: no batch swallowed the backlog
     assert row["max_batch_rows"] < n_total
+
+
+# ---------------------------------------------------------------------------
+# Shallow clone: the original table is untouched by the clone's commit
+# ---------------------------------------------------------------------------
+def test_shallow_clone_leaves_original_untouched(spark, sf_dir):
+    import glob as g
+
+    from distributed_deep_learning_with_apache_spark_spark.sources.lake import (
+        ensure_snapshot_table,
+    )
+
+    root = ensure_snapshot_table(spark, sf_dir)
+    before_manifests = sorted(g.glob(os.path.join(root, "snap_v*.json")))
+    before_files = {
+        p: os.stat(p).st_mtime_ns
+        for p in g.glob(os.path.join(root, "data", "*", "*.parquet"))
+    }
+    REG["lake_shallow_clone_divergence"].fn(spark, sf_dir).collect()
+    after_manifests = sorted(g.glob(os.path.join(root, "snap_v*.json")))
+    assert after_manifests == before_manifests  # no v5 on the original
+    assert not os.path.exists(os.path.join(root, "snap_v5.json"))
+    for p, m in before_files.items():
+        assert os.stat(p).st_mtime_ns == m  # data files byte-untouched
