@@ -576,3 +576,116 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Embedding-space drift: the vector-column sibling of PSI
+# ---------------------------------------------------------------------------
+EMB_DRIFT_SCALE = 1_000_000  # per-component fixed-point quantum (1e-6)
+EMB_DIM = 64
+
+
+@register(
+    "embedding_drift_by_label",
+    oracle=f"""
+        WITH q AS (
+          SELECT label, vec_id % 2 AS half,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(floor(x * {EMB_DRIFT_SCALE} + 0.5) AS BIGINT))
+                   AS vq
+          FROM embeddings
+        ),
+        per_dim AS (
+          SELECT label, half, d.dim,
+                 CAST(sum(vq[d.dim]) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM q, (SELECT unnest(generate_series(1, {EMB_DIM})) AS dim) d
+          GROUP BY 1, 2, 3
+        ),
+        cent AS (
+          SELECT label, half, max(n) AS n,
+                 list(s * 1.0 / (n * {EMB_DRIFT_SCALE}.0) ORDER BY dim) AS c
+          FROM per_dim GROUP BY label, half
+        )
+        SELECT a.label,
+               a.n AS n_old, b.n AS n_new,
+               round(list_dot_product(a.c, b.c)
+                     / (sqrt(list_dot_product(a.c, a.c))
+                        * sqrt(list_dot_product(b.c, b.c))), 6) + 0.0
+                 AS centroid_cosine
+        FROM cent a JOIN cent b ON a.label = b.label
+        WHERE a.half = 0 AND b.half = 1
+    """,
+    doc="Embedding-space drift: per-label centroid of the old cohort vs the new (vec_id parity split), cosine between centroids — components fixed-point-quantized so the cross-row sums are order-independent and the hash is exact.",
+    tags=("quality", "drift", "similarity", "ext", "scale"),
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift for VECTOR columns — the check `psi_drift_events`
+    can't express: per label, the centroid of the 'old' cohort (even
+    vec_id) vs the 'new' (odd), compared by cosine. A drifting embedding
+    space (new encoder version, corpus shift) drops the centroid cosine
+    long before scalar metadata moves — the retraining/backfill alarm for
+    vector stores.
+
+    Cross-engine exactness: each component is fixed-point-quantized
+    (×1e6, half-up) BEFORE summation, so the per-(label, half, dim) sums
+    are BIGINT — accumulation-order-independent — and every later step
+    (÷ n·1e6, the dim-ordered dot-product folds) runs the same IEEE ops
+    on identical doubles in both engines. The same discipline as the
+    fixed-point PageRank, applied per dimension.
+
+    Scale: one scan + a (labels × 2 × 64)-row partial agg; centroids are
+    KB-sized. The posexplode widens rows ×64 before the map-side combine
+    — at 100 TB you'd fold the per-partition sums with an Arrow UDF
+    instead; the aggregate's shape (bounded output, exact ints) is
+    unchanged.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.arrays import as_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.transform(
+            as_double("embedding"),
+            lambda x: F.floor(x * EMB_DRIFT_SCALE + 0.5).cast("long"),
+        ).alias("vq"),
+    )
+    per_dim = (
+        q.select("label", "half", F.posexplode("vq").alias("dim", "v"))
+        .groupBy("label", "half", "dim")
+        .agg(F.sum("v").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cent = (
+        per_dim.withColumn("c", F.col("s") / (F.col("n") * F.lit(float(EMB_DRIFT_SCALE))))
+        .groupBy("label", "half")
+        .agg(
+            F.max("n").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda st: st["c"]
+            ).alias("c"),
+        )
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_old"), F.col("c").alias("c0")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_new"), F.col("c").alias("c1")
+    )
+    dot = F.aggregate(
+        F.zip_with("c0", "c1", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    n0 = F.sqrt(
+        F.aggregate(F.zip_with("c0", "c0", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    n1 = F.sqrt(
+        F.aggregate(F.zip_with("c1", "c1", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    return a.join(b, "label").select(
+        "label",
+        "n_old",
+        "n_new",
+        (F.round(dot / (n0 * n1), 6) + 0.0).alias("centroid_cosine"),
+    )

@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = [
     "stream_rate_limited_backfill",
     "dq_quarantine_split",
     "lake_shallow_clone_divergence",
+    "embedding_drift_by_label",
     # --- changed in r6: new oracle / changed semantics --------------------
     "pagerank_purchase_graph",  # rows-only -> fixed-point + DuckDB oracle
     "ml_fpgrowth_item_pairs",  # support bar now corpus-relative

@@ -257,6 +257,7 @@ def test_event_queries_match_oracle_on_hostile_series(spark, tmp_path_factory, n
 # Embeddings-table fuzz: FP-fold parity on hostile vectors
 # ---------------------------------------------------------------------------
 EMB_QUERIES = [
+    "embedding_drift_by_label",  # r6: fixed-point centroid drift
     "embedding_l2_normalized",
     "embedding_quantize_int8",
     "embedding_dim_means",

@@ -110,6 +110,7 @@ R6_ORACLE = [
     "near_dup_index_append_cycle",
     "dq_quarantine_split",
     "lake_shallow_clone_divergence",
+    "embedding_drift_by_label",
 ]
 
 

@@ -124,6 +124,7 @@ QUERIES = [
     "events_local_hour_histogram",
     "mad_price_outliers",
     "near_dup_index_append_cycle",
+    "embedding_drift_by_label",
 ]
 
 
