@@ -689,3 +689,74 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         (F.round(dot / (n0 * n1), 6) + 0.0).alias("centroid_cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Chi-square independence screen, per-cell (categorical drift/DQ)
+# ---------------------------------------------------------------------------
+@register(
+    "chisq_priority_status_cells",
+    oracle="""
+        WITH cells AS (
+          SELECT o_orderpriority AS prio, o_orderstatus AS status,
+                 CAST(count(*) AS BIGINT) AS n_obs
+          FROM orders GROUP BY 1, 2
+        ),
+        margins AS (
+          SELECT c.prio, c.status, c.n_obs,
+                 sum(c.n_obs) OVER (PARTITION BY c.prio) AS row_tot,
+                 sum(c.n_obs) OVER (PARTITION BY c.status) AS col_tot,
+                 sum(c.n_obs) OVER () AS n
+          FROM cells c
+        )
+        SELECT prio, status, n_obs,
+               floor(row_tot * col_tot * 10000.0 / n + 0.5) / 10000
+                 AS expected,
+               floor((n_obs - row_tot * col_tot * 1.0 / n)
+                     * (n_obs - row_tot * col_tot * 1.0 / n)
+                     / (row_tot * col_tot * 1.0 / n) * 10000 + 0.5) / 10000
+                 AS chi_term
+        FROM margins
+    """,
+    doc="Chi-square independence screen between two categoricals, emitted PER CELL (obs, expected, chi term) — each cell's arithmetic is a fixed IEEE expression on exact integer margins, so the hash is exact with no cross-cell FP sum.",
+    tags=("quality", "dq", "stats", "ext"),
+)
+def chisq_priority_status_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-association screen: are order priority and order
+    status independent? The classic DQ/drift test for categorical
+    columns (a strong association where none is expected flags a
+    pipeline bug; a vanished association flags upstream drift).
+
+    Emitted per CELL — (observed, expected = row·col/N, chi term) — not
+    as the summed statistic: the per-cell terms are single IEEE
+    expressions over EXACT integer margins (window sums of BIGINT
+    counts), identical in both engines, while a cross-cell sum would be
+    accumulation-order FP. Consumers sum the bounded (|prio|×|status|)
+    cell table driver-side and compare against the chi-square critical
+    value; tests/test_r6_new_ops.py cross-pins that sum against
+    pyspark.ml.stat.ChiSquareTest's statistic on the same table.
+
+    Scale: one hash agg to the cell table, three window passes over
+    those ≤15 rows — post-agg bounded, same posture as PSI.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("prio"), F.col("o_orderstatus").alias("status")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    row_tot = F.sum("n_obs").over(Window.partitionBy("prio"))
+    col_tot = F.sum("n_obs").over(Window.partitionBy("status"))
+    n = F.sum("n_obs").over(Window.partitionBy())
+    exp = row_tot * col_tot * F.lit(1.0) / n
+    m = cells.select(
+        "prio",
+        "status",
+        "n_obs",
+        (F.floor(row_tot * col_tot * 10000.0 / n + 0.5) / 10000).alias("expected"),
+        (
+            F.floor((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp * 10000 + 0.5)
+            / 10000
+        ).alias("chi_term"),
+    )
+    return m

@@ -111,6 +111,7 @@ R6_ORACLE = [
     "dq_quarantine_split",
     "lake_shallow_clone_divergence",
     "embedding_drift_by_label",
+    "chisq_priority_status_cells",
 ]
 
 

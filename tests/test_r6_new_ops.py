@@ -434,3 +434,34 @@ def test_shallow_clone_leaves_original_untouched(spark, sf_dir):
     assert not os.path.exists(os.path.join(root, "snap_v5.json"))
     for p, m in before_files.items():
         assert os.stat(p).st_mtime_ns == m  # data files byte-untouched
+
+
+# ---------------------------------------------------------------------------
+# Chi-square cells: summed terms match MLlib's ChiSquareTest statistic
+# ---------------------------------------------------------------------------
+def test_chisq_cells_match_mllib_statistic(spark, sf_dir):
+    rows = REG["chisq_priority_status_cells"].fn(spark, sf_dir).collect()
+    ours = sum(r["chi_term"] for r in rows)
+    # per-cell expected values are positive and obs totals conserve
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_obs"] for r in rows) == n_orders
+    assert all(r["expected"] > 0 for r in rows)
+
+    from pyspark.ml.feature import StringIndexer
+    from pyspark.ml.linalg import VectorUDT, Vectors
+    from pyspark.ml.stat import ChiSquareTest
+    from pyspark.sql import types as T
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    idx = StringIndexer(
+        inputCols=["o_orderpriority", "o_orderstatus"], outputCols=["pi", "si"]
+    ).fit(o)
+    df = idx.transform(o)
+    to_vec = F.udf(lambda x: Vectors.dense([x]), VectorUDT())
+    df = df.select(to_vec("pi").alias("features"), F.col("si").alias("label"))
+    stat = ChiSquareTest.test(df, "features", "label").collect()[0]
+    mllib_stat = float(stat["statistics"][0])
+    # per-cell rounding is 1e-4 over <=15 cells
+    assert abs(ours - mllib_stat) < 0.01, (ours, mllib_stat)

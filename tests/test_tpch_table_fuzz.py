@@ -58,7 +58,7 @@ QUERIES = [
     "skyline_pareto_parts","mad_price_outliers","benford_first_digit",
     "shortest_paths_bfs","pagerank_purchase_graph","ml_fpgrowth_item_pairs",
     "lake_wap_publish","sql_pipe_syntax","group_by_all_revenue",
-    "customer_rfm_segments",
+    "customer_rfm_segments","chisq_priority_status_cells",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"
