@@ -1279,3 +1279,66 @@ def cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r6] Cluster-quality gate: silhouette over the persisted IVF layout
+# ---------------------------------------------------------------------------
+@register(
+    "ivf_silhouette_gate",
+    oracle=None,  # squared-euclidean silhouette over a k-means fit; pins in tests
+    tags=("similarity", "ivf", "ml", "ext"),
+)
+def ivf_silhouette_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality gating: the silhouette coefficient of the persisted
+    IVF cell assignment vs a hash-random assignment of the same k — the
+    health check a vector store runs before trusting an index build
+    (a silhouette near the random baseline means the centroids collapsed
+    or the data shifted, and recall pins will follow it down).
+
+    MLlib surface: ClusteringEvaluator (squared-euclidean silhouette) —
+    the evaluator family member the ML pillar still lacked (Regression
+    and Binary evaluators are exercised elsewhere). On the
+    UNIFORM-random fixture the absolute silhouette is near zero by
+    construction (64-dim uniform data has no real cluster structure —
+    measured ≈ -0.01 for k-means vs ≈ -0.04 random), so the gate is the
+    MARGIN over the random baseline, pinned strictly positive in
+    tests/test_r6_new_ops.py; clustered production embeddings would
+    separate far more.
+
+    Scale: the evaluator is one pass over (features, prediction) with a
+    broadcast of per-cluster feature sums — the same map-side-combinable
+    shape as the index build itself; both run on the PERSISTED
+    assignments, never re-fitting.
+    """
+    import os
+
+    from pyspark.ml.evaluation import ClusteringEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    root = build_ivf_index(spark, sf_dir)
+    assigned = (
+        spark.read.parquet(os.path.join(root, "assignments"))
+        .select("vec_id", "v", F.col("cell").cast("int").alias("cell"))
+        .withColumn("features", array_to_vector("v"))
+    )
+    n = assigned.count()
+    ev = ClusteringEvaluator(
+        featuresCol="features", predictionCol="cell", metricName="silhouette"
+    )
+    sil_kmeans = ev.evaluate(assigned)
+    rand = assigned.withColumn(
+        "cell", F.pmod(F.xxhash64("vec_id"), F.lit(IVF_K)).cast("int")
+    )
+    sil_random = ev.evaluate(rand)
+    return spark.createDataFrame(
+        [
+            (
+                float(round(sil_kmeans, 6)),
+                float(round(sil_random, 6)),
+                int(n),
+                int(IVF_K),
+            )
+        ],
+        "silhouette_kmeans double, silhouette_random double, n_vectors long, k long",
+    )

@@ -85,6 +85,7 @@ _DRIVER_PRIORITY = [
     "lake_shallow_clone_divergence",
     "embedding_drift_by_label",
     "chisq_priority_status_cells",
+    "ivf_silhouette_gate",
     # --- changed in r6: new oracle / changed semantics --------------------
     "pagerank_purchase_graph",  # rows-only -> fixed-point + DuckDB oracle
     "ml_fpgrowth_item_pairs",  # support bar now corpus-relative

@@ -465,3 +465,15 @@ def test_chisq_cells_match_mllib_statistic(spark, sf_dir):
     mllib_stat = float(stat["statistics"][0])
     # per-cell rounding is 1e-4 over <=15 cells
     assert abs(ours - mllib_stat) < 0.01, (ours, mllib_stat)
+
+
+# ---------------------------------------------------------------------------
+# IVF silhouette gate: k-means strictly above the random baseline
+# ---------------------------------------------------------------------------
+def test_ivf_silhouette_above_random(spark, sf_dir):
+    row = REG["ivf_silhouette_gate"].fn(spark, sf_dir).collect()[0]
+    assert row["silhouette_kmeans"] > row["silhouette_random"]
+    # uniform fixture: both near zero (no true cluster structure), sane range
+    assert -0.2 < row["silhouette_random"] < 0.2
+    assert -0.2 < row["silhouette_kmeans"] < 0.5
+    assert row["n_vectors"] > 0 and row["k"] == 16
