@@ -594,6 +594,7 @@ EMB_DIM = 64
                                 x -> CAST(floor(x * {EMB_DRIFT_SCALE} + 0.5) AS BIGINT))
                    AS vq
           FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM}
         ),
         per_dim AS (
           SELECT label, half, d.dim,
@@ -645,6 +646,14 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.arrays import as_double
 
     e = load_table(spark, sf_dir, "embeddings")
+    # Population contract made explicit (ADVICE r6): posexplode silently
+    # drops NULL / wrong-length vectors from n while the oracle's
+    # generate_series cross join would count them — filter BOTH sides to
+    # "non-null, exactly EMB_DIM components" so the cohort sizes agree on
+    # hostile input, not just on well-formed fixtures.
+    e = e.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == EMB_DIM)
+    )
     q = e.select(
         "label",
         (F.col("vec_id") % 2).alias("half"),
@@ -748,12 +757,18 @@ def chisq_priority_status_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_tot = F.sum("n_obs").over(Window.partitionBy("prio"))
     col_tot = F.sum("n_obs").over(Window.partitionBy("status"))
     n = F.sum("n_obs").over(Window.partitionBy())
-    exp = row_tot * col_tot * F.lit(1.0) / n
+    # Widen to double BEFORE the margin product: row_tot * col_tot as
+    # LongType overflows (ANSI throw) near 3e9 rows while DuckDB's window
+    # sums widen to HUGEINT — an engine divergence at exactly the scale
+    # this operator exists for (ADVICE r6).
+    exp = row_tot.cast("double") * col_tot / n
     m = cells.select(
         "prio",
         "status",
         "n_obs",
-        (F.floor(row_tot * col_tot * 10000.0 / n + 0.5) / 10000).alias("expected"),
+        (F.floor(row_tot.cast("double") * col_tot * 10000.0 / n + 0.5) / 10000).alias(
+            "expected"
+        ),
         (
             F.floor((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp * 10000 + 0.5)
             / 10000

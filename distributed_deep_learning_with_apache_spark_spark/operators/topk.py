@@ -474,18 +474,25 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "p_partkey long, p_retailprice double, p_size long"
         )
+    # "No cheaper partition" is represented by ABSENCE from the map (and
+    # "no cheaper row in this partition" by prev_max staying NULL), not a
+    # -1 sentinel: with a sentinel, any domain where the measure can reach
+    # it (p_size <= -1) would be falsely dominated (ADVICE r6). Each
+    # comparison is coalesced to False so a NULL "nothing cheaper" never
+    # dominates and never leaks three-valued logic into the filter.
     ext: dict[int, int] = {}
     run = None
     for pid, mx in pmax:
-        ext[pid] = -1 if run is None else run  # -1: no cheaper partition
+        if run is not None:
+            ext[pid] = run
         run = mx if run is None else max(run, mx)
     ext_expr = F.element_at(
         F.create_map(*[F.lit(x) for kv in ext.items() for x in kv]), F.col("pid")
-    )
+    ) if ext else F.lit(None).cast("long")
     dominated = (
-        (F.coalesce(F.col("prev_max"), F.lit(-1)) >= F.col("p_size"))
+        F.coalesce(F.col("prev_max") >= F.col("p_size"), F.lit(False))
         | (F.col("gmax") > F.col("p_size"))
-        | (ext_expr >= F.col("p_size"))
+        | F.coalesce(ext_expr >= F.col("p_size"), F.lit(False))
     )
     return (
         ranged.join(grp, ["pid", "p_retailprice"])

@@ -54,139 +54,101 @@ def register(
 
 # The driver's correctness gate iterates ``queries()`` in dict order and
 # (empirically, CORRECTNESS_r01-r05.json) checks ~50 queries per round.
-# After round 5 all 240 registered names have green driver rows (190
-# hash + 50 rows-only).  Round 6 front-loads: (a) every NEW r6 query,
-# (b) queries whose semantics or oracle CHANGED this round (they must
-# re-earn their hash), then (c) the STALEST greens — the r1-era hash rows
-# haven't been re-confirmed in five rounds of fixture/session evolution
-# (VERDICT r5 #3).  Surplus slots continue down the r2-era list.
+# After round 6 all 264 registered names have green driver rows (210
+# hash + 54 rows-only), but 27 were last confirmed in round 1 and 49 in
+# round 2 — six/five rounds of fixture and session evolution ago (VERDICT
+# r6 #3).  Round 7 front-loads: (a) every NEW r7 query, (b) queries whose
+# code CHANGED this round (advisor fixes + the crossval layout pin — they
+# must re-earn their hash), then (c) the full r1-era cohort, then the
+# r2-era cohort; whatever exceeds the ~50-query round budget carries to
+# r8's rotation (regenerate this list each round from the CORRECTNESS_r*
+# latest-row map — see tools/coverage_report.py for the consumption).
 _DRIVER_PRIORITY = [
-    # --- new in r6 (inserted as they land) --------------------------------
-    "near_dup_incremental",
-    "skyline_pareto_parts",
-    "mad_price_outliers",
-    "events_session_window_builtin",
-    "benford_first_digit",
-    "shortest_paths_bfs",
-    "cosine_topk_filtered",
-    "lake_wap_publish",
-    "ml_gbt_regression",
-    "sql_pipe_syntax",
-    "group_by_all_revenue",
-    "lake_restore_version",
-    "events_local_hour_histogram",
-    "ml_crossval_ridge",
-    "customer_rfm_segments",
-    "attribution_last_touch",
-    "stream_attribution_last_touch",
-    "near_dup_index_append_cycle",
-    "stream_rate_limited_backfill",
-    "dq_quarantine_split",
-    "lake_shallow_clone_divergence",
+    # --- new in r7 (inserted as they land) --------------------------------
+    # --- changed in r7: advisor fixes / layout pin (must re-earn hash) ----
     "embedding_drift_by_label",
+    "skyline_pareto_parts",
     "chisq_priority_status_cells",
-    "ivf_silhouette_gate",
-    # --- changed in r6: new oracle / changed semantics --------------------
-    "pagerank_purchase_graph",  # rows-only -> fixed-point + DuckDB oracle
-    "ml_fpgrowth_item_pairs",  # support bar now corpus-relative
-    "simhash_near_dup_pairs",  # per-doc top-k emission cap
-    "lake_dpp_star_join",  # cent-scaled revenue (both sides)
-    "hinted_shuffle_hash_join",  # cent-scaled revenue (both sides)
-    "dedup_clusters_logstar",  # exact-equality convergence test
-    "row_ids_distributed",  # localCheckpoint materialization
-    "sink_custom_writer_roundtrip",  # commit-protocol rework
-    # --- stalest greens: r1-era hash rows, unconfirmed since round 1 ------
-    "asof_join_latest_order",
-    "range_join_events_after_order",
-    "tokenize_truncate",
-    "corpus_token_stats",
-    "text_quality",
-    "lang_id",
-    "token_counts",
-    "tfidf_top_terms",
-    "doc_fingerprints",
-    "bm25_topk",
-    "inverted_index_postings",
-    "zipf_fit",
-    "dedup_exact_groups",
-    "dedup_exact_survivors",
-    "near_dup_jaccard",
-    "near_dup_jaccard_stopfiltered",
-    "minhash_lsh_candidates",
-    "near_dup_minhash_verified",
-    "dedup_clusters",
-    "simhash_fingerprints",
-    "decontaminate_ngram_overlap",
-    "repetition_signals",
-    "chunk_dedup_c4",
-    "sample_stratified_hash",
+    "lake_wap_publish",
+    "ml_crossval_ridge",
+    # --- stalest greens: latest driver row is ROUND 1 (r6 verdict #3) -----
     "corpus_curation_pipeline",
-    "pack_sequences",
-    "mix_domains_to_target",
-    "quality_tiers",
-    "order_priority_check",
-    "forecast_revenue",
     "customer_order_distribution",
-    "small_quantity_revenue",
-    "large_volume_customers",
+    "decontaminate_ngram_overlap",
+    "dedup_clusters",
     "disjunctive_predicate_revenue",
-    "idle_rich_customers",
-    "nation_trade_volume",
-    "market_share",
-    "product_type_profit",
-    "returned_item_losses",
-    "top_supplier_revenue",
-    "lonely_late_suppliers",
-    "important_part_values",
-    "late_shipment_priority",
-    "part_supplier_counts",
-    "promotion_candidate_suppliers",
-    "merge_upsert_customers",
-    "scd2_customer_history",
     "filter_contains_project",
+    "forecast_revenue",
+    "idle_rich_customers",
+    "important_part_values",
     "keyby_amounts",
-    # --- r2-era greens (next stalest; surplus driver slots land here) -----
-    "doc_embedding_avg",
-    "last_timestep_select",
-    "events_sessionized",
-    "vector_scalar_ops",
-    "embedding_dim_means",
-    "embedding_argmax",
-    "hstack_features",
-    "anomaly_best_worst",
-    "vocab_filter_truncate",
-    "grouped_best_worst_orders",
-    "grouped_topk_salted",
-    "running_revenue_per_customer",
-    "order_gap_days",
-    "customer_balance_ranks",
-    "intersect_active_building_customers",
-    "except_unsold_parts",
-    "quantile_order_prices",
-    "profile_lineitem",
-    "unpivot_lineitem_measures",
-    "lake_zorder_stats",
-    "cosine_topk_exact",
+    "large_volume_customers",
+    "lonely_late_suppliers",
+    "market_share",
+    "merge_upsert_customers",
+    "mix_domains_to_target",
+    "nation_trade_volume",
+    "order_priority_check",
+    "pack_sequences",
+    "part_supplier_counts",
+    "product_type_profit",
+    "promotion_candidate_suppliers",
+    "quality_tiers",
+    "returned_item_losses",
+    "sample_stratified_hash",
+    "scd2_customer_history",
+    "small_quantity_revenue",
+    "top_supplier_revenue",
+    # --- then the round-2 cohort (overflow carries to r8) -----------------
+    "ann_ivf_by_label",
+    "ann_ivf_kmeans",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
-    "ann_ivf_by_label",
-    "near_dup_cosine_pairs",
+    "anomaly_best_worst",
+    "approx_stats_lineitem",
+    "binary_metadata",
+    "chunk_dedup_c4",
+    "clip_outliers_winsorize",
+    "cosine_topk_exact",
+    "customer_balance_ranks",
+    "dedup_incremental",
+    "doc_embedding_avg",
+    "dq_constraint_checks",
+    "embedding_argmax",
+    "embedding_dim_means",
     "embedding_l2_normalized",
     "embedding_quantize_int8",
-    "binary_metadata",
+    "events_latest_per_user_type",
+    "events_sessionized",
+    "events_sliding_1h_30m",
+    "events_tumbling_hourly",
+    "except_unsold_parts",
+    "grouped_best_worst_orders",
+    "grouped_topk_salted",
+    "hstack_features",
+    "intersect_active_building_customers",
+    "lake_partition_pruned_revenue",
+    "lake_zorder_stats",
+    "last_timestep_select",
+    "late_shipment_priority",
+    "minmax_scaled_features",
+    "ml_cnn_features_mlp",
+    "ml_distributed_mlp_sum",
+    "ml_regression_sum",
     "multimodal_frame_sample",
+    "near_dup_cosine_pairs",
+    "order_gap_days",
+    "pii_scrub",
+    "profile_lineitem",
+    "quantile_order_prices",
+    "repetition_signals",
+    "running_revenue_per_customer",
+    "simhash_fingerprints",
     "source_csv_orders_agg",
     "source_json_events_agg",
-    "lake_partition_pruned_revenue",
-    "ml_regression_sum",
-    "minmax_scaled_features",
-    "pii_scrub",
-    "dedup_incremental",
-    "clip_outliers_winsorize",
-    "events_tumbling_hourly",
-    "events_sliding_1h_30m",
-    "events_latest_per_user_type",
-    "dq_constraint_checks",
+    "unpivot_lineitem_measures",
+    "vector_scalar_ops",
+    "vocab_filter_truncate",
 ]
 
 

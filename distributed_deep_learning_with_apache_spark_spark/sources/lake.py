@@ -1250,9 +1250,14 @@ def lake_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         if batch.limit(1).count() > 0:
             corrupted = batch.withColumn("l_quantity", -F.abs("l_quantity") - 1)
             ok_bad, v = wap_stage_audit_publish(spark, root, v, corrupted, "bad_batch")
-            assert not ok_bad and v == 1, "corrupted batch must fail the audit"
+            # Runtime protocol gates, not debug asserts: `assert` is
+            # stripped under python -O, which would let a broken audit
+            # silently publish (ADVICE r6).
+            if ok_bad or v != 1:
+                raise RuntimeError("WAP violation: corrupted batch must fail the audit")
         ok_good, v = wap_stage_audit_publish(spark, root, v, batch, "good_batch")
-        assert ok_good and v == 2, "clean batch must audit and publish as v2"
+        if not ok_good or v != 2:
+            raise RuntimeError("WAP violation: clean batch must audit and publish as v2")
         final = read_snapshot(spark, root, v)
         out = final.groupBy("l_returnflag").agg(
             F.count(F.lit(1)).cast("long").alias("n_items"),
