@@ -253,3 +253,282 @@ def heavy_hitters_sketch_verified(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("cnt") >= F.ceil(F.col("n_tok") / float(HH_DENOM)))
         .select("tok", "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Mergeable quantile sketch rollup: bottom-k sample per month,
+# prefix-merged into running p50/p99 — the quantile sibling of
+# hll_daily_distinct_rollup, and hash-exact because the sketch is
+# DETERMINISTIC (a bottom-k sample under a bijective integer hash), not a
+# randomized summary.
+# ---------------------------------------------------------------------------
+QSK_K = 64  # sample size per sketch; rank RSE ~ 1/(2*sqrt(K)) ~ 6%
+QSK_P = 2_147_483_647  # Lehmer modulus (2^31 - 1), see setops.SAMPLE_P
+QSK_A = 950_706_376  # Fishman-Moore optimal multiplier: large enough that
+# any key >= 3 wraps the modulus, so sequential keys scatter (a small
+# multiplier leaves small keys UNWRAPPED -> bottom-k degenerates to
+# smallest-keys-first, a biased sample)
+QSK_C = 11
+
+
+@register(
+    "quantile_sketch_rollup_monthly",
+    oracle=f"""
+        WITH rows_h AS (
+          SELECT date_trunc('month', o_orderdate)::DATE AS month,
+                 ((o_orderkey % {QSK_P}) * {QSK_A} + {QSK_C}) % {QSK_P} AS hkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders
+        ),
+        monthly AS (
+          SELECT month, hkey, cents FROM rows_h
+          QUALIFY row_number() OVER (PARTITION BY month ORDER BY hkey) <= {QSK_K}
+        ),
+        months AS (SELECT DISTINCT month FROM monthly),
+        pref AS (
+          SELECT m.month AS month, s.hkey, s.cents
+          FROM months m JOIN monthly s ON s.month <= m.month
+        ),
+        merged AS (
+          SELECT month, hkey, cents FROM pref
+          QUALIFY row_number() OVER (PARTITION BY month ORDER BY hkey) <= {QSK_K}
+        ),
+        ranked AS (
+          SELECT month, cents,
+                 row_number() OVER (PARTITION BY month ORDER BY cents, hkey) AS vr,
+                 count(*) OVER (PARTITION BY month) AS n
+          FROM merged
+        )
+        SELECT month, CAST(max(n) AS BIGINT) AS n_sample,
+               CAST(max(CASE WHEN vr = CAST(ceil(n * 0.50) AS BIGINT)
+                             THEN cents END) AS BIGINT) AS est_p50_cents,
+               CAST(max(CASE WHEN vr = CAST(ceil(n * 0.99) AS BIGINT)
+                             THEN cents END) AS BIGINT) AS est_p99_cents
+        FROM ranked GROUP BY month
+    """,
+    doc=f"Running p50/p99 of order value per month via mergeable bottom-{QSK_K} sketches: each month keeps the {QSK_K} rows with smallest bijective-hash keys (a uniform sample), prefixes merge by union+re-truncate, quantiles are order statistics of the merged sample — deterministic, so hash-exact cross-engine.",
+    tags=("incremental", "quantile", "sketch", "ext", "scale"),
+)
+def quantile_sketch_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-quantile pattern the exact narrowing
+    (`quantile_two_pass_exact`) can't give: a dashboard needs running
+    p50/p99 per period WITHOUT re-scanning history each refresh. A
+    bottom-k sample under a fixed bijective hash is a mergeable sketch —
+    merge(sketch(A), sketch(B)) = sketch(A ∪ B) exactly (union, then keep
+    the k smallest keys) — so each month is summarized ONCE into ≤ k rows
+    and every running quantile is computed from |months| × k stored rows.
+    Unlike KLL/t-digest the sketch is a deterministic function of the
+    data, which is what makes the whole rollup hash-checkable against the
+    oracle instead of tolerance-pinned.
+
+    Accuracy: the kept rows are a uniform k-sample of the prefix (the
+    hash is a bijection, so bottom-k-by-hash = simple random sample
+    without replacement); the empirical quantile's rank error is
+    ~1/(2*sqrt(k)). Error + mergeability pinned in tests/test_r7_new_ops.
+
+    Scale: per-month bottom-k compiles to WindowGroupLimit (per-partition
+    heaps, no full sort); the prefix merge touches months × k rows —
+    metadata scale, independent of row count. The reference's global
+    reduces (SparkRDDAPITest.scala:35-39) are the k=∞ degenerate case.
+
+    Cross-engine exactness: hash keys and cent values are int64
+    throughout; quantile selection is an integer order statistic
+    (ceil(n*q) via integer-exact doubles, n <= 64); no FP accumulation
+    anywhere.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rows_h = o.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.pmod(F.pmod(F.col("o_orderkey"), QSK_P) * QSK_A + QSK_C, QSK_P).alias(
+            "hkey"
+        ),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w_month = Window.partitionBy("month").orderBy("hkey")
+    monthly = (
+        rows_h.withColumn("rn", F.row_number().over(w_month))
+        .filter(F.col("rn") <= QSK_K)
+        .drop("rn")
+    )
+    months = monthly.select("month").distinct()
+    # Prefix union: |months| × k sketch rows joined to the month spine —
+    # a bounded range join over metadata, never over the fact table.
+    pref = months.alias("m").join(
+        monthly.alias("s"), F.col("s.month") <= F.col("m.month")
+    ).select(F.col("m.month").alias("month"), "s.hkey", "s.cents")
+    merged = (
+        pref.withColumn("rn", F.row_number().over(w_month))
+        .filter(F.col("rn") <= QSK_K)
+        .drop("rn")
+    )
+    ranked = merged.select(
+        "month",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("month").orderBy("cents", "hkey"))
+        .alias("vr"),
+        F.count(F.lit(1)).over(Window.partitionBy("month")).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(F.col("vr") == F.ceil(F.col("n") * q).cast("long"), F.col("cents"))
+    ).cast("long")
+    return ranked.groupBy("month").agg(
+        F.max("n").cast("long").alias("n_sample"),
+        pick(0.50).alias("est_p50_cents"),
+        pick(0.99).alias("est_p99_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] KMV (k-minimum-values) distinct sketch with SET INTERSECTION —
+# the estimator family HLL can't give (HLL unions only).
+# ---------------------------------------------------------------------------
+KMV_K = 128
+KMV_A = 1_226_874_159  # Fishman-Moore optimal multiplier (see QSK_A note:
+# an unwrapped affine map would cluster all hashes near 0 and inflate the
+# density estimate ~1000x — caught live on sequential user_ids)
+KMV_C = 7
+
+
+@register(
+    "kmv_user_overlap_sketch",
+    oracle=f"""
+        WITH hashed AS (
+          SELECT DISTINCT event_type, user_id,
+                 ((user_id % {QSK_P}) * {KMV_A} + {KMV_C}) % {QSK_P} AS hkey
+          FROM events WHERE event_type IN ('view', 'purchase')
+        ),
+        sk AS (
+          SELECT event_type, user_id, hkey,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hkey) AS rn
+          FROM hashed
+        ),
+        kept AS (SELECT * FROM sk WHERE rn <= {KMV_K}),
+        kth AS (
+          SELECT event_type, max(hkey) AS kth_hkey,
+                 CAST(count(*) AS BIGINT) AS k_eff
+          FROM kept GROUP BY event_type
+        ),
+        uni AS (
+          SELECT DISTINCT user_id, hkey FROM kept
+          ORDER BY hkey LIMIT {KMV_K}
+        ),
+        uni_kth AS (
+          SELECT max(hkey) AS kth_hkey, CAST(count(*) AS BIGINT) AS k_eff
+          FROM uni
+        ),
+        inter AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_both
+          FROM uni u
+          WHERE EXISTS (SELECT 1 FROM kept a WHERE a.event_type = 'view'
+                          AND a.user_id = u.user_id)
+            AND EXISTS (SELECT 1 FROM kept b WHERE b.event_type = 'purchase'
+                          AND b.user_id = u.user_id)
+        )
+        SELECT t.event_type,
+               t.k_eff,
+               CASE WHEN t.k_eff < {KMV_K} THEN t.k_eff
+                    ELSE CAST(floor((t.k_eff - 1) * {QSK_P}.0 / t.kth_hkey + 0.5)
+                              AS BIGINT) END AS est_distinct,
+               (SELECT CASE
+                  WHEN uk.k_eff < {KMV_K} THEN i.n_both
+                  ELSE CAST(floor(i.n_both * 1.0 / uk.k_eff
+                       * ((uk.k_eff - 1) * {QSK_P}.0 / uk.kth_hkey) + 0.5) AS BIGINT)
+                END FROM inter i, uni_kth uk) AS est_intersection
+        FROM kth t
+    """,
+    doc=f"KMV bottom-{KMV_K} distinct sketches per event type + Jaccard-style intersection estimate over the union sketch — the set-operation distinct estimator (HLL can only union); deterministic hash, so cross-engine hash-exact.",
+    tags=("incremental", "sketch", "approx", "ext", "scale"),
+)
+def kmv_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many users both VIEW and PURCHASE, without ever holding either
+    user set: KMV keeps the k smallest hash values per side; the k-th
+    smallest estimates density ((k-1)·P/h_k ≈ distinct count), and the
+    union sketch's members that appear in BOTH sides estimate the Jaccard
+    ratio, giving |A ∩ B| ≈ ρ · est(|A ∪ B|) — the classic bottom-k
+    set-operation estimator (Beyer et al., SIGMOD'07), which HLL
+    structurally cannot do. Deterministic bijective hash → the whole
+    pipeline is hash-exact cross-engine (vs the HLL rollup's rows-only
+    check).
+
+    Output: one row per event type with its sketch-estimated distinct
+    users, plus the shared intersection estimate (same value on both rows
+    — kept per-row so the result is a single flat driver-hashable table).
+
+    Accuracy: RSE ≈ 1/sqrt(k-1) ≈ 9% at k=128; pinned vs exact counts in
+    tests/test_r7_new_ops.py.
+
+    Scale: per-side bottom-k is WindowGroupLimit over the deduped
+    (type, user) pairs — the only full-data op is that dedup, a map-side
+    combinable aggregate; everything after runs on ≤ 2k sketch rows. At
+    100 TB you'd persist the per-day sketches like the band index and
+    merge on read (union = concat + re-truncate, associative).
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    hashed = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "hkey", F.pmod(F.pmod(F.col("user_id"), QSK_P) * KMV_A + KMV_C, QSK_P)
+        )
+    )
+    w_side = Window.partitionBy("event_type").orderBy("hkey")
+    kept = (
+        hashed.withColumn("rn", F.row_number().over(w_side))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+        .localCheckpoint(eager=False)  # reused 4x below; ≤ 2k rows
+    )
+    kth = kept.groupBy("event_type").agg(
+        F.max("hkey").alias("kth_hkey"), F.count(F.lit(1)).cast("long").alias("k_eff")
+    )
+    uni = (
+        kept.select("user_id", "hkey")
+        .distinct()
+        .orderBy("hkey")
+        .limit(KMV_K)
+        .localCheckpoint(eager=False)
+    )
+    uni_kth = uni.agg(
+        F.max("hkey").alias("u_kth"), F.count(F.lit(1)).cast("long").alias("u_k")
+    )
+    views = kept.filter(F.col("event_type") == "view").select("user_id")
+    buys = kept.filter(F.col("event_type") == "purchase").select("user_id")
+    n_both = (
+        uni.join(views, "user_id", "left_semi")
+        .join(buys, "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    # A sketch that never FILLED holds the entire value set — its "estimate"
+    # is the exact count, not the density extrapolation (which is biased
+    # low by (k-1)/k when k_eff < K).
+    est_union = (F.col("u_k") - 1) * float(QSK_P) / F.col("u_kth")
+    inter_est = n_both.crossJoin(uni_kth).select(
+        F.when(F.col("u_k") < KMV_K, F.col("n_both"))
+        .otherwise(
+            F.floor(F.col("n_both") * 1.0 / F.col("u_k") * est_union + 0.5).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("est_intersection")
+    )
+    return kth.crossJoin(F.broadcast(inter_est)).select(
+        "event_type",
+        "k_eff",
+        F.when(F.col("k_eff") < KMV_K, F.col("k_eff"))
+        .otherwise(
+            F.floor(
+                (F.col("k_eff") - 1) * float(QSK_P) / F.col("kth_hkey") + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("est_distinct"),
+        "est_intersection",
+    )

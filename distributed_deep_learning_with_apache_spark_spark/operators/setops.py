@@ -170,17 +170,88 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("value", F.round("value", 2))
 
 
+# Lehmer-style portable hash: P prime, gcd(A, P) = 1, so k -> (k*A + C) % P
+# is a BIJECTION on [0, P) — zero collisions for keys < P, and every step is
+# exact int64 arithmetic both engines compute identically ((k % P) * A tops
+# out near 2^61 < 2^63). The same trick that made sample_weighted_quality
+# hash-green, applied to the uniform case (VERDICT r6 #6).
+SAMPLE_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+SAMPLE_A = 1_103_515_245
+SAMPLE_C = 12_345
+SAMPLE_FRACTION_NUM = 214_748_364  # floor(P * 0.1): integer threshold, no FP
+TAKESAMPLE_K = 100
+TAKESAMPLE_A = 742_938_285  # Fishman-Moore optimal multiplier for mod 2^31-1
+TAKESAMPLE_C = 362_437
+
+
+def _lehmer(key, mult: int, inc: int):
+    """Portable pseudo-uniform int in [0, P) from an integer key column."""
+    return F.pmod(F.pmod(key, SAMPLE_P) * mult + inc, SAMPLE_P)
+
+
 @register(
     "sample_seeded",
-    oracle=None,  # partitioning-dependent sampling; rows-only (O3/O5)
-    tags=("sample",),
+    oracle=f"""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE ((o_orderkey % {SAMPLE_P}) * {SAMPLE_A} + {SAMPLE_C}) % {SAMPLE_P}
+              < {SAMPLE_FRACTION_NUM}
+    """,
+    doc="Deterministic 10% Bernoulli sample: keep rows whose portable Lehmer hash of the key falls under floor(P/10) — reproducible run-to-run AND engine-to-engine, unlike rand(seed).",
+    tags=("sample", "scale"),
 )
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3 takeSample / O5 seeded shuffle: Bernoulli sample at fixed seed —
-    deterministic for a fixed input partitioning (SURVEY §7.4.2), hence
-    rows-only in the oracle harness."""
+    """O5 seeded-sample analog (`SparkRDDAPITest.scala:39` takeSample /
+    sample) upgraded from rows-only to hash-checked: `df.sample(seed=)` is
+    only deterministic PER PARTITION LAYOUT (SURVEY §7.4.2), so it can
+    never match a single-node oracle. Instead the membership test is a
+    pure function of the ROW KEY — a Lehmer hash compared against an
+    integer threshold — which is the form production pipelines want
+    anyway: the sample is stable under repartitioning, re-ingestion, and
+    engine migration, and a row's membership can be re-derived at audit
+    time.
+
+    Scale: a scan-stage integer predicate — no shuffle, no state, works
+    identically at 10^3 or 10^12 rows; selectivity is exactly
+    floor(P*f)/P by the bijection (no hash-collision bias).
+    """
     o = load_table(spark, sf_dir, "orders")
-    return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+    return o.filter(
+        _lehmer(F.col("o_orderkey"), SAMPLE_A, SAMPLE_C) < SAMPLE_FRACTION_NUM
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "sample_takesample_k",
+    oracle=f"""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY ((o_orderkey % {SAMPLE_P}) * {TAKESAMPLE_A} + {TAKESAMPLE_C})
+                 % {SAMPLE_P}, o_orderkey
+        LIMIT {TAKESAMPLE_K}
+    """,
+    doc="Fixed-size uniform sample without replacement: global bottom-k by a portable Lehmer hash — the deterministic takeSample(false, k).",
+    tags=("sample", "topk", "ext", "scale"),
+)
+def sample_takesample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 `takeSample(false, k)` (`SparkRDDAPITest.scala:39`) made
+    engine-portable: hashing every key with a bijective Lehmer map and
+    keeping the k smallest IS a uniform sample without replacement (every
+    k-subset equally likely under the hash's pseudo-randomness), and it is
+    a pure function of the data — the property the RDD API's
+    partition-stratified sampler gives up.
+
+    Scale: compiles to TakeOrderedAndProject — per-partition heaps of k
+    rows, one k-row merge at the driver, no sort, no shuffle of the input.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    hkey = _lehmer(F.col("o_orderkey"), TAKESAMPLE_A, TAKESAMPLE_C)
+    return (
+        o.select("o_orderkey", "o_totalprice", hkey.alias("hkey"))
+        .orderBy("hkey", "o_orderkey")
+        .limit(TAKESAMPLE_K)
+        .select("o_orderkey", "o_totalprice")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -65,7 +65,12 @@ def register(
 # latest-row map — see tools/coverage_report.py for the consumption).
 _DRIVER_PRIORITY = [
     # --- new in r7 (inserted as they land) --------------------------------
+    "sample_takesample_k",
+    "quantile_sketch_rollup_monthly",
+    "kmv_user_overlap_sketch",
+    "stream_exactly_once_merge_restart",
     # --- changed in r7: advisor fixes / layout pin (must re-earn hash) ----
+    "sample_seeded",  # rows-only -> portable-hash Bernoulli with oracle
     "embedding_drift_by_label",
     "skyline_pareto_parts",
     "chisq_priority_status_cells",

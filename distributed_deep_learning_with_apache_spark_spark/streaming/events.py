@@ -2220,3 +2220,157 @@ def stream_rate_limited_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Exactly-once foreachBatch MERGE under crash + restart: batch-id
+# idempotence ledger survives a failure injected AFTER the sink commit.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_exactly_once_merge_restart",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_value_cents
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="foreachBatch MERGE sink with a committed-batch-id ledger, crashed deliberately AFTER a commit and restarted from the checkpoint: the replayed batch is detected and skipped, so the end state is hash-identical to the one-shot batch aggregate — exactly-once on top of at-least-once delivery.",
+    tags=("streaming", "structured", "sink", "checkpoint", "ext", "scale"),
+)
+def stream_exactly_once_merge_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production lakehouse-ingest contract `stream_foreachbatch_merge`
+    demonstrates and `stream_checkpoint_recovery` half-proves, composed and
+    proven under the failure that actually matters: a crash in the window
+    AFTER the sink commit and BEFORE the checkpoint commit. Structured
+    Streaming then REPLAYS that epoch with the same batch_id on restart
+    (at-least-once delivery); a sink that is not batch-id idempotent
+    applies it twice and silently double-counts.
+
+    Mechanics (the Delta/Iceberg `txnAppId`/`txnVersion` pattern, built on
+    parquet + a ledger file):
+    - events staged as 6 files, streamed with maxFilesPerTrigger=1 → 6
+      real micro-batches;
+    - each batch MERGEs its partial (user_id, count, cents) aggregate into
+      a new versioned target dir, then atomically publishes pointer +
+      committed-batch-id ledger (os.replace);
+    - a fault is INJECTED after the 3rd commit of run 1: the foreachBatch
+      body raises, the query dies mid-stream, the checkpoint has NOT
+      recorded that epoch;
+    - run 2 restarts from the same checkpoint; Spark redelivers the
+      crashed batch with the SAME batch_id; the ledger says "already
+      committed" and the merge SKIPS it (idempotence), then processes the
+      remaining batches.
+
+    The query returns the final target table; the registered ORACLE is the
+    one-shot batch aggregate — a hash match IS the exactly-once proof,
+    because a double-applied batch inflates counts and sums. The replay
+    must actually happen: if run 2 skips nothing, this raises (the
+    rehearsal would otherwise be vacuous — same discipline as the WAP
+    gates). Value sums are cent-scaled BIGINTs so the hash cannot split on
+    FP accumulation order.
+
+    Scale: per-batch work is one map-side-combinable aggregate over that
+    batch + a merge join against the keyed target (∝ keys touched, the
+    incremental_agg_maintenance shape); the ledger is O(batches) bytes.
+    Reference ancestry: the epoch/reset training loop
+    (PredictCommentsUsingRNNAndWord2Vec.java:82-85) re-reads its corpus
+    per epoch; this is the restartable exactly-once form of that loop.
+    """
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    base = tempfile.mkdtemp(prefix="sg_eo_merge_")
+    staging = _os.path.join(base, "staging")
+    pointer = _os.path.join(base, "POINTER.json")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents")
+    )
+    ev.repartition(6).write.mode("overwrite").parquet(staging)
+
+    def _read_pointer() -> dict:
+        if not _os.path.exists(pointer):
+            return {"cur": None, "committed": []}
+        with open(pointer) as fh:
+            return _json.load(fh)
+
+    def _publish_pointer(meta: dict) -> None:
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(meta, fh)
+        _os.replace(tmp, pointer)  # atomic on POSIX: commit point
+
+    crash = {"after_commits": 3, "commits": 0}
+    skipped_replays: list[int] = []
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        meta = _read_pointer()
+        if batch_id in meta["committed"]:
+            # Redelivered epoch (crash happened after this id's commit):
+            # exactly-once = commit-once, so this application is a no-op.
+            skipped_replays.append(batch_id)
+            return
+        partial = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_value_cents"),
+        )
+        if meta["cur"] is not None:
+            prev = batch_df.sparkSession.read.parquet(meta["cur"])
+            partial = (
+                prev.unionByName(partial)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.sum("total_value_cents").cast("long").alias("total_value_cents"),
+                )
+            )
+        out = _os.path.join(base, f"v{batch_id}")
+        partial.write.mode("overwrite").parquet(out)
+        _publish_pointer(
+            {"cur": out, "committed": sorted(meta["committed"] + [batch_id])}
+        )
+        crash["commits"] += 1
+        if crash["after_commits"] is not None and crash["commits"] == crash["after_commits"]:
+            crash["after_commits"] = None  # fire once
+            raise RuntimeError("injected crash AFTER sink commit, BEFORE checkpoint")
+
+    schema = spark.read.parquet(staging).schema
+    for attempt in (1, 2):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", _os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except StreamingQueryException:
+            if attempt == 2:  # only the injected fault is expected
+                raise
+        finally:
+            q.stop()
+
+    if not skipped_replays:
+        raise RuntimeError(
+            "exactly-once rehearsal vacuous: restart did not redeliver the "
+            "crashed batch (no ledger skip recorded)"
+        )
+
+    final_path = _read_pointer()["cur"]
+    final = spark.read.parquet(final_path).select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value_cents").cast("long").alias("total_value_cents"),
+    )
+    # Materialize before the temp target is removed.
+    final = spark.createDataFrame(final.collect(), final.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return final

@@ -181,6 +181,7 @@ EVENT_QUERIES = [
     "events_local_hour_histogram",  # r6: IANA tz conversion parity
     "attribution_last_touch",  # r6: conditional running-max attribution
     "dq_quarantine_split",  # r6: precedence-ordered dead-letter routing
+    "kmv_user_overlap_sketch",  # r7: bottom-k distinct/intersection sketch
 ]
 
 import datetime as _dt

@@ -114,6 +114,16 @@ R6_ORACLE = [
     "chisq_priority_status_cells",
 ]
 
+# Oracle-bearing round-7 additions (+ sample_seeded's rows-only -> oracle
+# upgrade): frozen at the driver's sf0.01 like the earlier rounds.
+R7_ORACLE = [
+    "sample_seeded",
+    "sample_takesample_k",
+    "quantile_sketch_rollup_monthly",
+    "kmv_user_overlap_sketch",
+    "stream_exactly_once_merge_restart",
+]
+
 
 @pytest.fixture(scope="module")
 def duck():
@@ -138,6 +148,13 @@ def test_r5_oracle_at_driver_sf(spark, duck, name):
 
 @pytest.mark.parametrize("name", R6_ORACLE)
 def test_r6_oracle_at_driver_sf(spark, duck, name):
+    q = REG[name]
+    ok, msg = compare(q.fn(spark, DRIVER_SF_DIR), duck, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", R7_ORACLE)
+def test_r7_oracle_at_driver_sf(spark, duck, name):
     q = REG[name]
     ok, msg = compare(q.fn(spark, DRIVER_SF_DIR), duck, q.oracle)
     assert ok, f"{name}: {msg}"

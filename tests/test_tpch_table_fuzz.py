@@ -59,6 +59,8 @@ QUERIES = [
     "shortest_paths_bfs","pagerank_purchase_graph","ml_fpgrowth_item_pairs",
     "lake_wap_publish","sql_pipe_syntax","group_by_all_revenue",
     "customer_rfm_segments","chisq_priority_status_cells",
+    # r7 additions
+    "sample_seeded","sample_takesample_k","quantile_sketch_rollup_monthly",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"

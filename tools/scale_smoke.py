@@ -125,6 +125,12 @@ QUERIES = [
     "mad_price_outliers",
     "near_dup_index_append_cycle",
     "embedding_drift_by_label",
+    # round-7: new scale-tagged ops
+    "sample_seeded",
+    "sample_takesample_k",
+    "quantile_sketch_rollup_monthly",
+    "kmv_user_overlap_sketch",
+    "stream_exactly_once_merge_restart",
 ]
 
 
