@@ -811,3 +811,95 @@ def ml_crossval_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "reg_param double, avg_rmse double, is_best boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] PrefixSpan sequential pattern mining — the ORDER-aware sibling
+# of FP-Growth (frequent itemsets ignore sequence; these patterns don't).
+# ---------------------------------------------------------------------------
+PSPAN_MIN_FRAC = 0.3  # pattern must appear in >= 30% of user sequences
+
+
+@register(
+    "ml_prefixspan_event_paths",
+    oracle=f"""
+        WITH nu AS (
+          SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events
+        ),
+        len1 AS (
+          SELECT event_type AS pat_a, CAST(NULL AS VARCHAR) AS pat_b,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events GROUP BY event_type
+        ),
+        len2 AS (
+          SELECT pat_a, pat_b, CAST(count(*) AS BIGINT) AS n_users FROM (
+            SELECT DISTINCT e1.user_id, e1.event_type AS pat_a,
+                   e2.event_type AS pat_b
+            FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+             AND (e1.ts < e2.ts OR (e1.ts = e2.ts AND e1.event_id < e2.event_id))
+          ) GROUP BY pat_a, pat_b
+        )
+        SELECT pat_a, pat_b, n_users
+        FROM (SELECT * FROM len1 UNION ALL SELECT * FROM len2), nu
+        WHERE n_users >= greatest(3, CAST(ceil(nu.n * {PSPAN_MIN_FRAC}) AS BIGINT))
+    """,
+    doc=f"PrefixSpan frequent sequential patterns (length <= 2) over per-user event-type sequences, support >= {PSPAN_MIN_FRAC} of users — the order-aware pattern miner, hash-checked against an EXISTS-pair SQL oracle.",
+    tags=("ml", "fpm", "sequence", "ext", "scale"),
+)
+def ml_prefixspan_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining (Pei et al., "PrefixSpan", ICDE'01) on the
+    event log: which event-type PATHS (view → purchase, not just
+    {view, purchase}) are common across users. FP-Growth
+    (`ml_fpgrowth_item_pairs`) answers the unordered question; this is the
+    ordered one — the distinction the reference's chapter-2 thesis (word
+    ORDER carries signal an unordered bag loses) makes for ML features,
+    applied to behavioral data.
+
+    Hash-checkable because at maxPatternLength=2 the pattern language has
+    an exact SQL semantics: a user supports <a,b> iff an a-event precedes
+    a b-event in their (ts, event_id)-ordered stream; support counts are
+    plain distinct-user counts. The MLlib fit must therefore agree with
+    the EXISTS-pair oracle row for row — an ML pillar with a real oracle
+    (like ml_regression_sum's closed form, unlike the rows-only fits).
+
+    minSupport is corpus-relative (the FP-Growth r6 lesson) with the
+    (min_count - 0.5)/n nudge so float rounding can't shift the bar.
+
+    Scale: PrefixSpan distributes by projected-database partitioning —
+    each frequent prefix's projection is mined independently; sequences
+    are built with one per-user sort (collect_list + array_sort, state ∝
+    a user's own events). maxPatternLength=2 bounds the search like the
+    Apriori prefilter bounds FP-tree width.
+    """
+    from pyspark.ml.fpm import PrefixSpan
+
+    e = load_table(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    if n_users == 0:
+        return spark.createDataFrame([], "pat_a string, pat_b string, n_users long")
+    min_count = max(3, -(-n_users * PSPAN_MIN_FRAC // 1))  # ceil
+    seqs = (
+        e.select(
+            "user_id", F.struct("ts", "event_id", "event_type").alias("ev")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("ev")), lambda x: F.array(x["event_type"])
+            ).alias("sequence")
+        )
+        .select("sequence")
+    )
+    ps = PrefixSpan(
+        minSupport=(min_count - 0.5) / n_users,
+        maxPatternLength=2,
+        sequenceCol="sequence",
+    )
+    pats = ps.findFrequentSequentialPatterns(seqs)
+    return pats.select(
+        F.col("sequence")[0][0].alias("pat_a"),
+        # try_element_at: ANSI element_at THROWS on the length-1 patterns
+        # (the r3 fuzz lesson — ANSI element_at on token-less docs)
+        F.try_element_at("sequence", F.lit(2))[0].alias("pat_b"),
+        F.col("freq").cast("long").alias("n_users"),
+    )

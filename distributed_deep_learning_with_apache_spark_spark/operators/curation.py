@@ -1211,3 +1211,140 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("n_tokens") / F.nullif(F.col("max_tokens"), F.lit(0))), 6
         ).alias("weight_rel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Bigram language-model perplexity scoring — the CCNet-style
+# quality filter: score each document under a corpus bigram LM and flag
+# the high-perplexity (low-quality / out-of-domain) tail.
+# ---------------------------------------------------------------------------
+PPL_SCALE = 1_000_000  # micro-nats: per-bigram log-probs quantized to BIGINT
+PPL_FLAG_GAP = 1_000_000  # flag docs >= 1 nat/bigram worse than the corpus mean
+
+
+@register(
+    "bigram_perplexity_score",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {DUCK_TOKENS.format(col="text")} AS t
+                      FROM documents),
+        pairs AS (
+          SELECT doc_id, z.w[1] AS w1, z.w[2] AS w2
+          FROM toks, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z(w)
+          WHERE len(t) >= 2
+        ),
+        big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM pairs GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                FROM pairs GROUP BY w1),
+        vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+                  FROM (SELECT unnest(t) AS tok FROM toks)),
+        scored AS (
+          SELECT p.doc_id,
+                 CAST(floor(ln((b.c12 + 1) * 1.0 / (c.c1 + vocab.v))
+                            * {PPL_SCALE}) AS BIGINT) AS q
+          FROM pairs p
+          JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+          JOIN ctx c ON p.w1 = c.w1
+          CROSS JOIN vocab
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(q) AS BIGINT) AS logprob_micro_sum,
+                 CAST(floor(sum(q) * 1.0 / count(*)) AS BIGINT) AS q_avg
+          FROM scored GROUP BY doc_id
+        ),
+        bar AS (
+          SELECT CAST(floor(sum(q_avg) * 1.0 / count(*)) AS BIGINT)
+                   - {PPL_FLAG_GAP} AS flag_bar
+          FROM per_doc
+        )
+        SELECT doc_id, n_bigrams, logprob_micro_sum,
+               q_avg < bar.flag_bar AS is_high_perplexity
+        FROM per_doc, bar
+    """,
+    doc="Per-document bigram-LM log-probability (add-one smoothing, corpus-trained) with a high-perplexity flag — the CCNet/Gopher-style LM quality filter; per-bigram log-probs quantized to micro-nat BIGINTs so the per-doc sums are accumulation-order-independent and hash-exact.",
+    tags=("curation", "quality", "text", "ext", "scale"),
+)
+def bigram_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM-perplexity corpus filter (CCNet trains a KenLM and drops the
+    high-perplexity tail; Gopher table A1 does the same): train a bigram
+    model WITH add-one smoothing on the corpus itself, score every
+    document by its average bigram log-probability, flag the tail. Docs
+    full of boilerplate/markup/wrong-language text score far from the
+    corpus distribution — the signal `text_quality`'s surface heuristics
+    (length/punct ratios) can't see.
+
+    Exactness: counts and the vocabulary size are integers, so every
+    smoothed probability (c12+1)/(c1+V) is the same double in both
+    engines; each per-bigram log-prob is floor-quantized to micro-nats
+    BEFORE the per-doc sum, making the sums BIGINT and order-independent
+    (the embedding-drift discipline applied to log space). The flag
+    threshold is an integer comparison (sum < n·THRESH), not an FP
+    average.
+
+    Scale: the model IS two aggregates (bigram and context counts —
+    map-side combinable, vocab²-bounded output); scoring joins each doc's
+    bigrams to those counts — at 100 TB the counts table is broadcast- or
+    bucket-joinable and the whole pipeline is two shuffles over token
+    pairs, no per-doc state. Reference ancestry: the chapter-2 pipeline's
+    Word2Vec table (S12) is likewise a corpus-trained lookup joined back
+    to token streams (`PredictCommentsUsingRNNAndWord2Vec.java:64-71`).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    n = F.size("t")
+    pairs = (
+        d.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", F.lit(1), n - 1).alias("w1"),
+                    F.slice("t", F.lit(2), n - 1).alias("w2"),
+                )
+            ).alias("z"),
+        )
+        .select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vocab = d.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").cast("long").alias("v")
+    )
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("c12") + 1) * 1.0 / (F.col("c1") + F.col("v")))
+                * PPL_SCALE
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("q").cast("long").alias("logprob_micro_sum"),
+        F.floor(F.sum("q") * 1.0 / F.count(F.lit(1))).cast("long").alias("q_avg"),
+    )
+    # Corpus-RELATIVE bar (the FP-Growth minSupport lesson, r6): an
+    # absolute nats threshold is mis-calibrated for any corpus whose
+    # vocabulary size differs from the one it was tuned on; "1 nat/bigram
+    # worse than the corpus mean" transfers. One scalar agg, broadcast.
+    bar = per_doc.agg(
+        (
+            F.floor(F.sum("q_avg") * 1.0 / F.count(F.lit(1))).cast("long")
+            - F.lit(PPL_FLAG_GAP)
+        ).alias("flag_bar")
+    )
+    return per_doc.crossJoin(F.broadcast(bar)).select(
+        "doc_id",
+        "n_bigrams",
+        "logprob_micro_sum",
+        (F.col("q_avg") < F.col("flag_bar")).alias("is_high_perplexity"),
+    )

@@ -1047,3 +1047,106 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("monetary_cents").cast("long").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Classical seasonal decomposition: trend (centered 7-day MA) +
+# day-of-week seasonal + residual, on the daily revenue series.
+# ---------------------------------------------------------------------------
+SD_EPOCH_MON = "1992-01-06"  # a Monday: portable day-of-week = days-since % 7
+
+
+@register(
+    "seasonal_decompose_daily_revenue",
+    oracle=f"""
+        WITH daily AS (
+          SELECT o_orderdate::DATE AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        ),
+        win AS (
+          SELECT day, cents,
+                 CAST((day - DATE '{SD_EPOCH_MON}') AS BIGINT) % 7 AS dow_idx,
+                 CAST(sum(cents) OVER w7 AS BIGINT) AS sum7,
+                 count(*) OVER w7 AS n7
+          FROM daily
+          WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        full_w AS (
+          SELECT *, 7 * cents - sum7 AS detr7 FROM win WHERE n7 = 7
+        ),
+        seas AS (
+          SELECT dow_idx,
+                 CAST(sum(detr7) AS BIGINT) AS s_num,
+                 CAST(count(*) AS BIGINT) * 7 AS s_den
+          FROM full_w GROUP BY dow_idx
+        )
+        SELECT f.day, f.dow_idx, f.cents,
+               floor(f.sum7 / 7.0 * 100 + 0.5) / 100 AS trend_cents,
+               floor(s.s_num * 1.0 / s.s_den * 100 + 0.5) / 100 AS seasonal_cents,
+               floor((f.cents - f.sum7 / 7.0 - s.s_num * 1.0 / s.s_den) * 100 + 0.5)
+                 / 100 AS residual_cents
+        FROM full_w f JOIN seas s USING (dow_idx)
+    """,
+    doc="Classical additive seasonal decomposition of daily revenue: centered 7-day moving-average trend, day-of-week seasonal from integer-exact detrended sums, residual — every base quantity a BIGINT so the hash cannot split on accumulation order.",
+    tags=("relational", "timeseries", "window", "ext", "scale"),
+)
+def seasonal_decompose_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decomposition a forecasting pipeline runs before modeling (the
+    `forecast_revenue` aggregate's structured sibling): daily revenue =
+    trend + day-of-week seasonal + residual. Trend is the centered 7-day
+    moving average (full windows only — edge days are not emitted rather
+    than emitted with a shrunken window, the contract classical
+    decomposition uses); the seasonal term is the mean detrended value per
+    day-of-week; the residual is what an anomaly alert would watch.
+
+    Cross-engine exactness discipline: daily revenue is summed as cent
+    BIGINTs; the detrended quantity is kept as the INTEGER 7*cents - sum7
+    (scaling by 7 avoids a fractional trend), so the per-dow seasonal
+    numerator is a BIGINT sum — order-independent — and every division
+    happens once, on identical doubles, in both engines. Day-of-week is
+    days-since-a-fixed-Monday mod 7 (engine date-part conventions differ;
+    integer day arithmetic does not).
+
+    Scale: one map-side-combinable daily aggregate over the fact table,
+    then windows/joins over |days| rows (~2.4k for 7 years — metadata
+    scale at any corpus size). The 7-row window is ROWS-based: O(1) state
+    per row, no range scan.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "cents",
+        F.pmod(F.datediff("day", F.lit(SD_EPOCH_MON).cast("date")), F.lit(7))
+        .cast("long")
+        .alias("dow_idx"),
+        F.sum("cents").over(w7).cast("long").alias("sum7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    )
+    full_w = win.filter(F.col("n7") == 7).withColumn(
+        "detr7", (7 * F.col("cents") - F.col("sum7")).cast("long")
+    )
+    seas = full_w.groupBy("dow_idx").agg(
+        F.sum("detr7").cast("long").alias("s_num"),
+        (F.count(F.lit(1)) * 7).cast("long").alias("s_den"),
+    )
+    half_up2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
+    trend = F.col("sum7") / 7.0
+    seasonal = F.col("s_num") * 1.0 / F.col("s_den")
+    return full_w.join(F.broadcast(seas), "dow_idx").select(
+        "day",
+        "dow_idx",
+        "cents",
+        half_up2(trend).alias("trend_cents"),
+        half_up2(seasonal).alias("seasonal_cents"),
+        half_up2(F.col("cents") - trend - seasonal).alias("residual_cents"),
+    )

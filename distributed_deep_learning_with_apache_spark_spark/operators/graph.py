@@ -440,3 +440,118 @@ def shortest_paths_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist.select(F.col("node").alias("part"), F.col("dist").cast("long").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Item-item cosine collaborative filtering: exact co-occurrence
+# similarity over the co-purchase bipartite graph — the deterministic,
+# hash-checkable recommender beside the iterative ALS factorization.
+# ---------------------------------------------------------------------------
+II_TOP_N = 3
+II_MIN_CO = 2  # ignore pairs co-bought fewer than 2 times (noise floor)
+II_SIM_SCALE = 1_000_000
+
+
+@register(
+    "item_item_cosine_recs",
+    oracle=f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        cnt AS (
+          SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+          FROM items GROUP BY l_partkey
+        ),
+        co AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                 CAST(count(*) AS BIGINT) AS co
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+        ),
+        sym AS (
+          SELECT pa AS item, pb AS partner, co FROM co WHERE co >= {II_MIN_CO}
+          UNION ALL
+          SELECT pb, pa, co FROM co WHERE co >= {II_MIN_CO}
+        ),
+        scored AS (
+          SELECT s.item, s.partner, s.co,
+                 floor(s.co / sqrt(ci.c * cj.c) * {II_SIM_SCALE} + 0.5)
+                   / {II_SIM_SCALE} AS sim
+          FROM sym s
+          JOIN cnt ci ON ci.l_partkey = s.item
+          JOIN cnt cj ON cj.l_partkey = s.partner
+        )
+        SELECT item, partner, co, sim
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY item
+                                   ORDER BY sim DESC, partner ASC) <= {II_TOP_N}
+    """,
+    doc=f"Item-item cosine similarity over the order co-purchase graph: sim(i,j) = co(i,j)/sqrt(c_i*c_j), top-{II_TOP_N} partners per part — the exact neighborhood recommender, hash-checked (vs ALS's iterative rows-only factors).",
+    tags=("graph", "recommend", "similarity", "ext", "scale"),
+)
+def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Amazon-style item-to-item recommender (Linden et al., IEEE
+    Internet Computing '03): parts bought together in the same order get
+    cosine similarity co(i,j)/sqrt(c_i·c_j) over the binary
+    order-incidence vectors, and each part keeps its top-N partners.
+    Complements `ml_als_recommend`: ALS generalizes (latent factors,
+    rows-only check), this memorizes (exact counts, hash-checked) — the
+    pairing production recommenders ship.
+
+    Determinism: similarity is integer counts + one sqrt/divide on
+    identical doubles, half-up-quantized to 1e-6 BEFORE ranking; rank
+    ties break on partner key, so the top-N is engine-exact.
+
+    Scale: the co-occurrence join is WITHIN-order (per-basket pairs, work
+    ∝ Σ basket² — baskets are bounded at ~7 lineitems in TPC-H and by
+    cart size in reality, never corpus-quadratic); counts are map-side
+    combinable; top-N per item is WindowGroupLimit. The same plan at
+    100 TB broadcast-joins the (small) per-item count table into the
+    pair stream. Reference ancestry: the co-purchase edge build of
+    `triangle_count_copurchase` (graph.py) reused as a scored bipartite
+    projection.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        .filter(F.col("co") >= II_MIN_CO)
+    )
+    sym = co.select(
+        F.col("pa").alias("item"), F.col("pb").alias("partner"), "co"
+    ).unionByName(co.select(F.col("pb").alias("item"), F.col("pa").alias("partner"), "co"))
+    ci = cnt.select(F.col("l_partkey").alias("item"), F.col("c").alias("ci"))
+    cj = cnt.select(F.col("l_partkey").alias("partner"), F.col("c").alias("cj"))
+    scored = (
+        sym.join(ci, "item")
+        .join(cj, "partner")
+        .select(
+            "item",
+            "partner",
+            "co",
+            (
+                F.floor(
+                    F.col("co") / F.sqrt(F.col("ci") * F.col("cj")) * II_SIM_SCALE
+                    + 0.5
+                )
+                / II_SIM_SCALE
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("sim").desc(), F.col("partner").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= II_TOP_N)
+        .drop("rn")
+    )

@@ -69,6 +69,11 @@ _DRIVER_PRIORITY = [
     "quantile_sketch_rollup_monthly",
     "kmv_user_overlap_sketch",
     "stream_exactly_once_merge_restart",
+    "seasonal_decompose_daily_revenue",
+    "stream_kmv_distinct_running",
+    "bigram_perplexity_score",
+    "ml_prefixspan_event_paths",
+    "item_item_cosine_recs",
     # --- changed in r7: advisor fixes / layout pin (must re-earn hash) ----
     "sample_seeded",  # rows-only -> portable-hash Bernoulli with oracle
     "embedding_drift_by_label",

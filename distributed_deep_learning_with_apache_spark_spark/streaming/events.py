@@ -2374,3 +2374,120 @@ def stream_exactly_once_merge_restart(spark: SparkSession, sf_dir: str) -> DataF
     final = spark.createDataFrame(final.collect(), final.schema)
     shutil.rmtree(base, ignore_errors=True)
     return final
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Streaming KMV distinct sketch: bottom-k state merged per
+# micro-batch — mergeability makes the STREAMING estimate hash-equal to
+# the batch formula, so this streaming op has a real SQL oracle.
+# ---------------------------------------------------------------------------
+from ..operators.incremental import KMV_A as _KMV_A
+from ..operators.incremental import KMV_C as _KMV_C
+from ..operators.incremental import KMV_K as _KMV_K
+from ..operators.incremental import QSK_P as _QSK_P
+
+
+@register(
+    "stream_kmv_distinct_running",
+    oracle=f"""
+        WITH hashed AS (
+          SELECT DISTINCT user_id,
+                 ((user_id % {_QSK_P}) * {_KMV_A} + {_KMV_C}) % {_QSK_P} AS hkey
+          FROM events
+        ),
+        kept AS (
+          SELECT user_id, hkey FROM hashed ORDER BY hkey LIMIT {_KMV_K}
+        ),
+        kth AS (
+          SELECT max(hkey) AS kth_hkey, CAST(count(*) AS BIGINT) AS k_eff FROM kept
+        )
+        SELECT k_eff,
+               CASE WHEN k_eff < {_KMV_K} THEN k_eff
+                    ELSE CAST(floor((k_eff - 1) * {_QSK_P}.0 / kth_hkey + 0.5)
+                              AS BIGINT) END AS est_distinct
+        FROM kth
+    """,
+    doc="Running distinct-user KMV sketch maintained under Structured Streaming (bottom-128 state unioned + re-truncated per micro-batch): because bottom-k is exactly mergeable, the stream's final estimate equals the batch formula — a streaming operator with a hash oracle.",
+    tags=("streaming", "structured", "sketch", "ext", "scale"),
+)
+def stream_kmv_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming face of `kmv_user_overlap_sketch`: a live dashboard's
+    distinct-user counter that never stores the user set. Each micro-batch
+    computes its own bottom-k (deduped user hashes), unions it with the
+    persisted sketch state, re-truncates to k — the KMV merge, which is
+    ASSOCIATIVE and idempotent, so the final state is independent of how
+    rows split across batches and equals the batch-computed sketch
+    (hash-checked by the oracle; contrast the HLL rollup, whose binary
+    sketches are engine-private and rows-only).
+
+    State is O(k) rows in a versioned parquet dir (the same poor-man's
+    ACID pointer as the merge sinks); per-batch work is the batch's dedup
+    aggregate + a k-row union. An unbounded firehose costs each batch
+    only its own scan.
+    """
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    KMV_A, KMV_C, KMV_K, QSK_P = _KMV_A, _KMV_C, _KMV_K, _QSK_P
+
+    base = tempfile.mkdtemp(prefix="sg_kmv_stream_")
+    staging = _os.path.join(base, "staging")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    ev.repartition(4).write.mode("overwrite").parquet(staging)
+
+    state = {"cur": None}
+
+    def merge_sketch(batch_df: DataFrame, batch_id: int) -> None:
+        hashed = (
+            batch_df.select("user_id")
+            .distinct()
+            .withColumn(
+                "hkey",
+                F.pmod(F.pmod(F.col("user_id"), QSK_P) * KMV_A + KMV_C, QSK_P),
+            )
+        )
+        batch_sk = hashed.orderBy("hkey").limit(KMV_K)
+        if state["cur"] is not None:
+            prev = batch_df.sparkSession.read.parquet(state["cur"])
+            batch_sk = (
+                prev.unionByName(batch_sk).distinct().orderBy("hkey").limit(KMV_K)
+            )
+        out = _os.path.join(base, f"v{batch_id}")
+        batch_sk.write.mode("overwrite").parquet(out)
+        state["cur"] = out
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .writeStream.foreachBatch(merge_sketch)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    sk = spark.read.parquet(state["cur"])
+    kth = sk.agg(
+        F.max("hkey").alias("kth_hkey"),
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+    )
+    out = kth.select(
+        "k_eff",
+        F.when(F.col("k_eff") < KMV_K, F.col("k_eff"))
+        .otherwise(
+            F.floor(
+                (F.col("k_eff") - 1) * float(QSK_P) / F.col("kth_hkey") + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )
+    final = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return final

@@ -86,6 +86,7 @@ DOC_QUERIES = [
     "ansi_safe_doc_ratios",
     "leakage_safe_splits",
     "temperature_mixture_weights",
+    "bigram_perplexity_score",  # r7: corpus-trained bigram LM filter
 ]
 
 WORDS = ["spark", "hash", "join", "the", "a", "scan", "émigré", "data1", "Spark", "THE"]
@@ -182,6 +183,8 @@ EVENT_QUERIES = [
     "attribution_last_touch",  # r6: conditional running-max attribution
     "dq_quarantine_split",  # r6: precedence-ordered dead-letter routing
     "kmv_user_overlap_sketch",  # r7: bottom-k distinct/intersection sketch
+    "stream_kmv_distinct_running",  # r7: streaming bottom-k state merge
+    "ml_prefixspan_event_paths",  # r7: order-aware pattern supports
 ]
 
 import datetime as _dt

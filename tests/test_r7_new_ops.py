@@ -193,3 +193,152 @@ def test_exactly_once_merge_matches_batch_truth(spark, sf_dir):
         .collect()
     }
     assert got == truth
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition
+# ---------------------------------------------------------------------------
+def test_seasonal_reconstruction_identity(spark, sf_dir):
+    """trend + seasonal + residual must reconstruct the observed daily
+    revenue within the 3 half-up roundings (±0.005 each, in cents-scale
+    hundredths)."""
+    out = REG["seasonal_decompose_daily_revenue"].fn(spark, sf_dir)
+    bad = out.filter(
+        F.abs(
+            F.col("cents")
+            - (F.col("trend_cents") + F.col("seasonal_cents") + F.col("residual_cents"))
+        )
+        > 0.02
+    ).count()
+    assert bad == 0
+
+
+def test_seasonal_emits_full_windows_only(spark, sf_dir):
+    """Edge days (no full centered 7-day window) are dropped, not emitted
+    with a shrunken window: output days == interior of the daily series."""
+    out_days = REG["seasonal_decompose_daily_revenue"].fn(spark, sf_dir)
+    n_days = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date"))
+        .distinct()
+        .count()
+    )
+    # the daily series may have calendar gaps; ROWS window drops exactly
+    # the first and last 3 SERIES rows
+    assert out_days.count() == max(0, n_days - 6)
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV
+# ---------------------------------------------------------------------------
+def test_stream_kmv_equals_batch_sketch(spark, sf_dir):
+    """Mergeability proof at the operator level: the streaming state
+    (merged across micro-batches) must produce the same estimate as the
+    one-shot batch bottom-k — computed here Spark-side."""
+    got = REG["stream_kmv_distinct_running"].fn(spark, sf_dir).first()
+    e = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    hashed = e.withColumn(
+        "hkey",
+        F.pmod(
+            F.pmod(F.col("user_id"), incremental.QSK_P) * incremental.KMV_A
+            + incremental.KMV_C,
+            incremental.QSK_P,
+        ),
+    )
+    kept = hashed.orderBy("hkey").limit(incremental.KMV_K).collect()
+    k_eff = len(kept)
+    if k_eff < incremental.KMV_K:
+        expect = k_eff
+    else:
+        kth = max(r["hkey"] for r in kept)
+        import math
+
+        expect = int(math.floor((k_eff - 1) * float(incremental.QSK_P) / kth + 0.5))
+    assert (got["k_eff"], got["est_distinct"]) == (k_eff, expect)
+
+
+# ---------------------------------------------------------------------------
+# Bigram perplexity
+# ---------------------------------------------------------------------------
+def test_perplexity_flags_out_of_distribution_doc(spark, tmp_path):
+    """A doc of corpus-unseen token sequences must score far below the
+    in-distribution docs and trip the flag; repetitive in-distribution
+    docs must not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    normal = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, normal, "en", "web", len(normal)) for i in range(30)]
+    garbage = "zq xv qj vx jz qx zj xq vq jx zv qz"
+    docs.append((30, garbage, "en", "web", len(garbage)))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs]),
+                "lang": pa.array([d[2] for d in docs]),
+                "source": pa.array([d[3] for d in docs]),
+                "n_chars": pa.array([d[4] for d in docs], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {
+        r["doc_id"]: r
+        for r in REG["bigram_perplexity_score"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[30]["is_high_perplexity"] is True
+    assert all(not out[i]["is_high_perplexity"] for i in range(30))
+    avg = lambda r: r["logprob_micro_sum"] / r["n_bigrams"]  # noqa: E731
+    assert avg(out[30]) < avg(out[0]) - 1_000_000  # ≥1 nat/bigram worse
+
+
+# ---------------------------------------------------------------------------
+# PrefixSpan
+# ---------------------------------------------------------------------------
+def test_prefixspan_order_sensitivity(spark, sf_dir):
+    """The reason this op exists: <a,b> and <b,a> are DIFFERENT patterns
+    with independent supports. Verify both directions are counted
+    correctly on a hand-built corpus where only one direction occurs."""
+    import pyarrow  # noqa: F401 — ensure arrow path available
+
+    rows = []
+    for u in range(12):
+        rows.append((2 * u, u, "signup"))
+        rows.append((2 * u + 1, u, "purchase"))  # always signup THEN purchase
+    df = spark.createDataFrame(
+        [(eid, f"2024-03-01 00:00:{eid:02d}", uid, t, 1.0, "{}") for eid, uid, t in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sg_pspan_")
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    out = {
+        (r["pat_a"], r["pat_b"]): r["n_users"]
+        for r in REG["ml_prefixspan_event_paths"].fn(spark, d).collect()
+    }
+    assert out[("signup", "purchase")] == 12
+    assert ("purchase", "signup") not in out  # never occurs in that order
+    assert out[("signup", None)] == 12 and out[("purchase", None)] == 12
+
+
+# ---------------------------------------------------------------------------
+# Item-item cosine
+# ---------------------------------------------------------------------------
+def test_item_item_sim_bounds_and_topn(spark, sf_dir):
+    out = REG["item_item_cosine_recs"].fn(spark, sf_dir)
+    rows = out.collect()
+    if not rows:
+        pytest.skip("no co-purchased pairs at this SF")
+    assert all(0 < r["sim"] <= 1.0 for r in rows)
+    from collections import Counter
+
+    per_item = Counter(r["item"] for r in rows)
+    assert max(per_item.values()) <= 3
+    # symmetry of the underlying measure: if (i,j) survives the noise
+    # floor, sim(i->j) == sim(j->i) wherever both are emitted
+    sims = {(r["item"], r["partner"]): r["sim"] for r in rows}
+    for (i, j), s in sims.items():
+        if (j, i) in sims:
+            assert sims[(j, i)] == s

@@ -61,6 +61,7 @@ QUERIES = [
     "customer_rfm_segments","chisq_priority_status_cells",
     # r7 additions
     "sample_seeded","sample_takesample_k","quantile_sketch_rollup_monthly",
+    "seasonal_decompose_daily_revenue","item_item_cosine_recs",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"

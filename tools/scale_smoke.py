@@ -131,6 +131,11 @@ QUERIES = [
     "quantile_sketch_rollup_monthly",
     "kmv_user_overlap_sketch",
     "stream_exactly_once_merge_restart",
+    "seasonal_decompose_daily_revenue",
+    "stream_kmv_distinct_running",
+    "bigram_perplexity_score",
+    "ml_prefixspan_event_paths",
+    "item_item_cosine_recs",
 ]
 
 
