@@ -39,6 +39,10 @@ TIER2 = [
     "stream_custom_source_parallel",
     "heavy_hitters_sketch_verified",
     "recursive_calendar_daily",
+    # r7 additions (heavy multi-batch streaming lifecycles; first tracked
+    # round — these rows have no prior-round baseline yet)
+    "stream_exactly_once_merge_restart",
+    "stream_kmv_distinct_running",
 ]
 
 

@@ -878,6 +878,12 @@ def ml_prefixspan_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_users == 0:
         return spark.createDataFrame([], "pat_a string, pat_b string, n_users long")
     min_count = max(3, -(-n_users * PSPAN_MIN_FRAC // 1))  # ceil
+    if min_count > n_users:
+        # The absolute floor (3 users) is unreachable on this corpus: no
+        # pattern can qualify, and PrefixSpan rejects minSupport > 1
+        # (fuzz-found on a 1-user series) — same contract as the oracle's
+        # n_users >= greatest(3, ...) returning zero rows.
+        return spark.createDataFrame([], "pat_a string, pat_b string, n_users long")
     seqs = (
         e.select(
             "user_id", F.struct("ts", "event_id", "event_type").alias("ev")

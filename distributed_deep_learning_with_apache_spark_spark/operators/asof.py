@@ -146,3 +146,90 @@ def range_join_events_after_order(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("event_id").alias("n_events_24h"),
         F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("total_value_24h"),
     )
+
+
+@register(
+    "asof_join_forward",
+    oracle="""
+        WITH u AS (
+          SELECT o_custkey AS k, o_orderdate AS t, o_orderkey,
+                 NULL::BIGINT AS event_id, NULL::TIMESTAMP AS e_ts, 0 AS is_event
+          FROM orders
+          UNION ALL
+          SELECT user_id, ts::TIMESTAMP, NULL, event_id, ts::TIMESTAMP, 1
+          FROM events
+        ),
+        carried AS (
+          SELECT k, t, o_orderkey, is_event,
+                 first_value(event_id IGNORE NULLS) OVER w AS next_event_id,
+                 first_value(e_ts IGNORE NULLS) OVER w AS next_ts
+          FROM u
+          WINDOW w AS (PARTITION BY k ORDER BY t ASC, is_event ASC, event_id ASC
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT o_orderkey, k AS user_id, next_event_id,
+               CAST(floor(epoch(next_ts)) AS BIGINT)
+                 - CAST(floor(epoch(t)) AS BIGINT) AS secs_until
+        FROM carried
+        WHERE is_event = 0 AND next_event_id IS NOT NULL
+    """,
+    doc="FORWARD as-of join (pandas merge_asof direction='forward'): each order picks the customer's FIRST event at-or-after it — time-to-next-activity; same union-scan formulation as the backward form with the window reversed.",
+    tags=("join", "asof", "ext", "scale"),
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other as-of direction (`merge_asof(direction='forward')`): for
+    each order, the customer's FIRST event at-or-after the order date,
+    plus seconds until it — the time-to-next-activity latency feature the
+    backward carry of `asof_join_latest_order` can't produce. (Roles are
+    orders→events here because the fixture's orders all PRECEDE its
+    events; the mechanism is direction-symmetric.)
+
+    Same scale-correct formulation: union both streams, ONE hash shuffle
+    on the key, a partition-local window — never an inequality join.
+    first_value(IGNORE NULLS) over CURRENT ROW..UNBOUNDED FOLLOWING
+    carries the next event's attributes backward to the order row.
+    Tie-breaks are total: at an equal timestamp the order row sorts
+    BEFORE the event (is_event ASC), so the same-instant event is inside
+    the order's frame — the inclusive >= contract; lowest event_id wins
+    among same-instant events.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("e_ts"),
+        F.lit(0).alias("is_event"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "event_id",
+        F.col("ts").alias("e_ts"),
+        F.lit(1).alias("is_event"),
+    )
+    u = o.unionByName(e)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_event").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        "k",
+        "t",
+        "o_orderkey",
+        "is_event",
+        F.first("event_id", ignorenulls=True).over(w).alias("next_event_id"),
+        F.first("e_ts", ignorenulls=True).over(w).alias("next_ts"),
+    )
+    return carried.filter(
+        (F.col("is_event") == 0) & F.col("next_event_id").isNotNull()
+    ).select(
+        "o_orderkey",
+        F.col("k").alias("user_id"),
+        "next_event_id",
+        (
+            F.unix_timestamp("next_ts") - F.unix_timestamp("t")
+        ).cast("long").alias("secs_until"),
+    )

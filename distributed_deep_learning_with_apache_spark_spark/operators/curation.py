@@ -1348,3 +1348,154 @@ def bigram_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "logprob_micro_sum",
         (F.col("q_avg") < F.col("flag_bar")).alias("is_high_perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Retention-policy sweep: TTL expiry with legal-hold exclusions —
+# the GDPR/records-retention delete, audited per event type.
+# ---------------------------------------------------------------------------
+RETAIN_DAYS = 30
+
+
+@register(
+    "retention_policy_sweep",
+    oracle=f"""
+        WITH horizon AS (
+          SELECT max(ts::TIMESTAMP) - INTERVAL {RETAIN_DAYS} DAY AS cut FROM events
+        ),
+        hold AS (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT e.event_type,
+               CAST(sum(CASE WHEN e.ts::TIMESTAMP >= horizon.cut
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_fresh,
+               CAST(sum(CASE WHEN e.ts::TIMESTAMP < horizon.cut
+                              AND hold.user_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_held,
+               CAST(sum(CASE WHEN e.ts::TIMESTAMP < horizon.cut
+                              AND hold.user_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_expired
+        FROM events e
+        CROSS JOIN horizon
+        LEFT JOIN hold ON hold.user_id = e.user_id
+        GROUP BY e.event_type
+    """,
+    doc=f"Records-retention sweep: events older than {RETAIN_DAYS} days expire UNLESS the user is under legal hold (has a purchase — financial-records retention); per-type audit counts of kept/held/expired — the GDPR TTL delete as a single scan + broadcast hold-set join.",
+    tags=("curation", "privacy", "lifecycle", "ext", "scale"),
+)
+def retention_policy_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-lifecycle delete every regulated pipeline runs (the
+    complement of `pii_scrub`'s masking and `k_anonymity_violations`'
+    release gate): rows past the retention horizon are deleted, EXCEPT
+    rows of entities under legal hold, and the sweep must emit an audit
+    of what it kept and why. Horizon is data-relative (max ts - 30 d) so
+    the operator is meaningful on any fixture generation.
+
+    Scale: one scan; the hold set is a distinct-user aggregate (small —
+    broadcast; at 100 TB it would be a stored roster) joined in with a
+    LEFT semi-ish membership probe; the audit is a per-type partial agg.
+    The actual delete at scale is `lake_deletion_vectors`' merge-on-read
+    or a partition drop — this operator computes the decision + audit.
+    """
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {RETAIN_DAYS} DAYS")).alias("cut")
+    )
+    hold = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("held", F.lit(1))
+    )
+    tagged = (
+        e.crossJoin(F.broadcast(horizon))
+        .join(F.broadcast(hold), "user_id", "left")
+    )
+    fresh = F.col("ts") >= F.col("cut")
+    return tagged.groupBy("event_type").agg(
+        F.sum(F.when(fresh, 1).otherwise(0)).cast("long").alias("n_kept_fresh"),
+        F.sum(F.when(~fresh & F.col("held").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_held"),
+        F.sum(F.when(~fresh & F.col("held").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_expired"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Token-budget top-p selection: per source, keep the best docs
+# until the cumulative token budget is spent — nucleus-style curation.
+# ---------------------------------------------------------------------------
+TOPP_PCT = 60  # keep docs until cumulative tokens reach 60% of the source's
+
+
+@register(
+    "token_budget_top_p",
+    oracle=f"""
+        WITH scored AS (
+          SELECT doc_id, source,
+                 CAST(len({DUCK_TOKENS.format(col='text')}) AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        ranked AS (
+          SELECT *,
+                 CAST(sum(n_tok) OVER (PARTITION BY source
+                                       ORDER BY n_tok DESC, doc_id ASC
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tok,
+                 CAST(sum(n_tok) OVER (PARTITION BY source) AS BIGINT) AS tot_tok
+          FROM scored
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs_kept,
+               CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+               max(tot_tok) AS tokens_total
+        FROM ranked
+        WHERE cum_tok * 100 <= tot_tok * {TOPP_PCT}
+        GROUP BY source
+    """,
+    doc=f"Token-budget allocation (nucleus-style): per source, greedily keep the highest-token docs until the cumulative token count reaches {TOPP_PCT}% of the source's total — integer cumulative-window compare, no FP thresholds.",
+    tags=("curation", "sample", "ext", "scale"),
+)
+def token_budget_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How a training-data mix actually spends a token budget: each source
+    gets a quota (here {TOPP_PCT}% of its own tokens — the same shape
+    allocates a global budget across sources via
+    `mix_domains_to_target`'s weights), filled greedily by a quality
+    ordering (proxy: token count — swap in `text_quality`'s score or the
+    perplexity filter in production; the selection mechanics are
+    identical). The cutoff compare is integer (cum*100 <= tot*p), so no
+    FP threshold can split the engines on the boundary doc.
+
+    Scale: one token-count projection (scan-stage), one window per
+    source partition (cumulative sum, O(1) state/row after the
+    partition sort), one partial agg. At 100 TB the per-source sort is
+    the cost — a real deployment pre-bins by score (the `quality_tiers`
+    histogram) and sorts only the boundary tier, the same narrowing
+    trick as the exact quantiles.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_tok").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_tok",
+        F.sum("n_tok").over(w_cum).cast("long").alias("cum_tok"),
+        F.sum("n_tok").over(w_all).cast("long").alias("tot_tok"),
+    )
+    return (
+        ranked.filter(F.col("cum_tok") * 100 <= F.col("tot_tok") * TOPP_PCT)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+            F.max("tot_tok").alias("tokens_total"),
+        )
+    )

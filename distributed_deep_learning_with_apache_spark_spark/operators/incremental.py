@@ -532,3 +532,152 @@ def kmv_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_distinct"),
         "est_intersection",
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Incremental JOIN-view maintenance: fact deltas AND dimension
+# updates applied to a stored join MV without re-joining history — the
+# two-tier (supporting MV + derived MV) pattern of classical IVM.
+# ---------------------------------------------------------------------------
+_TIER_CASE = (
+    "CASE WHEN {b} < 0 THEN 'debt' WHEN {b} < 2500 THEN 'low' "
+    "WHEN {b} < 5000 THEN 'mid' ELSE 'high' END"
+)
+
+
+@register(
+    "incremental_join_maintenance",
+    oracle=f"""
+        WITH updates AS (
+          SELECT user_id AS key, round(value, 2) AS new_balance
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+          ) WHERE rn = 1
+        ),
+        cur AS (
+          SELECT c.c_custkey,
+                 round(coalesce(u.new_balance, c.c_acctbal), 2) AS bal
+          FROM customer c LEFT JOIN updates u ON u.key = c.c_custkey
+        ),
+        tiers AS (
+          SELECT c_custkey, {_TIER_CASE.format(b='bal')} AS tier FROM cur
+        )
+        SELECT t.tier,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders o JOIN tiers t ON o.o_custkey = t.c_custkey
+        GROUP BY t.tier
+    """,
+    doc="Join-MV maintenance under BOTH fact deltas (newest order day) and dimension updates (balance changes moving customers across tiers): stored per-customer supporting MV + move/insert deltas, never a history re-join — must hash-equal the full orders-joins-current-customers recompute.",
+    tags=("incremental", "merge", "agg", "ext", "scale"),
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`incremental_agg_maintenance` handles a delta on ONE table; real
+    MVs join a fact to a dimension and BOTH change. Classical IVM (Gupta
+    & Mumick) solves it with a two-tier scheme, realized here for
+    revenue-per-balance-tier:
+
+    - supporting MV: per-customer (n, revenue) over HISTORICAL orders —
+      maintained additively, the already-registered pattern;
+    - derived MV: tier-level rollup of the supporting MV joined to the
+      customer's CURRENT tier.
+
+    Maintenance applies three delta streams to the STORED derived MV,
+    touching only changed keys:
+    1. MOVE: a balance update that crosses a tier boundary subtracts the
+       customer's supporting-MV contribution from the old tier and adds
+       it to the new (two rows per moved customer — never a re-join of
+       their order history);
+    2. INSERT: the newest day's orders aggregate per customer and land at
+       the customer's new tier;
+    and the result must hash-equal the oracle's full re-join against
+    current balances — the equality that PROVES no maintenance path was
+    forgotten (e.g. a moved customer's same-day new orders must use the
+    NEW tier).
+
+    Scale: every step is keys-touched-sized — Δorders agg ∝ delta, moves
+    ∝ changed customers, and the stored MVs are |customers| and |tiers|
+    rows; the order history is scanned once at MV build time, never at
+    maintenance time. Decomposable stats only (counts/sums; avg would be
+    recomputed from them).
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    updates = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("user_id").alias("key"), F.round("value", 2).alias("new_balance"))
+    )
+
+    def tier(b):
+        return (
+            F.when(b < 0, "debt")
+            .when(b < 2500, "low")
+            .when(b < 5000, "mid")
+            .otherwise("high")
+        )
+
+    dim = c.join(updates, c.c_custkey == F.col("key"), "left").select(
+        "c_custkey",
+        tier(F.round("c_acctbal", 2)).alias("old_tier"),
+        tier(F.round(F.coalesce("new_balance", "c_acctbal"), 2)).alias("new_tier"),
+    )
+
+    last_day = o.agg(F.max("day").alias("last_day"))
+    tagged = o.crossJoin(F.broadcast(last_day))
+    hist = tagged.filter(F.col("day") < F.col("last_day"))
+    delta = tagged.filter(F.col("day") == F.col("last_day"))
+
+    # Supporting MV (stored): per-customer stats over history.
+    smv = hist.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    # Derived MV (stored): tier rollup as of the OLD dimension state.
+    mv_old = (
+        smv.join(dim, smv.o_custkey == dim.c_custkey)
+        .groupBy(F.col("old_tier").alias("tier"))
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    # Delta 1: tier moves — ± the supporting-MV contribution, changed keys only.
+    moved = smv.join(
+        dim.filter(F.col("old_tier") != F.col("new_tier")),
+        smv.o_custkey == dim.c_custkey,
+    )
+    move_minus = moved.select(
+        F.col("old_tier").alias("tier"), (-F.col("n")).alias("n"), (-F.col("cents")).alias("cents")
+    )
+    move_plus = moved.select(
+        F.col("new_tier").alias("tier"), F.col("n"), F.col("cents")
+    )
+    # Delta 2: the newest day's orders, joined at the NEW tier.
+    ins = (
+        delta.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("cents").cast("long").alias("cents"))
+        .join(dim, F.col("o_custkey") == dim.c_custkey)
+        .select(F.col("new_tier").alias("tier"), "n", "cents")
+    )
+    return (
+        mv_old.unionByName(move_minus)
+        .unionByName(move_plus)
+        .unionByName(ins)
+        .groupBy("tier")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )

@@ -165,3 +165,51 @@ def scd2_as_of_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(updated, 1).otherwise(0).cast("long").alias("version_asof"),
         )
     )
+
+
+@register(
+    "merge_full_sync",
+    oracle=f"""
+        WITH updates AS ({_DUCK_UPDATES})
+        SELECT u.key, round(u.new_balance, 2) AS balance,
+               CASE WHEN c.c_custkey IS NULL THEN 'insert' ELSE 'update' END
+                 AS action
+        FROM updates u LEFT JOIN customer c ON c.c_custkey = u.key
+        UNION ALL
+        SELECT c.c_custkey AS key, CAST(NULL AS DOUBLE) AS balance,
+               'delete' AS action
+        FROM customer c LEFT JOIN updates u ON u.key = c.c_custkey
+        WHERE u.key IS NULL
+    """,
+    doc="Tri-clause MERGE (full sync): WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT, WHEN NOT MATCHED BY SOURCE DELETE — the replica-mirroring merge, realized as one full-outer join with per-row action routing.",
+    tags=("merge", "cdc", "ext", "scale"),
+)
+def merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third MERGE clause the upsert lacks: `WHEN NOT MATCHED BY
+    SOURCE THEN DELETE` (Delta 2.4+/SQL:2003 F312 extension) — after the
+    merge the target's key set IS the source's key set, which is the
+    contract replica-mirroring pipelines (reverse ETL, dimension sync)
+    run on. Emulated with ONE full-outer equi-join on the merge key and
+    per-row action routing:
+
+    - source ∩ target → 'update' (take the source balance),
+    - source ∖ target → 'insert',
+    - target ∖ source → 'delete' (emitted to the audit output; a
+      lakehouse MERGE would drop the row — surfacing it keeps all three
+      clause paths hash-checkable in one flat table).
+
+    Scale: one shuffle on the merge key (AQE-skew-safe), no window, no
+    driver state; identical plan shape at any replica size. The CDC feed
+    dedup reuses `_latest_updates`' rank window.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    u = _latest_updates(spark, sf_dir)
+    j = c.join(u, c.c_custkey == u.key, "full_outer")
+    return j.select(
+        F.coalesce("key", "c_custkey").alias("key"),
+        F.when(F.col("key").isNotNull(), F.round("new_balance", 2)).alias("balance"),
+        F.when(F.col("c_custkey").isNull(), F.lit("insert"))
+        .when(F.col("key").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )

@@ -1161,3 +1161,77 @@ def hinted_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.sum(scaled) / 100 + 0.5) / 100).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Hybrid hot-key join: measured heavy keys broadcast, cold keys
+# sort-merge — the skew strategy for when salting is too blunt (salting
+# replicates the WHOLE dim side; this replicates only the hot keys' rows).
+# ---------------------------------------------------------------------------
+HOT_KEYS_N = 100
+
+
+@register(
+    "hybrid_hotkey_join",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS price_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    doc=f"Skew-hybrid join: the {HOT_KEYS_N} most frequent join keys take a broadcast path (hint-pinned), the cold tail takes sort-merge — unioned result must hash-equal the plain join. The surgical alternative to salting.",
+    tags=("relational", "join", "skew", "ext", "scale"),
+)
+def hybrid_hotkey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew strategy AQE's skew-join split approximates at runtime and
+    salting over-pays for (salting replicates EVERY dim row ×N; this
+    replicates nothing and broadcasts only the hot keys' dim rows):
+
+    1. one cheap pass counts fact rows per join key; the top-N keys are
+       the measured hot set (at 100 TB this IS the count-min sketch of
+       `heavy_hitters_sketch_verified` — here the exact top-N, KB-sized);
+    2. hot fact rows join the broadcast hot-key dim slice (`broadcast`
+       hint — no shuffle of the skewed rows at all);
+    3. cold fact rows take the normal shuffle join (`merge` hint pins the
+       sort-merge path so the test can plan-gate BOTH branches);
+    4. union, aggregate — must hash-equal the single plain join.
+
+    TPC-H fixture keys are uniform, so the 'hot' set here is just the
+    top of a flat distribution — the MECHANISM (split, two plan shapes,
+    exact union) is what's exercised and gated; the payoff shows on a
+    zipfian key at 1000 executors where one reducer would otherwise
+    receive a third of the table.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("price_c"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hot_keys = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("l_orderkey").asc())
+        .limit(HOT_KEYS_N)
+        .select("l_orderkey")
+        .localCheckpoint(eager=True)  # both consumers must agree on the set
+    )
+    li_hot = li.join(F.broadcast(hot_keys), "l_orderkey", "left_semi")
+    li_cold = li.join(F.broadcast(hot_keys), "l_orderkey", "left_anti")
+    o_hot = o.join(
+        F.broadcast(hot_keys), o.o_orderkey == hot_keys.l_orderkey, "left_semi"
+    )
+    hot = li_hot.join(
+        F.broadcast(o_hot), li_hot.l_orderkey == o_hot.o_orderkey
+    )
+    cold = li_cold.join(
+        o.hint("merge"), li_cold.l_orderkey == o.o_orderkey
+    )
+    both = hot.select("o_orderpriority", "price_c").unionByName(
+        cold.select("o_orderpriority", "price_c")
+    )
+    return both.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("price_c").cast("long").alias("price_cents"),
+    )

@@ -74,6 +74,15 @@ _DRIVER_PRIORITY = [
     "bigram_perplexity_score",
     "ml_prefixspan_event_paths",
     "item_item_cosine_recs",
+    "merge_full_sync",
+    "incremental_join_maintenance",
+    "asof_join_forward",
+    "sessionize_with_terminators",
+    "hybrid_hotkey_join",
+    "retention_policy_sweep",
+    "token_budget_top_p",
+    "markov_event_transitions",
+    "lake_incremental_read",
     # --- changed in r7: advisor fixes / layout pin (must re-earn hash) ----
     "sample_seeded",  # rows-only -> portable-hash Bernoulli with oracle
     "embedding_drift_by_label",

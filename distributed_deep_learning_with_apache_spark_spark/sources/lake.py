@@ -1437,3 +1437,60 @@ def lake_shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Incremental snapshot read: consume only the files ADDED between
+# two versions — the manifest-diff consumer behind downstream pipelines
+# that must never rescan the table.
+# ---------------------------------------------------------------------------
+@register(
+    "lake_incremental_read",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS price_cents
+        FROM orders WHERE o_orderkey % 2 = 1
+        GROUP BY o_orderpriority
+    """,
+    doc="Incremental consumption of a table version range (v1→v2): read ONLY the data files the newer manifest added — a manifest set-difference, zero bytes of pre-existing data touched; must hash-equal the appended slice.",
+    tags=("lake", "incremental", "ext", "scale"),
+)
+def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer half of the lake's append story (Iceberg's incremental
+    scan / Delta's CDF in its simplest, append-only form): a downstream
+    job that processed v1 asks "what's new through v2?" and the answer is
+    the MANIFEST set-difference — file paths in v2's manifest absent from
+    v1's. No data files are opened to answer the question, and only the
+    delta files are scanned to process it.
+
+    The snapshot fixture appends even-keyed orders at v1 and odd-keyed at
+    v2 with v1's files REUSED (ensure_snapshot_table), so the v1→v2 delta
+    is exactly the odd-keyed slice — which is what the oracle recomputes
+    from the raw table.
+
+    Scale: the manifests are KB-sized JSON regardless of table size; the
+    read plan lists only |delta| files — incremental cost is proportional
+    to the change, never the table. (v3/v4 are copy-on-write rewrites, so
+    THEIR file diff is not row-level change data — that distinction is
+    `cdc_snapshot_diff`'s job; incremental file reads apply to append
+    commits, which is why this op reads v1→v2.)
+    """
+    root = ensure_snapshot_table(spark, sf_dir)
+    with open(_os.path.join(root, "snap_v1.json")) as f:
+        m1 = set(_json.load(f)["files"])
+    with open(_os.path.join(root, "snap_v2.json")) as f:
+        m2 = _json.load(f)["files"]
+    delta = [f for f in m2 if f not in m1]
+    if not delta:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_orders long, price_cents long"
+        )
+    df = spark.read.parquet(*(_os.path.join(root, f) for f in delta))
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+    )

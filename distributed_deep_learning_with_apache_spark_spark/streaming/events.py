@@ -2491,3 +2491,169 @@ def stream_kmv_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(base, ignore_errors=True)
     return final
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Sessionization with TERMINATOR events: a session ends on a
+# 30-min gap OR a 'purchase' (conversion closes the session) — the custom
+# boundary predicate the built-in session_window cannot express.
+# ---------------------------------------------------------------------------
+TERM_GAP_S = 1800
+
+
+@register(
+    "sessionize_with_terminators",
+    oracle=f"""
+        WITH seq AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS t,
+                 lag(CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT))
+                   OVER w AS prev_t,
+                 lag(event_type) OVER w AS prev_type
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        marked AS (
+          SELECT *, CASE WHEN prev_t IS NULL
+                           OR t - prev_t > {TERM_GAP_S}
+                           OR prev_type = 'purchase'
+                         THEN 1 ELSE 0 END AS is_start
+          FROM seq
+        ),
+        sess AS (
+          SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id
+                                             ORDER BY t, event_id) AS BIGINT)
+                      AS session_seq
+          FROM marked
+        )
+        SELECT user_id, session_seq,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(t) AS start_s, max(t) AS end_s,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+                 AS converted
+        FROM sess GROUP BY user_id, session_seq
+    """,
+    doc="Sessionization with a custom boundary predicate (30-min gap OR previous event was a purchase): the semantics session_window cannot express, composed from lag + running-sum windows — one shuffle, hash-exact.",
+    tags=("streaming", "window", "events", "session", "ext", "scale"),
+)
+def sessionize_with_terminators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics sessionization with a TERMINATOR rule: checkout
+    (`purchase`) closes the session even when the next event follows
+    within the gap — the standard conversion-funnel definition. Spark's
+    built-in `session_window` (registered as
+    `events_session_window_builtin`) supports gap-only boundaries
+    (including dynamic per-row gaps) but cannot consult the PREVIOUS
+    event's type, so this is composed from first principles:
+
+    lag() exposes the previous event; a boundary flag marks session
+    starts (first event, gap exceeded, or predecessor was a terminator);
+    the running sum of flags IS the session id — the classic
+    gaps-and-islands assignment. Tie-breaks total on (ts, event_id).
+
+    Scale: one hash shuffle on user_id, then two partition-local windows
+    with O(1) state per row; per-session aggregation is map-side
+    combinable on (user, session_seq). No session-length-bounded state,
+    no re-scan — the same shape at 10^3 or 10^12 events.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "t",
+        F.lag("t").over(w).alias("prev_t"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    marked = seq.withColumn(
+        "is_start",
+        F.when(
+            F.col("prev_t").isNull()
+            | (F.col("t") - F.col("prev_t") > TERM_GAP_S)
+            | (F.col("prev_type") == "purchase"),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_seq", F.sum("is_start").over(w).cast("long")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("t").alias("start_s"),
+        F.max("t").alias("end_s"),
+        (F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) == 1).alias(
+            "converted"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Markov transition matrix over event types — the behavioral
+# model behind next-action prediction and anomaly scoring.
+# ---------------------------------------------------------------------------
+MKV_SCALE = 1_000_000
+
+
+@register(
+    "markov_event_transitions",
+    oracle=f"""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_type
+          FROM events
+        ),
+        pairs AS (
+          SELECT event_type AS from_type, next_type AS to_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               floor(n * {MKV_SCALE}.0
+                     / sum(n) OVER (PARTITION BY from_type) + 0.5)
+                 / {MKV_SCALE} AS p
+        FROM pairs
+    """,
+    doc="First-order Markov transition matrix over per-user event streams: P(next type | current type) from lead() pairs — integer counts, one half-up-quantized division, hash-exact.",
+    tags=("streaming", "events", "ml", "ext", "scale"),
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The behavioral transition model product analytics builds before
+    anything fancier: P(next event type | current), estimated from
+    adjacent pairs in each user's (ts, event_id)-ordered stream. Feeds
+    next-action prediction, Markov-chain attribution (the probabilistic
+    upgrade of `attribution_last_touch`), and sequence-anomaly scoring
+    (a session whose transitions are improbable under this matrix).
+
+    Exactness: transition counts are integers; each probability is ONE
+    division of identical doubles, half-up-quantized to 1e-6.
+
+    Scale: one shuffle on user_id, a partition-local lead() window, then
+    a |types|²-bounded aggregate — the matrix is KB-sized at any corpus
+    size, the classic bounded-output/unbounded-input shape.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.floor(F.col("n") * float(MKV_SCALE) / F.sum("n").over(w_from) + 0.5)
+            / MKV_SCALE
+        ).alias("p"),
+    )

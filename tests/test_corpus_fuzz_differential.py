@@ -87,6 +87,7 @@ DOC_QUERIES = [
     "leakage_safe_splits",
     "temperature_mixture_weights",
     "bigram_perplexity_score",  # r7: corpus-trained bigram LM filter
+    "token_budget_top_p",  # r7: integer cumulative-budget cutoff
 ]
 
 WORDS = ["spark", "hash", "join", "the", "a", "scan", "émigré", "data1", "Spark", "THE"]
@@ -185,6 +186,9 @@ EVENT_QUERIES = [
     "kmv_user_overlap_sketch",  # r7: bottom-k distinct/intersection sketch
     "stream_kmv_distinct_running",  # r7: streaming bottom-k state merge
     "ml_prefixspan_event_paths",  # r7: order-aware pattern supports
+    "sessionize_with_terminators",  # r7: custom-boundary gaps-and-islands
+    "retention_policy_sweep",  # r7: TTL + legal-hold routing
+    "markov_event_transitions",  # r7: lead() pair counts + one division
 ]
 
 import datetime as _dt

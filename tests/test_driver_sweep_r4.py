@@ -127,6 +127,15 @@ R7_ORACLE = [
     "bigram_perplexity_score",
     "ml_prefixspan_event_paths",
     "item_item_cosine_recs",
+    "merge_full_sync",
+    "incremental_join_maintenance",
+    "asof_join_forward",
+    "sessionize_with_terminators",
+    "hybrid_hotkey_join",
+    "retention_policy_sweep",
+    "token_budget_top_p",
+    "markov_event_transitions",
+    "lake_incremental_read",
 ]
 
 

@@ -62,6 +62,8 @@ QUERIES = [
     # r7 additions
     "sample_seeded","sample_takesample_k","quantile_sketch_rollup_monthly",
     "seasonal_decompose_daily_revenue","item_item_cosine_recs",
+    "merge_full_sync","incremental_join_maintenance",
+    "asof_join_forward","hybrid_hotkey_join",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"
