@@ -555,3 +555,102 @@ def item_item_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= II_TOP_N)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] k-core decomposition (fixed-round peel) on the co-purchase
+# graph — the density filter community detection and fraud pipelines run.
+# ---------------------------------------------------------------------------
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+@register(
+    "kcore_copurchase",
+    oracle=f"""
+        WITH po AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        pairs AS (
+          SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        ),
+        edges AS (
+          SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= {TRI_MIN_SUPPORT}
+        ),
+        s0 AS MATERIALIZED (
+          SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+        ),
+        k1 AS MATERIALIZED (SELECT u AS n FROM s0 GROUP BY u
+                            HAVING count(*) >= {KCORE_K}),
+        s1 AS MATERIALIZED (SELECT s.u, s.v FROM s0 s
+                            JOIN k1 a ON a.n = s.u JOIN k1 b ON b.n = s.v),
+        k2 AS MATERIALIZED (SELECT u AS n FROM s1 GROUP BY u
+                            HAVING count(*) >= {KCORE_K}),
+        s2 AS MATERIALIZED (SELECT s.u, s.v FROM s1 s
+                            JOIN k2 a ON a.n = s.u JOIN k2 b ON b.n = s.v),
+        k3 AS MATERIALIZED (SELECT u AS n FROM s2 GROUP BY u
+                            HAVING count(*) >= {KCORE_K}),
+        s3 AS MATERIALIZED (SELECT s.u, s.v FROM s2 s
+                            JOIN k3 a ON a.n = s.u JOIN k3 b ON b.n = s.v),
+        k4 AS MATERIALIZED (SELECT u AS n FROM s3 GROUP BY u
+                            HAVING count(*) >= {KCORE_K}),
+        s4 AS MATERIALIZED (SELECT s.u, s.v FROM s3 s
+                            JOIN k4 a ON a.n = s.u JOIN k4 b ON b.n = s.v)
+        SELECT u AS part, CAST(count(*) AS BIGINT) AS core_degree
+        FROM s4 GROUP BY u
+    """,
+    doc=f"{KCORE_K}-core of the support-filtered co-purchase graph by {KCORE_ROUNDS} fixed peel rounds (degree-<k nodes and their edges removed each round) — both engines run EXACTLY the same round count, so the hash is exact whether or not the peel has converged.",
+    tags=("graph", "iterative", "ext", "scale"),
+)
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition — the density filter behind community
+    detection, spam/fraud ring mining, and graph sparsification: peel
+    nodes with degree < k, re-check, repeat. Shares the triangle
+    counter's support-filtered co-purchase edges, and the fixed-point
+    family's determinism contract (pagerank/BFS, r6): BOTH engines run
+    EXACTLY KCORE_ROUNDS peel rounds — equality is per-round-exact and
+    independent of convergence, while tests pin that the fixture graph
+    HAS converged by round {KCORE_ROUNDS} (round N == round N-1), so the
+    output is the true core, not an artifact of the cap.
+
+    Scale: each round is one degree aggregate + two semi-joins — work is
+    proportional to SURVIVING edges, which shrink monotonically; the
+    round count needed in practice is small (peeling is not
+    diameter-bound like BFS). localCheckpoint truncates the growing
+    lineage exactly as in shortest_paths_bfs.
+    """
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = po.alias("a"), po.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select(F.col("u").alias("n"))
+        )
+        sym = (
+            sym.join(F.broadcast(keep), sym.u == keep.n, "left_semi")
+            .join(
+                F.broadcast(keep.select(F.col("n").alias("n2"))),
+                F.col("v") == F.col("n2"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return sym.groupBy(F.col("u").alias("part")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )

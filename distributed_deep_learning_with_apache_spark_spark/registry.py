@@ -83,6 +83,9 @@ _DRIVER_PRIORITY = [
     "token_budget_top_p",
     "markov_event_transitions",
     "lake_incremental_read",
+    "funnel_stage_durations",
+    "ab_test_lift_ztest",
+    "kcore_copurchase",
     # --- changed in r7: advisor fixes / layout pin (must re-earn hash) ----
     "sample_seeded",  # rows-only -> portable-hash Bernoulli with oracle
     "embedding_drift_by_label",

@@ -2657,3 +2657,220 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / MKV_SCALE
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Funnel stage-transition durations: exact p50/p90 seconds between
+# funnel stages — the "how long does conversion take" half of events_funnel.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_stage_durations",
+    oracle="""
+        WITH s AS (
+          SELECT user_id, min(floor(epoch(ts::TIMESTAMP))::BIGINT) AS s_ts
+          FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        v AS (
+          SELECT e.user_id, min(floor(epoch(e.ts::TIMESTAMP))::BIGINT) AS v_ts
+          FROM events e JOIN s ON s.user_id = e.user_id
+          WHERE e.event_type = 'view'
+            AND floor(epoch(e.ts::TIMESTAMP))::BIGINT > s.s_ts
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(floor(epoch(e.ts::TIMESTAMP))::BIGINT) AS p_ts
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'purchase'
+            AND floor(epoch(e.ts::TIMESTAMP))::BIGINT > v.v_ts
+          GROUP BY e.user_id
+        ),
+        durs AS (
+          SELECT 'signup_to_view' AS stage, v.v_ts - s.s_ts AS secs
+          FROM v JOIN s ON s.user_id = v.user_id
+          UNION ALL
+          SELECT 'view_to_purchase', p.p_ts - v.v_ts
+          FROM p JOIN v ON v.user_id = p.user_id
+        )
+        SELECT stage,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(quantile_cont(secs, 0.5), 2) AS p50_secs,
+               round(quantile_cont(secs, 0.9), 2) AS p90_secs
+        FROM durs GROUP BY stage
+    """,
+    doc="Exact p50/p90 seconds between funnel stages (signup->first later view, view->first later purchase) — the latency half of events_funnel's counts; whole-second epochs, exact interpolated percentiles.",
+    tags=("streaming", "funnel", "quantile", "ext", "scale"),
+)
+def funnel_stage_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_funnel answers WHO converts; this answers HOW LONG each hop
+    takes — the product metric that decides where the funnel leaks. Same
+    stage semantics (strictly-later first event of the next type, whole-
+    second epochs so parquet timestamp-unit drift can't flip a strict
+    inequality), then per-user durations aggregated to exact interpolated
+    p50/p90 (Spark percentile == DuckDB quantile_cont, the
+    quantile_order_prices parity).
+
+    Scale: three conditional min-aggregates chained on user_id (AQE
+    broadcasts as the funnel narrows), then a two-row-per-user duration
+    table — the percentile runs on |converted users|, not |events|; at
+    extreme scale the narrowing or sketch quantile families substitute.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch_s("ts").alias("ts_s")
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("s_ts"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts_s") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("v_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts_s") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("p_ts"))
+    )
+    d1 = v.join(s, "user_id").select(
+        F.lit("signup_to_view").alias("stage"),
+        (F.col("v_ts") - F.col("s_ts")).alias("secs"),
+    )
+    d2 = p.join(v, "user_id").select(
+        F.lit("view_to_purchase").alias("stage"),
+        (F.col("p_ts") - F.col("v_ts")).alias("secs"),
+    )
+    return (
+        d1.unionByName(d2)
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.percentile("secs", F.lit(0.5)), 2).alias("p50_secs"),
+            F.round(F.percentile("secs", F.lit(0.9)), 2).alias("p90_secs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] A/B experiment readout: portable-hash assignment + conversion
+# lift + pooled two-proportion z statistic — the experimentation primitive.
+# ---------------------------------------------------------------------------
+AB_P = 2_147_483_647
+AB_A = 1_226_874_159  # Fishman-Moore multiplier (see operators/setops.py)
+AB_C = 99
+AB_MID = 1_073_741_823  # floor(P/2): top-bit split, robust for Weyl streams
+
+
+@register(
+    "ab_test_lift_ztest",
+    oracle=f"""
+        WITH assigned AS (
+          SELECT DISTINCT user_id,
+                 CASE WHEN ((user_id % {AB_P}) * {AB_A} + {AB_C}) % {AB_P}
+                           <= {AB_MID}
+                      THEN 'A' ELSE 'B' END AS arm
+          FROM events
+        ),
+        conv AS (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        ),
+        per_arm AS (
+          SELECT a.arm,
+                 CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_converted
+          FROM assigned a LEFT JOIN conv c ON c.user_id = a.user_id
+          GROUP BY a.arm
+        ),
+        wide AS (
+          SELECT max(CASE WHEN arm = 'A' THEN n_users END) AS na,
+                 max(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+                 max(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+                 max(CASE WHEN arm = 'B' THEN n_converted END) AS cb
+          FROM per_arm
+        )
+        SELECT na, ca, nb, cb,
+               floor((cb * 1.0 / nb - ca * 1.0 / na) * 1000000 + 0.5) / 1000000
+                 AS lift,
+               CASE WHEN (ca + cb) IN (0, na + nb) THEN NULL
+                    ELSE floor((cb * 1.0 / nb - ca * 1.0 / na)
+                         / sqrt((ca + cb) * 1.0 / (na + nb)
+                                * (1 - (ca + cb) * 1.0 / (na + nb))
+                                * (1.0 / na + 1.0 / nb)) * 10000 + 0.5) / 10000
+               END AS z_stat
+        FROM wide
+    """,
+    doc="A/B experiment readout: deterministic top-bit hash assignment of users to arms, per-arm conversion (>=1 purchase), absolute lift and the pooled two-proportion z statistic — every step integer counts + one arithmetic chain on identical doubles, hash-exact.",
+    tags=("events", "quality", "experiment", "ext", "scale"),
+)
+def ab_test_lift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation primitive: assign every user to arm A or B by a
+    pure function of their id (the production property — assignment is
+    reproducible at analysis time, never stored), measure conversion per
+    arm, report lift and the pooled two-proportion z statistic an
+    experiment readout gates launches on.
+
+    Assignment uses the TOP BIT of the Lehmer hash (h <= P/2), not h % 2:
+    for an affine map the low bit correlates with key parity at low wrap
+    counts, while the top bit cuts the Weyl orbit in half — the same
+    class of trap as the r7 small-multiplier lesson.
+
+    Exactness: user/conversion counts are integers from distinct
+    aggregates; lift and z are one arithmetic chain (divide/sqrt — both
+    IEEE-exactly-rounded) on identical doubles, half-up-quantized.
+
+    Scale: two distinct-aggregates over the event stream (map-side
+    combinable) + a 2-row pivot; the readout is O(1) rows at any scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    h = F.pmod(F.pmod(F.col("user_id"), AB_P) * AB_A + AB_C, AB_P)
+    assigned = (
+        e.select("user_id")
+        .distinct()
+        .withColumn("arm", F.when(h <= AB_MID, "A").otherwise("B"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    per_arm = (
+        assigned.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0))).cast("long").alias("n_converted"),
+        )
+    )
+    wide = per_arm.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    pa = F.col("ca") * 1.0 / F.col("na")
+    pb = F.col("cb") * 1.0 / F.col("nb")
+    conv_all = F.col("ca") + F.col("cb")
+    pool = conv_all * 1.0 / (F.col("na") + F.col("nb"))
+    se = F.sqrt(pool * (1 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    # Degenerate experiment (0% or 100% pooled conversion — the fixture's
+    # every-user-buys case): the pooled variance is 0 and z is undefined;
+    # emit NULL rather than tripping ANSI divide-by-zero. Both engines
+    # take the same CASE, so the hash stays exact.
+    z = F.when(
+        (conv_all == 0) | (conv_all == F.col("na") + F.col("nb")),
+        F.lit(None).cast("double"),
+    ).otherwise(F.floor((pb - pa) / se * 10_000 + 0.5) / 10_000)
+    return wide.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        (F.floor((pb - pa) * 1_000_000 + 0.5) / 1_000_000).alias("lift"),
+        z.alias("z_stat"),
+    )

@@ -189,6 +189,8 @@ EVENT_QUERIES = [
     "sessionize_with_terminators",  # r7: custom-boundary gaps-and-islands
     "retention_policy_sweep",  # r7: TTL + legal-hold routing
     "markov_event_transitions",  # r7: lead() pair counts + one division
+    "funnel_stage_durations",  # r7: stage-latency percentiles
+    "ab_test_lift_ztest",  # r7: degenerate-conversion z guard
 ]
 
 import datetime as _dt

@@ -565,3 +565,80 @@ def test_incremental_read_touches_only_delta_files(spark, sf_dir):
         .collect()
     }
     assert out == truth
+
+
+
+# ---------------------------------------------------------------------------
+# Funnel durations
+# ---------------------------------------------------------------------------
+def test_funnel_durations_positive_and_consistent(spark, sf_dir):
+    """Durations are strictly positive by construction (strictly-later
+    stages) and stage user counts must match events_funnel's counts."""
+    out = {r["stage"]: r for r in REG["funnel_stage_durations"].fn(spark, sf_dir).collect()}
+    if not out:
+        pytest.skip("no funnel conversions at this SF")
+    for r in out.values():
+        assert r["p50_secs"] > 0 and r["p90_secs"] >= r["p50_secs"]
+    fun = REG["events_funnel"].fn(spark, sf_dir).first()
+    if "signup_to_view" in out:
+        assert out["signup_to_view"]["n_users"] == fun["n_view_after_signup"]
+    if "view_to_purchase" in out:
+        assert out["view_to_purchase"]["n_users"] == fun["n_purchase_after_view"]
+
+
+# ---------------------------------------------------------------------------
+# A/B readout
+# ---------------------------------------------------------------------------
+def test_ab_assignment_balanced_and_exhaustive(spark, sf_dir):
+    out = REG["ab_test_lift_ztest"].fn(spark, sf_dir).first()
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert out["na"] + out["nb"] == n_users
+    # top-bit split of a Weyl orbit: arms within 25% of each other
+    assert min(out["na"], out["nb"]) >= 0.375 * n_users
+    assert out["ca"] <= out["na"] and out["cb"] <= out["nb"]
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+def test_kcore_converged_and_degrees_hold(spark, sf_dir):
+    """Every surviving node keeps degree >= K (the core property — which
+    also proves the peel CONVERGED within the fixed rounds: an
+    unconverged graph would still hold degree-<K nodes)."""
+    from distributed_deep_learning_with_apache_spark_spark.operators.graph import KCORE_K
+
+    rows = REG["kcore_copurchase"].fn(spark, sf_dir).collect()
+    if not rows:
+        pytest.skip("graph fully peeled at this SF")
+    assert all(r["core_degree"] >= KCORE_K for r in rows)
+
+
+def test_ab_z_statistic_on_split_conversion(spark):
+    """Exercise the z arithmetic on a corpus where conversion is PARTIAL
+    (the fixtures convert 100% of users, so their z is NULL by design):
+    hand-computed pooled two-proportion z must match to the 1e-4 quantum."""
+    import math
+    import tempfile
+
+    rows = []
+    eid = 0
+    for u in range(40):
+        rows.append((eid, u, "view")); eid += 1
+        # convert a deterministic, arm-skewed subset
+        if u % 3 == 0:
+            rows.append((eid, u, "purchase")); eid += 1
+    df = spark.createDataFrame(
+        [(e, f"2024-03-01 00:{e//60:02d}:{e%60:02d}", u, t, 1.0, "{}") for e, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = tempfile.mkdtemp(prefix="sg_ab_")
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    out = REG["ab_test_lift_ztest"].fn(spark, d).first()
+    na, ca, nb, cb = out["na"], out["ca"], out["nb"], out["cb"]
+    assert na + nb == 40 and 0 < ca + cb < 40
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    se = math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    z = math.floor((pb - pa) / se * 10_000 + 0.5) / 10_000
+    assert out["z_stat"] == z
+    assert out["lift"] == math.floor((pb - pa) * 1_000_000 + 0.5) / 1_000_000

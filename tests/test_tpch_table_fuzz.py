@@ -63,7 +63,7 @@ QUERIES = [
     "sample_seeded","sample_takesample_k","quantile_sketch_rollup_monthly",
     "seasonal_decompose_daily_revenue","item_item_cosine_recs",
     "merge_full_sync","incremental_join_maintenance",
-    "asof_join_forward","hybrid_hotkey_join",
+    "asof_join_forward","hybrid_hotkey_join","kcore_copurchase",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"

@@ -145,6 +145,9 @@ QUERIES = [
     "token_budget_top_p",
     "markov_event_transitions",
     "lake_incremental_read",
+    "funnel_stage_durations",
+    "ab_test_lift_ztest",
+    "kcore_copurchase",
 ]
 
 
