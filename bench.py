@@ -89,11 +89,28 @@ def _check_stderr(saved_fd: int, path: str) -> None:
     with open(path, "rb") as f:
         data = f.read()
     os.write(saved_fd, data)
+    text = data.decode("utf-8", "replace")
     errors = [
-        ln
-        for ln in data.decode("utf-8", "replace").splitlines()
-        if " ERROR " in ln or ln.startswith("ERROR")
+        ln for ln in text.splitlines() if " ERROR " in ln or ln.startswith("ERROR")
     ]
+    # stream_exactly_once_merge_restart INJECTS a crash (its exactly-once
+    # rehearsal); Spark logs that epoch's termination at ERROR level. Allow
+    # exactly as many MicroBatchExecution-termination ERRORs as injected
+    # markers appear — any other ERROR (or an extra termination) still
+    # fails the bench.
+    n_injected = text.count("injected crash AFTER sink commit")
+    if n_injected:
+        kept, excused = [], 0
+        for ln in errors:
+            if (
+                excused < n_injected
+                and "MicroBatchExecution" in ln
+                and "terminated with error" in ln
+            ):
+                excused += 1
+            else:
+                kept.append(ln)
+        errors = kept
     if errors:
         os.write(
             saved_fd,

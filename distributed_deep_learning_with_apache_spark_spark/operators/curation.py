@@ -1499,3 +1499,64 @@ def token_budget_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot_tok").alias("tokens_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Code detection: symbol/digit density screen over documents —
+# the "is this prose or source code" routing gate an LLM corpus needs.
+# ---------------------------------------------------------------------------
+CODE_SYMBOL_BP = 800  # >= 8% non-alphanumeric-non-space chars -> code-like
+
+
+@register(
+    "doc_code_detection",
+    oracle=f"""
+        WITH feat AS (
+          SELECT doc_id, source,
+                 CAST(length(text) AS BIGINT) AS n,
+                 CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                      AS BIGINT) AS n_sym,
+                 CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                      AS BIGINT) AS n_digit
+          FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        )
+        SELECT doc_id, source,
+               CAST(floor(n_sym * 10000.0 / n) AS BIGINT) AS symbol_bp,
+               CAST(floor(n_digit * 10000.0 / n) AS BIGINT) AS digit_bp,
+               n_sym * 10000 >= n * {CODE_SYMBOL_BP} AS is_code_like
+        FROM feat
+    """,
+    doc=f"Prose-vs-code routing gate: per-doc symbol and digit density in integer basis points; >= {CODE_SYMBOL_BP} bp symbols flags code-like (braces/operators/punctuation dominate source text) — the corpus-routing decision before language-specific pipelines.",
+    tags=("curation", "quality", "text", "ext", "scale"),
+)
+def doc_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training corpora route code and prose to different pipelines
+    (different dedup granularity, different quality filters, different
+    tokenizers); the router is a density screen — source code's symbol
+    ratio (braces, operators, punctuation) sits far above prose's. The
+    bar here is ABSOLUTE by design (unlike the perplexity filter's
+    corpus-relative bar): symbol density separates code from prose by
+    character-class physics, not by corpus context.
+
+    Exactness: counts are character-class lengths (the regex class
+    [a-z0-9 ] means the same thing to Java regex and RE2); ratios are
+    integer basis points via BIGINT multiply-compare — no FP anywhere.
+
+    Scale: pure scan-stage expressions (two regexp_replace + lengths),
+    no shuffle, no UDF; at 100 TB this rides the ingest scan for free.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    n = F.length("text").cast("long")
+    n_sym = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[a-z0-9 ]", "")
+    ).cast("long")
+    n_digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("long")
+    return d.select(
+        "doc_id",
+        "source",
+        F.floor(n_sym * 10000.0 / n).cast("long").alias("symbol_bp"),
+        F.floor(n_digit * 10000.0 / n).cast("long").alias("digit_bp"),
+        (n_sym * 10000 >= n * CODE_SYMBOL_BP).alias("is_code_like"),
+    )

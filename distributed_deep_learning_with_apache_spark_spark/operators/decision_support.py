@@ -1150,3 +1150,138 @@ def seasonal_decompose_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFr
         half_up2(seasonal).alias("seasonal_cents"),
         half_up2(F.col("cents") - trend - seasonal).alias("residual_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r7] Seasonal-residual anomaly alerts: |residual| vs 3x MAD of the
+# residual series — the robust alarm composed from the decomposition.
+# ---------------------------------------------------------------------------
+SRA_K = 3  # MAD multiplier
+
+
+@register(
+    "seasonal_residual_alerts",
+    oracle=f"""
+        WITH daily AS (
+          SELECT o_orderdate::DATE AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        ),
+        win AS (
+          SELECT day, cents,
+                 CAST((day - DATE '{SD_EPOCH_MON}') AS BIGINT) % 7 AS dow_idx,
+                 CAST(sum(cents) OVER w7 AS BIGINT) AS sum7,
+                 count(*) OVER w7 AS n7
+          FROM daily
+          WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        full_w AS (SELECT *, 7 * cents - sum7 AS detr7 FROM win WHERE n7 = 7),
+        seas AS (
+          SELECT dow_idx, CAST(sum(detr7) AS BIGINT) AS s_num,
+                 CAST(count(*) AS BIGINT) * 7 AS s_den
+          FROM full_w GROUP BY dow_idx
+        ),
+        resid AS (
+          SELECT f.day,
+                 floor((f.cents - f.sum7 / 7.0 - s.s_num * 1.0 / s.s_den)
+                       * 100 + 0.5) / 100 AS res
+          FROM full_w f JOIN seas s USING (dow_idx)
+        ),
+        med AS (SELECT quantile_cont(res, 0.5) AS m FROM resid),
+        mad AS (
+          SELECT quantile_cont(abs(res - med.m), 0.5) AS d
+          FROM resid, med
+        )
+        SELECT r.day, r.res AS residual_cents,
+               floor(abs(r.res - med.m) * 100 + 0.5) / 100 AS abs_dev,
+               abs(r.res - med.m) > {SRA_K} * mad.d AS is_anomaly
+        FROM resid r, med, mad
+    """,
+    doc=f"Robust anomaly alarm on the seasonal-decomposition residuals: flag days whose residual deviates from the residual MEDIAN by more than {SRA_K}x the MAD — outlier days cannot poison their own detection bar, unlike a stddev rule.",
+    tags=("relational", "timeseries", "quality", "ext", "scale"),
+)
+def seasonal_residual_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What `seasonal_decompose_daily_revenue` exists FOR: the alarm. A
+    day's residual (revenue minus trend minus day-of-week effect) is
+    scored against the residual series' median ± {SRA_K}·MAD — the robust
+    bar (`mad_price_outliers`' discipline applied to the time axis): a
+    single anomalous day inflates a stddev bound and hides itself, but
+    moves the median/MAD almost not at all.
+
+    Exactness: residuals re-derive through the decomposition's
+    integer-exact pipeline (identical doubles both engines); median and
+    MAD are exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont, the proven parity); the flag is one comparison of
+    identical doubles.
+
+    Known limit (tested, documented): the DECOMPOSITION itself is the
+    classical mean-seasonal form, which is not robust — a single extreme
+    day leaks 1/n into its day-of-week seasonal mean, so its dow peers
+    show secondary (smaller) deviations and may co-flag. Production STL
+    re-fits with robustness weights to kill that leak; the ALERT bar here
+    is already robust (median/MAD), which is what keeps the spike itself
+    unmissable.
+
+    Scale: everything after the daily aggregate runs on |days| rows; the
+    two percentile aggregates are single-pass over that bounded series,
+    broadcast back as scalars.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "cents",
+        F.pmod(F.datediff("day", F.lit(SD_EPOCH_MON).cast("date")), F.lit(7))
+        .cast("long")
+        .alias("dow_idx"),
+        F.sum("cents").over(w7).cast("long").alias("sum7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    )
+    full_w = win.filter(F.col("n7") == 7).withColumn(
+        "detr7", (7 * F.col("cents") - F.col("sum7")).cast("long")
+    )
+    seas = full_w.groupBy("dow_idx").agg(
+        F.sum("detr7").cast("long").alias("s_num"),
+        (F.count(F.lit(1)) * 7).cast("long").alias("s_den"),
+    )
+    resid = full_w.join(F.broadcast(seas), "dow_idx").select(
+        "day",
+        (
+            F.floor(
+                (
+                    F.col("cents")
+                    - F.col("sum7") / 7.0
+                    - F.col("s_num") * 1.0 / F.col("s_den")
+                )
+                * 100
+                + 0.5
+            )
+            / 100
+        ).alias("res"),
+    )
+    med = resid.agg(F.percentile("res", F.lit(0.5)).alias("m"))
+    with_med = resid.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.percentile(F.abs(F.col("res") - F.col("m")), F.lit(0.5)).alias("d")
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            F.col("res").alias("residual_cents"),
+            (F.floor(F.abs(F.col("res") - F.col("m")) * 100 + 0.5) / 100).alias(
+                "abs_dev"
+            ),  # floor-based half-up: cross-engine round() splits on .xx5
+            (F.abs(F.col("res") - F.col("m")) > SRA_K * F.col("d")).alias(
+                "is_anomaly"
+            ),
+        )
+    )

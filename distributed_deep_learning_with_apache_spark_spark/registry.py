@@ -86,6 +86,8 @@ _DRIVER_PRIORITY = [
     "funnel_stage_durations",
     "ab_test_lift_ztest",
     "kcore_copurchase",
+    "seasonal_residual_alerts",
+    "doc_code_detection",
     # --- changed in r7: advisor fixes / layout pin (must re-earn hash) ----
     "sample_seeded",  # rows-only -> portable-hash Bernoulli with oracle
     "embedding_drift_by_label",

@@ -88,6 +88,7 @@ DOC_QUERIES = [
     "temperature_mixture_weights",
     "bigram_perplexity_score",  # r7: corpus-trained bigram LM filter
     "token_budget_top_p",  # r7: integer cumulative-budget cutoff
+    "doc_code_detection",  # r7: character-class density routing
 ]
 
 WORDS = ["spark", "hash", "join", "the", "a", "scan", "émigré", "data1", "Spark", "THE"]

@@ -139,6 +139,8 @@ R7_ORACLE = [
     "funnel_stage_durations",
     "ab_test_lift_ztest",
     "kcore_copurchase",
+    "seasonal_residual_alerts",
+    "doc_code_detection",
 ]
 
 

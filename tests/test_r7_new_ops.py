@@ -642,3 +642,97 @@ def test_ab_z_statistic_on_split_conversion(spark):
     z = math.floor((pb - pa) / se * 10_000 + 0.5) / 10_000
     assert out["z_stat"] == z
     assert out["lift"] == math.floor((pb - pa) * 1_000_000 + 0.5) / 1_000_000
+
+
+
+# ---------------------------------------------------------------------------
+# Seasonal residual alerts
+# ---------------------------------------------------------------------------
+def test_residual_alerts_flag_injected_spike(spark):
+    """A synthetic flat weekly series with one spiked day: the spike (and
+    only days perturbed by its moving-average window) may flag; the spike
+    itself MUST flag — the robust bar can't be poisoned by its own
+    outlier the way a stddev bar is."""
+    import datetime as dt
+    import tempfile
+
+    rows = []
+    base = dt.datetime(1995, 1, 2)  # a Monday
+    for i in range(60):
+        day = base + dt.timedelta(days=i)
+        # weekly pattern + deterministic jitter: a PERFECTLY periodic
+        # series has MAD 0 (every tiny MA edge effect then flags) — real
+        # series have a noise floor, so the synthetic one gets one too
+        price = 1000.0 + (i % 7) * 10.0 + ((i * 37) % 100) / 100.0
+        if i == 30:
+            price += 5000.0  # the anomaly
+        rows.append((i, i % 50, "O", price, day, "1-URGENT"))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = tempfile.mkdtemp(prefix="sg_sra_")
+    df.write.mode("overwrite").parquet(d + "/orders.parquet")
+    out = {
+        r["day"].isoformat(): r
+        for r in REG["seasonal_residual_alerts"].fn(spark, d).collect()
+    }
+    spike_day = (base + dt.timedelta(days=30)).date().isoformat()
+    assert out[spike_day]["is_anomaly"] is True
+    n_flagged = sum(1 for r in out.values() if r["is_anomaly"])
+    # A single extreme spike contaminates (a) its 7-day MA window and
+    # (b) every day sharing its day-of-week (the MEAN seasonal absorbs
+    # 1/n_dow of the spike — classical decomposition is not robust;
+    # that's why STL iterates with robustness weights, documented in the
+    # operator). Bound: window (7) + dow peers (~9) + jitter edge cases,
+    # but never a majority of the series.
+    assert n_flagged < len(out) / 2, f"{n_flagged} of {len(out)} days flagged"
+    # and the spike dominates every secondary (contamination) deviation
+    others = max(r["abs_dev"] for k, r in out.items() if k != spike_day)
+    assert out[spike_day]["abs_dev"] > 4 * others
+
+
+def test_residual_alerts_agree_with_decomposition(spark, sf_dir):
+    """The alert's residuals must equal seasonal_decompose_daily_revenue's
+    residual_cents day for day (same pipeline, same quantization)."""
+    alerts = {
+        r["day"]: r["residual_cents"]
+        for r in REG["seasonal_residual_alerts"].fn(spark, sf_dir).collect()
+    }
+    decomp = {
+        r["day"]: r["residual_cents"]
+        for r in REG["seasonal_decompose_daily_revenue"].fn(spark, sf_dir).collect()
+    }
+    assert alerts == decomp
+
+
+# ---------------------------------------------------------------------------
+# Code detection
+# ---------------------------------------------------------------------------
+def test_code_detection_routes_code_vs_prose(spark):
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    prose = "the quick brown fox jumps over the lazy dog and runs away home"
+    code = "def f(x):\n    return {k: v*2 for k, v in x.items() if v != 0}"
+    docs = [(0, prose, "en", "web", len(prose)), (1, code, "en", "web", len(code))]
+    d = tempfile.mkdtemp(prefix="sg_code_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([x[0] for x in docs], pa.int64()),
+                "text": pa.array([x[1] for x in docs]),
+                "lang": pa.array([x[2] for x in docs]),
+                "source": pa.array([x[3] for x in docs]),
+                "n_chars": pa.array([x[4] for x in docs], pa.int64()),
+            }
+        ),
+        d + "/documents.parquet",
+    )
+    out = {r["doc_id"]: r for r in REG["doc_code_detection"].fn(spark, d).collect()}
+    assert out[0]["is_code_like"] is False
+    assert out[1]["is_code_like"] is True
+    assert 0 <= out[0]["symbol_bp"] < 800 <= out[1]["symbol_bp"] <= 10000

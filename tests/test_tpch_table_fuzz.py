@@ -64,6 +64,7 @@ QUERIES = [
     "seasonal_decompose_daily_revenue","item_item_cosine_recs",
     "merge_full_sync","incremental_join_maintenance",
     "asof_join_forward","hybrid_hotkey_join","kcore_copurchase",
+    "seasonal_residual_alerts",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"

@@ -148,6 +148,8 @@ QUERIES = [
     "funnel_stage_durations",
     "ab_test_lift_ztest",
     "kcore_copurchase",
+    "seasonal_residual_alerts",
+    "doc_code_detection",
 ]
 
 
