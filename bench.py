@@ -94,11 +94,16 @@ def _check_stderr(saved_fd: int, path: str) -> None:
         ln for ln in text.splitlines() if " ERROR " in ln or ln.startswith("ERROR")
     ]
     # stream_exactly_once_merge_restart INJECTS a crash (its exactly-once
-    # rehearsal); Spark logs that epoch's termination at ERROR level. Allow
-    # exactly as many MicroBatchExecution-termination ERRORs as injected
-    # markers appear — any other ERROR (or an extra termination) still
-    # fails the bench.
-    n_injected = text.count("injected crash AFTER sink commit")
+    # rehearsal); Spark logs that epoch's termination at ERROR level. The
+    # injection site prints a ONE-LINE sentinel exactly once per injection
+    # (the raise message itself is echoed multiple times by Spark's ERROR
+    # line + traceback, so counting it over-excused — r7 advisor finding).
+    # Excuse exactly as many MicroBatchExecution-termination ERRORs as
+    # sentinel lines appear; any other ERROR (or an extra termination)
+    # still fails the bench.
+    n_injected = sum(
+        1 for ln in text.splitlines() if ln.strip() == "SPARK_GRAFT_INJECTED_CRASH"
+    )
     if n_injected:
         kept, excused = [], 0
         for ln in errors:

@@ -909,3 +909,225 @@ def ml_prefixspan_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at("sequence", F.lit(2))[0].alias("pat_b"),
         F.col("freq").cast("long").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8] Closed-form K-fold ridge sweep — the hash-checked twin of
+# ml_crossval_ridge (r7 verdict #5): the CrossValidator MECHANISM is
+# rows-only by nature, but the MATH it runs (normal-equations ridge,
+# fold-averaged RMSE, smallest-lambda-wins ordering) is exactly
+# DuckDB-expressible when every moment is an integer and every double
+# operation is the same IEEE expression tree in both engines.
+# ---------------------------------------------------------------------------
+RIDGE_N = 3000
+RIDGE_FOLDS = 3
+RIDGE_GRID = (1.0, 1e5, 1e9)  # scaled-design penalties: monotone RMSE split
+# Portable pseudo-noise: the proven Lehmer constants (setops.py — Fishman-
+# Moore multiplier, wraps hard for sequential ids; see the r7 KMV lesson).
+from ..operators.setops import SAMPLE_P as _RP  # noqa: E402
+from ..operators.setops import TAKESAMPLE_A as _RA  # noqa: E402
+from ..operators.setops import TAKESAMPLE_C as _RC  # noqa: E402
+
+# Shared per-step expression templates — used VERBATIM by both the Spark
+# selectExpr and the DuckDB oracle, so each named step is the identical
+# IEEE expression tree over identical doubles; +,-,*,/ and sqrt are all
+# correctly rounded, so the two engines' results are bit-identical (no
+# libm transcendental anywhere — the bigram-perplexity ln lesson applied
+# preemptively).  Column vocabulary: test-fold integer moments
+# n,sa,sb,sy,saa,sbb,sab,say,sby,syy; train moments tn,ta,tb,ty,taa,tbb,
+# tab,tay,tby (= total minus test, exact BIGINT subtractions); lam DOUBLE.
+RIDGE_DBL = {
+    "dn": "CAST(tn AS DOUBLE)",
+    "da": "CAST(ta AS DOUBLE)",
+    "db": "CAST(tb AS DOUBLE)",
+    "dy": "CAST(ty AS DOUBLE)",
+    "m22": "(CAST(taa AS DOUBLE) + lam)",
+    "m23": "CAST(tab AS DOUBLE)",
+    "m33": "(CAST(tbb AS DOUBLE) + lam)",
+    "r1": "CAST(tay AS DOUBLE)",
+    "r2": "CAST(tby AS DOUBLE)",
+}
+RIDGE_DET = "dn*(m22*m33 - m23*m23) - da*(da*m33 - m23*db) + db*(da*m23 - m22*db)"
+RIDGE_D0 = "dy*(m22*m33 - m23*m23) - da*(r1*m33 - m23*r2) + db*(r1*m23 - m22*r2)"
+RIDGE_D1 = "dn*(r1*m33 - r2*m23) - dy*(da*m33 - m23*db) + db*(da*r2 - r1*db)"
+RIDGE_D2 = "dn*(m22*r2 - r1*m23) - da*(da*r2 - r1*db) + dy*(da*m23 - m22*db)"
+RIDGE_SSE = (
+    "CAST(syy AS DOUBLE) + CAST(n AS DOUBLE)*b0*b0"
+    " + b1*b1*CAST(saa AS DOUBLE) + b2*b2*CAST(sbb AS DOUBLE)"
+    " - 2*b0*CAST(sy AS DOUBLE) - 2*b1*CAST(say AS DOUBLE)"
+    " - 2*b2*CAST(sby AS DOUBLE) + 2*b0*b1*CAST(sa AS DOUBLE)"
+    " + 2*b0*b2*CAST(sb AS DOUBLE) + 2*b1*b2*CAST(sab AS DOUBLE)"
+)
+RIDGE_RMSE_MICRO = "CAST(floor(sqrt(sse / CAST(n AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)"
+
+# Integer design shared by both engines: xa = 10*a, xb = 8*b, y1000 =
+# 1000*y = 300*xa - 250*xb + (lehmer(id) % 1000 - 500) — every moment a
+# BIGINT sum, order-independent.
+_RIDGE_PTS_COLS = tuple(
+    s.format(folds=RIDGE_FOLDS, p=_RP, a=_RA, c=_RC)
+    for s in (
+        "id % {folds} AS fold",
+        "CAST((id * 7) % 100 AS BIGINT) AS xa",
+        "CAST((id * 13) % 80 AS BIGINT) AS xb",
+        "CAST(300 * ((id * 7) % 100) - 250 * ((id * 13) % 80)"
+        " + ((id % {p}) * {a} + {c}) % {p} % 1000 - 500 AS BIGINT) AS y",
+    )
+)
+_RIDGE_PTS = ", ".join(_RIDGE_PTS_COLS)
+_RIDGE_MOMENTS = (
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb, "
+    "CAST(sum(y) AS BIGINT) AS sy, "
+    "CAST(sum(xa*xa) AS BIGINT) AS saa, CAST(sum(xb*xb) AS BIGINT) AS sbb, "
+    "CAST(sum(xa*xb) AS BIGINT) AS sab, "
+    "CAST(sum(xa*y) AS BIGINT) AS say, CAST(sum(xb*y) AS BIGINT) AS sby, "
+    "CAST(sum(y*y) AS BIGINT) AS syy"
+)
+_RIDGE_DBL_SELECT = ", ".join(f"{v} AS {k}" for k, v in RIDGE_DBL.items())
+
+
+@register(
+    "ml_ridge_normal_eq",
+    oracle=f"""
+        WITH pts AS (
+          SELECT {_RIDGE_PTS} FROM range({RIDGE_N}) AS t(id)
+        ),
+        fm AS (SELECT fold, {_RIDGE_MOMENTS} FROM pts GROUP BY fold),
+        tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS gn,
+                 CAST(sum(sa) AS BIGINT) AS ga, CAST(sum(sb) AS BIGINT) AS gb,
+                 CAST(sum(sy) AS BIGINT) AS gy,
+                 CAST(sum(saa) AS BIGINT) AS gaa,
+                 CAST(sum(sbb) AS BIGINT) AS gbb,
+                 CAST(sum(sab) AS BIGINT) AS gab,
+                 CAST(sum(say) AS BIGINT) AS gay,
+                 CAST(sum(sby) AS BIGINT) AS gby
+          FROM fm
+        ),
+        grid AS (SELECT unnest(ARRAY[{", ".join(f"CAST({g} AS DOUBLE)" for g in RIDGE_GRID)}]) AS lam),
+        tr AS (
+          SELECT fm.*, lam,
+                 gn - n AS tn, ga - sa AS ta, gb - sb AS tb, gy - sy AS ty,
+                 gaa - saa AS taa, gbb - sbb AS tbb, gab - sab AS tab,
+                 gay - say AS tay, gby - sby AS tby
+          FROM fm CROSS JOIN tot CROSS JOIN grid
+        ),
+        dbl AS (SELECT tr.*, {_RIDGE_DBL_SELECT} FROM tr),
+        dets AS (
+          SELECT dbl.*, {RIDGE_DET} AS det, {RIDGE_D0} AS det0,
+                 {RIDGE_D1} AS det1, {RIDGE_D2} AS det2
+          FROM dbl
+        ),
+        betas AS (
+          SELECT dets.*, det0/det AS b0, det1/det AS b1, det2/det AS b2
+          FROM dets
+        ),
+        scored AS (
+          SELECT lam, {RIDGE_SSE} AS sse, n FROM betas
+        ),
+        folds AS (
+          SELECT lam, {RIDGE_RMSE_MICRO} AS rmse_micro FROM scored
+        ),
+        summed AS (
+          SELECT lam AS reg_param,
+                 CAST(sum(rmse_micro) AS DOUBLE) / 3.0 AS avg_rmse_micro
+          FROM folds GROUP BY lam
+        )
+        SELECT reg_param, avg_rmse_micro,
+               avg_rmse_micro = min(avg_rmse_micro) OVER () AS is_best
+        FROM summed
+    """,
+    doc="K-fold ridge regression solved in CLOSED FORM (normal equations via Cramer on integer-exact moment sums, shared IEEE expression templates) — the hash-checked twin of ml_crossval_ridge: same fold-averaged-RMSE model selection, zero iterative machinery.",
+    tags=("ml", "regression", "sweep", "ext"),
+)
+def ml_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ml_crossval_ridge`'s deterministic sibling (r7 verdict #5): the
+    CrossValidator MECHANISM (fold sampling, parallel fits) is rows-only
+    by nature, so this twin pins the MATH it runs with a real SQL oracle
+    — K-fold ridge on the same deterministic design, solved by normal
+    equations, reporting the same fold-averaged RMSE ordering (smallest
+    penalty wins on an informative linear target; RMSE monotone in
+    lambda — pinned in tests/test_r8_fixes.py).
+
+    Cross-engine exactness: the design is INTEGER (xa=10a, xb=8b,
+    y1000=1000y with Lehmer pseudo-noise), so all ten per-fold moments
+    are BIGINT sums — order-independent; train moments are total-minus-
+    fold BIGINT subtractions (each training set's moments computed
+    without a second pass — the K-fold trick at any scale); the 3x3
+    Cramer solve, test-SSE expansion (SSE from moments alone — no
+    per-row residual pass, no FP accumulation), and sqrt run through
+    SHARED SQL templates so both engines evaluate the identical IEEE
+    tree on identical doubles: +,-,*,/ and sqrt are correctly rounded,
+    hence bit-identical results — no ln anywhere (the bigram-perplexity
+    lesson applied preemptively).
+
+    Scale: ONE map-side-combinable aggregate over the data produces the
+    K x 10 moment table; everything after runs on K rows. At 100 TB the
+    fit costs exactly one scan regardless of folds x grid size — the
+    reason pipelines run closed-form sweeps where MLlib's CrossValidator
+    would run folds x params full passes.
+
+    Reference ancestry: chapter_6/SumNumberOfIterations.java:34 (the
+    sweep-over-configs shape) and chapter_5's regression targets.
+    """
+    pts = spark.range(RIDGE_N).selectExpr(*_RIDGE_PTS_COLS)
+    fm = pts.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xa").cast("long").alias("sa"),
+        F.sum("xb").cast("long").alias("sb"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("sbb"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sab"),
+        F.sum(F.col("xa") * F.col("y")).cast("long").alias("say"),
+        F.sum(F.col("xb") * F.col("y")).cast("long").alias("sby"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    tot = fm.agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("sa").cast("long").alias("ga"),
+        F.sum("sb").cast("long").alias("gb"),
+        F.sum("sy").cast("long").alias("gy"),
+        F.sum("saa").cast("long").alias("gaa"),
+        F.sum("sbb").cast("long").alias("gbb"),
+        F.sum("sab").cast("long").alias("gab"),
+        F.sum("say").cast("long").alias("gay"),
+        F.sum("sby").cast("long").alias("gby"),
+    )
+    grid = spark.createDataFrame([(g,) for g in RIDGE_GRID], "lam double")
+    tr = (
+        fm.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(grid))
+        .selectExpr(
+            "*",
+            "gn - n AS tn",
+            "ga - sa AS ta",
+            "gb - sb AS tb",
+            "gy - sy AS ty",
+            "gaa - saa AS taa",
+            "gbb - sbb AS tbb",
+            "gab - sab AS tab",
+            "gay - say AS tay",
+            "gby - sby AS tby",
+        )
+    )
+    dbl = tr.selectExpr("*", *(f"{v} AS {k}" for k, v in RIDGE_DBL.items()))
+    dets = dbl.selectExpr(
+        "*",
+        f"{RIDGE_DET} AS det",
+        f"{RIDGE_D0} AS det0",
+        f"{RIDGE_D1} AS det1",
+        f"{RIDGE_D2} AS det2",
+    )
+    betas = dets.selectExpr("*", "det0/det AS b0", "det1/det AS b1", "det2/det AS b2")
+    scored = betas.selectExpr("lam", f"{RIDGE_SSE} AS sse", "n")
+    folds = scored.selectExpr("lam", f"{RIDGE_RMSE_MICRO} AS rmse_micro")
+    summed = folds.groupBy(F.col("lam").alias("reg_param")).agg(
+        (F.sum("rmse_micro").cast("double") / 3.0).alias("avg_rmse_micro")
+    )
+    w = Window.partitionBy()
+    return summed.select(
+        "reg_param",
+        "avg_rmse_micro",
+        (F.col("avg_rmse_micro") == F.min("avg_rmse_micro").over(w)).alias("is_best"),
+    )

@@ -1218,8 +1218,21 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality filter: score each document under a corpus bigram LM and flag
 # the high-perplexity (low-quality / out-of-domain) tail.
 # ---------------------------------------------------------------------------
-PPL_SCALE = 1_000_000  # micro-nats: per-bigram log-probs quantized to BIGINT
-PPL_FLAG_GAP = 1_000_000  # flag docs >= 1 nat/bigram worse than the corpus mean
+# Milli-nats (NOT micro): the per-bigram quantity floor(ln(p) * SCALE)
+# trusts JVM Math.log and DuckDB's libm log to agree — natural log is not
+# correctly-rounded, so the two engines can differ by ~1 ulp (relative
+# ~1.1e-16). A floor flips only when ln(p)*SCALE lands within that error
+# of an integer; the error in the SCALED value is |ln p| * 1.1e-16 * SCALE
+# ≈ 2.2e-12 at SCALE=1e3 (|ln p| ≤ ~20), vs ≈ 2.2e-9 at the old 1e6 —
+# coarsening buys a 10^6× smaller boundary-hit measure (r7 advisor
+# finding). tests/test_r8_fixes.py additionally scans every distinct
+# (c12+1, c1+V) pair in the fixtures and asserts the scaled log sits
+# ≥ 1e-6 from the nearest integer — a >10^5× guard band over the
+# worst-case cross-engine disagreement, so a hash flip cannot happen on
+# the checked corpora and an unlucky future corpus fails the GUARD test
+# loudly instead of the hash mysteriously.
+PPL_SCALE = 1_000  # milli-nats: per-bigram log-probs quantized to BIGINT
+PPL_FLAG_GAP = 1_000  # flag docs >= 1 nat/bigram worse than the corpus mean
 
 
 @register(
@@ -1250,7 +1263,7 @@ PPL_FLAG_GAP = 1_000_000  # flag docs >= 1 nat/bigram worse than the corpus mean
         per_doc AS (
           SELECT doc_id,
                  CAST(count(*) AS BIGINT) AS n_bigrams,
-                 CAST(sum(q) AS BIGINT) AS logprob_micro_sum,
+                 CAST(sum(q) AS BIGINT) AS logprob_milli_sum,
                  CAST(floor(sum(q) * 1.0 / count(*)) AS BIGINT) AS q_avg
           FROM scored GROUP BY doc_id
         ),
@@ -1259,11 +1272,11 @@ PPL_FLAG_GAP = 1_000_000  # flag docs >= 1 nat/bigram worse than the corpus mean
                    - {PPL_FLAG_GAP} AS flag_bar
           FROM per_doc
         )
-        SELECT doc_id, n_bigrams, logprob_micro_sum,
+        SELECT doc_id, n_bigrams, logprob_milli_sum,
                q_avg < bar.flag_bar AS is_high_perplexity
         FROM per_doc, bar
     """,
-    doc="Per-document bigram-LM log-probability (add-one smoothing, corpus-trained) with a high-perplexity flag — the CCNet/Gopher-style LM quality filter; per-bigram log-probs quantized to micro-nat BIGINTs so the per-doc sums are accumulation-order-independent and hash-exact.",
+    doc="Per-document bigram-LM log-probability (add-one smoothing, corpus-trained) with a high-perplexity flag — the CCNet/Gopher-style LM quality filter; per-bigram log-probs quantized to milli-nat BIGINTs so the per-doc sums are accumulation-order-independent and hash-exact.",
     tags=("curation", "quality", "text", "ext", "scale"),
 )
 def bigram_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1277,7 +1290,7 @@ def bigram_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: counts and the vocabulary size are integers, so every
     smoothed probability (c12+1)/(c1+V) is the same double in both
-    engines; each per-bigram log-prob is floor-quantized to micro-nats
+    engines; each per-bigram log-prob is floor-quantized to milli-nats
     BEFORE the per-doc sum, making the sums BIGINT and order-independent
     (the embedding-drift discipline applied to log space). The flag
     threshold is an integer comparison (sum < n·THRESH), not an FP
@@ -1329,7 +1342,7 @@ def bigram_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.sum("q").cast("long").alias("logprob_micro_sum"),
+        F.sum("q").cast("long").alias("logprob_milli_sum"),
         F.floor(F.sum("q") * 1.0 / F.count(F.lit(1))).cast("long").alias("q_avg"),
     )
     # Corpus-RELATIVE bar (the FP-Growth minSupport lesson, r6): an
@@ -1345,7 +1358,7 @@ def bigram_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.crossJoin(F.broadcast(bar)).select(
         "doc_id",
         "n_bigrams",
-        "logprob_micro_sum",
+        "logprob_milli_sum",
         (F.col("q_avg") < F.col("flag_bar")).alias("is_high_perplexity"),
     )
 

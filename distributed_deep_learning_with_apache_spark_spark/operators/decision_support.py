@@ -1053,7 +1053,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [EXT r7] Classical seasonal decomposition: trend (centered 7-day MA) +
 # day-of-week seasonal + residual, on the daily revenue series.
 # ---------------------------------------------------------------------------
-SD_EPOCH_MON = "1992-01-06"  # a Monday: portable day-of-week = days-since % 7
+# A Monday far below any plausible corpus minimum: portable day-of-week is
+# days-since-epoch mod 7. Spark's F.pmod is always non-negative, but SQL `%`
+# is sign-of-dividend, so the oracle additionally wraps ((x % 7) + 7) % 7 —
+# the two fixes together make dow_idx agree cross-engine for ALL dates, not
+# just dates >= the epoch (r7 advisor finding: a pre-epoch date yielded -2
+# in DuckDB vs 5 in Spark).
+SD_EPOCH_MON = "1900-01-01"  # a Monday
 
 
 @register(
@@ -1067,7 +1073,8 @@ SD_EPOCH_MON = "1992-01-06"  # a Monday: portable day-of-week = days-since % 7
         ),
         win AS (
           SELECT day, cents,
-                 CAST((day - DATE '{SD_EPOCH_MON}') AS BIGINT) % 7 AS dow_idx,
+                 ((CAST((day - DATE '{SD_EPOCH_MON}') AS BIGINT) % 7) + 7) % 7
+                   AS dow_idx,
                  CAST(sum(cents) OVER w7 AS BIGINT) AS sum7,
                  count(*) OVER w7 AS n7
           FROM daily
@@ -1170,7 +1177,8 @@ SRA_K = 3  # MAD multiplier
         ),
         win AS (
           SELECT day, cents,
-                 CAST((day - DATE '{SD_EPOCH_MON}') AS BIGINT) % 7 AS dow_idx,
+                 ((CAST((day - DATE '{SD_EPOCH_MON}') AS BIGINT) % 7) + 7) % 7
+                   AS dow_idx,
                  CAST(sum(cents) OVER w7 AS BIGINT) AS sum7,
                  count(*) OVER w7 AS n7
           FROM daily

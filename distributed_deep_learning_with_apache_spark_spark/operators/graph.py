@@ -565,6 +565,26 @@ KCORE_K = 2
 KCORE_ROUNDS = 4
 
 
+def _kcore_peel_round(sym: DataFrame) -> DataFrame:
+    """One k-core peel round: drop every edge touching a node whose
+    current degree is < KCORE_K. The survivor set is UNBOUNDED (first
+    rounds keep nearly every node), so the semi-joins are deliberately
+    unhinted — AQE broadcasts small survivor sets at runtime and shuffles
+    large ones, instead of a forced F.broadcast OOMing the driver at
+    100 TB (r7 verdict finding #1)."""
+    keep = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= KCORE_K)
+        .select(F.col("u").alias("n"))
+    )
+    return sym.join(keep, sym.u == keep.n, "left_semi").join(
+        keep.select(F.col("n").alias("n2")),
+        F.col("v") == F.col("n2"),
+        "left_semi",
+    )
+
+
 @register(
     "kcore_copurchase",
     oracle=f"""
@@ -618,6 +638,14 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     round count needed in practice is small (peeling is not
     diameter-bound like BFS). localCheckpoint truncates the growing
     lineage exactly as in shortest_paths_bfs.
+
+    The survivor semi-joins carry NO broadcast hint (r7 verdict #1): the
+    early rounds' survivor set is O(|V|) — at 100 TB that is hundreds of
+    millions of keys, and a forced broadcast would OOM. Left unhinted,
+    AQE broadcasts when the runtime size is actually small and falls back
+    to a shuffled semi-join when it isn't — the decision belongs to the
+    planner, not the query. tests/test_r8_fixes.py gates that the peel
+    step's plan carries no user broadcast hint and still executes.
     """
     po = (
         load_table(spark, sf_dir, "lineitem")
@@ -636,21 +664,7 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
     for _ in range(KCORE_ROUNDS):
-        keep = (
-            sym.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= KCORE_K)
-            .select(F.col("u").alias("n"))
-        )
-        sym = (
-            sym.join(F.broadcast(keep), sym.u == keep.n, "left_semi")
-            .join(
-                F.broadcast(keep.select(F.col("n").alias("n2"))),
-                F.col("v") == F.col("n2"),
-                "left_semi",
-            )
-            .localCheckpoint(eager=True)
-        )
+        sym = _kcore_peel_round(sym).localCheckpoint(eager=True)
     return sym.groupBy(F.col("u").alias("part")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )

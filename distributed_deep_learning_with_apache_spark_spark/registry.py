@@ -53,77 +53,36 @@ def register(
 
 
 # The driver's correctness gate iterates ``queries()`` in dict order and
-# (empirically, CORRECTNESS_r01-r05.json) checks ~50 queries per round.
-# After round 6 all 264 registered names have green driver rows (210
-# hash + 54 rows-only), but 27 were last confirmed in round 1 and 49 in
-# round 2 — six/five rounds of fixture and session evolution ago (VERDICT
-# r6 #3).  Round 7 front-loads: (a) every NEW r7 query, (b) queries whose
-# code CHANGED this round (advisor fixes + the crossval layout pin — they
-# must re-earn their hash), then (c) the full r1-era cohort, then the
-# r2-era cohort; whatever exceeds the ~50-query round budget carries to
-# r8's rotation (regenerate this list each round from the CORRECTNESS_r*
-# latest-row map — see tools/coverage_report.py for the consumption).
+# checks exactly 50 queries per round (CORRECTNESS_r01-r07: 50 rows each).
+# Round-8 rotation (r7 verdict #1, the round's top item): first the 7
+# names whose code changed or landed this round (changed queries must
+# re-earn their hash; ml_ridge_normal_eq is the verdict-#5 deliverable),
+# then the ENTIRE stale-evidence backlog — the 6 queries whose newest
+# driver row is round 1 and the 49 whose newest row is round 2. That is
+# 62 names for 50 slots: the driver covers the front 50 (all changed +
+# all r1 + 37 of r2); the ~12 r2-tail names carry to r9's rotation,
+# which the verdict explicitly allowed ("rotate over two rounds,
+# r2-cohort-first"). Any OTHER new r8 queries intentionally sit BELOW
+# the backlog and earn their first driver row in r9 — local oracle
+# parity + the frozen R8_ORACLE sf0.01 pins cover them until then.
+# Regenerate this list each round from the CORRECTNESS_r* latest-row map.
 _DRIVER_PRIORITY = [
-    # --- new in r7 (inserted as they land) --------------------------------
-    "sample_takesample_k",
-    "quantile_sketch_rollup_monthly",
-    "kmv_user_overlap_sketch",
-    "stream_exactly_once_merge_restart",
+    # --- r8 front: new + code-changed this round (must re-earn hash) ----
+    "ml_ridge_normal_eq",
     "seasonal_decompose_daily_revenue",
-    "stream_kmv_distinct_running",
-    "bigram_perplexity_score",
-    "ml_prefixspan_event_paths",
-    "item_item_cosine_recs",
-    "merge_full_sync",
-    "incremental_join_maintenance",
-    "asof_join_forward",
-    "sessionize_with_terminators",
-    "hybrid_hotkey_join",
-    "retention_policy_sweep",
-    "token_budget_top_p",
-    "markov_event_transitions",
-    "lake_incremental_read",
-    "funnel_stage_durations",
-    "ab_test_lift_ztest",
-    "kcore_copurchase",
     "seasonal_residual_alerts",
-    "doc_code_detection",
-    # --- changed in r7: advisor fixes / layout pin (must re-earn hash) ----
-    "sample_seeded",  # rows-only -> portable-hash Bernoulli with oracle
-    "embedding_drift_by_label",
-    "skyline_pareto_parts",
-    "chisq_priority_status_cells",
-    "lake_wap_publish",
-    "ml_crossval_ridge",
-    # --- stalest greens: latest driver row is ROUND 1 (r6 verdict #3) -----
-    "corpus_curation_pipeline",
-    "customer_order_distribution",
-    "decontaminate_ngram_overlap",
-    "dedup_clusters",
-    "disjunctive_predicate_revenue",
-    "filter_contains_project",
-    "forecast_revenue",
-    "idle_rich_customers",
-    "important_part_values",
-    "keyby_amounts",
-    "large_volume_customers",
-    "lonely_late_suppliers",
-    "market_share",
-    "merge_upsert_customers",
-    "mix_domains_to_target",
-    "nation_trade_volume",
-    "order_priority_check",
-    "pack_sequences",
-    "part_supplier_counts",
-    "product_type_profit",
-    "promotion_candidate_suppliers",
+    "sessionize_with_terminators",
+    "bigram_perplexity_score",
+    "kcore_copurchase",
+    "stream_exactly_once_merge_restart",
+    # --- r1-stale cohort: newest driver row is ROUND 1 (r7 verdict #1) ---
     "quality_tiers",
     "returned_item_losses",
     "sample_stratified_hash",
     "scd2_customer_history",
     "small_quantity_revenue",
     "top_supplier_revenue",
-    # --- then the round-2 cohort (overflow carries to r8) -----------------
+    # --- r2-stale cohort (r7 verdict #1; ~12 tail names overflow to r9) --
     "ann_ivf_by_label",
     "ann_ivf_kmeans",
     "ann_lsh_bucketed",
@@ -173,6 +132,8 @@ _DRIVER_PRIORITY = [
     "unpivot_lineitem_measures",
     "vector_scalar_ops",
     "vocab_filter_truncate",
+    # --- r8 additions beyond the verdict deliverable land BELOW the ------
+    # --- backlog: they earn their first driver row in r9's rotation ------
 ]
 
 

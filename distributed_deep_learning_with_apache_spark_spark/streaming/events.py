@@ -2281,6 +2281,7 @@ def stream_exactly_once_merge_restart(spark: SparkSession, sf_dir: str) -> DataF
     import json as _json
     import os as _os
     import shutil
+    import sys
     import tempfile
 
     from pyspark.errors.exceptions.captured import StreamingQueryException
@@ -2337,6 +2338,11 @@ def stream_exactly_once_merge_restart(spark: SparkSession, sf_dir: str) -> DataF
         crash["commits"] += 1
         if crash["after_commits"] is not None and crash["commits"] == crash["after_commits"]:
             crash["after_commits"] = None  # fire once
+            # Exactly-one-line sentinel for bench.py's ERROR excusal budget:
+            # the raise message below gets echoed several times by Spark's
+            # logging (ERROR line + traceback), so counting IT over-excuses;
+            # this sentinel prints once per actual injection.
+            print("SPARK_GRAFT_INJECTED_CRASH", file=sys.stderr, flush=True)
             raise RuntimeError("injected crash AFTER sink commit, BEFORE checkpoint")
 
     schema = spark.read.parquet(staging).schema
@@ -2365,15 +2371,21 @@ def stream_exactly_once_merge_restart(spark: SparkSession, sf_dir: str) -> DataF
         )
 
     final_path = _read_pointer()["cur"]
-    final = spark.read.parquet(final_path).select(
+    # Publish the final snapshot OUTSIDE the lifecycle scratch tree and
+    # return a LAZY read of it (r7 verdict #4): the previous
+    # collect()+createDataFrame materialized the per-user aggregate on the
+    # driver — O(distinct users), which does not survive 100x. The rename
+    # below is metadata-only; the staging/version/checkpoint scratch is
+    # still removed, so nothing unbounded ever touches the driver.
+    publish = tempfile.mkdtemp(prefix="sg_eo_merge_pub_")
+    shutil.rmtree(publish, ignore_errors=True)
+    shutil.move(final_path, publish)
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.read.parquet(publish).select(
         "user_id",
         F.col("n_events").cast("long").alias("n_events"),
         F.col("total_value_cents").cast("long").alias("total_value_cents"),
     )
-    # Materialize before the temp target is removed.
-    final = spark.createDataFrame(final.collect(), final.schema)
-    shutil.rmtree(base, ignore_errors=True)
-    return final
 
 
 # ---------------------------------------------------------------------------
@@ -2511,7 +2523,13 @@ TERM_GAP_S = 1800
                    OVER w AS prev_t,
                  lag(event_type) OVER w AS prev_type
           FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          -- ONE ordering key everywhere: Spark's windows order by the
+          -- whole-second t, so this window must too — ordering by raw
+          -- microsecond ts would diverge whenever two same-second events'
+          -- event_id order disagrees with their ts order (r7 advisor).
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT),
+                                event_id)
         ),
         marked AS (
           SELECT *, CASE WHEN prev_t IS NULL
@@ -2548,7 +2566,9 @@ def sessionize_with_terminators(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag() exposes the previous event; a boundary flag marks session
     starts (first event, gap exceeded, or predecessor was a terminator);
     the running sum of flags IS the session id — the classic
-    gaps-and-islands assignment. Tie-breaks total on (ts, event_id).
+    gaps-and-islands assignment. Every window in BOTH engines orders by
+    the same key, (whole-second t, event_id) — a total order, since
+    event_id is unique.
 
     Scale: one hash shuffle on user_id, then two partition-local windows
     with O(1) state per row; per-session aggregation is map-side

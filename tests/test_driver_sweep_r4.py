@@ -179,6 +179,19 @@ def test_r7_oracle_at_driver_sf(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
+# Oracle-bearing round-8 additions, frozen at the driver's sf0.01.
+R8_ORACLE = [
+    "ml_ridge_normal_eq",
+]
+
+
+@pytest.mark.parametrize("name", R8_ORACLE)
+def test_r8_oracle_at_driver_sf(spark, duck, name):
+    q = REG[name]
+    ok, msg = compare(q.fn(spark, DRIVER_SF_DIR), duck, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
 def test_driver_canon_gate_catches_r4_err_class(spark):
     """Negative control: the exact r4 failure shape (a top-level array
     column) must be flagged by driver_canon_rows, proving the gate is live."""

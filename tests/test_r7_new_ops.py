@@ -289,8 +289,8 @@ def test_perplexity_flags_out_of_distribution_doc(spark, tmp_path):
     }
     assert out[30]["is_high_perplexity"] is True
     assert all(not out[i]["is_high_perplexity"] for i in range(30))
-    avg = lambda r: r["logprob_micro_sum"] / r["n_bigrams"]  # noqa: E731
-    assert avg(out[30]) < avg(out[0]) - 1_000_000  # ≥1 nat/bigram worse
+    avg = lambda r: r["logprob_milli_sum"] / r["n_bigrams"]  # noqa: E731
+    assert avg(out[30]) < avg(out[0]) - 1_000  # ≥1 nat/bigram worse (milli-nats)
 
 
 # ---------------------------------------------------------------------------
