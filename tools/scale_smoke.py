@@ -32,8 +32,15 @@ from distributed_deep_learning_with_apache_spark_spark.sources.catalog import (
 )
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/ddl_spark_scale10"
 STRIDE = 10_000_000
+
+
+def dst_for(copies: int) -> str:
+    # keep the historical path for the default 10x so its build cache
+    # survives; other multipliers get their own universe (r8: the 30x
+    # point that turns the kcore/item_item "linear work" argument into a
+    # measured curve).
+    return "/tmp/ddl_spark_scale10" if copies == 10 else f"/tmp/ddl_spark_scale_x{copies}"
 
 # Key columns to shift per table so each replica is a disjoint, join-
 # consistent universe.
@@ -204,8 +211,9 @@ def phash_scale_probe(spark, copies: int) -> dict:
 
 
 def build(spark, copies: int) -> None:
+    dst = dst_for(copies)
     for name in TABLE_SCHEMAS:
-        out = os.path.join(DST, f"{name}.parquet")
+        out = os.path.join(dst, f"{name}.parquet")
         if os.path.exists(out):
             continue
         base = load_table(spark, SRC, name)
@@ -240,6 +248,7 @@ def main() -> None:
         copies = int(sys.argv[sys.argv.index("--copies") + 1])
     spark = get_spark("scale_smoke")
     build(spark, copies)
+    dst = dst_for(copies)
     report = {}
     only = None
     if "--only" in sys.argv:
@@ -249,7 +258,7 @@ def main() -> None:
             continue
         q = load_all()[name]
         t_small = time_query(q.fn, spark, SRC)
-        t_big = time_query(q.fn, spark, DST)
+        t_big = time_query(q.fn, spark, dst)
         report[name] = {
             "sf0.1_s": t_small,
             f"x{copies}_s": t_big,

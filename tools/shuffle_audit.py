@@ -49,6 +49,10 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # same driver heap as session.py's get_spark: without it the
+        # default 1g driver OOMs on AQE runtime broadcasts when auditing
+        # the scaled-up /tmp universes (hit at 10x in r8).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4050")
         .getOrCreate()
