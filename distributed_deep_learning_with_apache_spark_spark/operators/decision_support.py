@@ -1293,3 +1293,88 @@ def seasonal_residual_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8] Dyadic EWMA of daily revenue — exponential smoothing that is
+# EXACT cross-engine because alpha = 1/2 makes every weight a power of
+# two: the weighted numerator is a BIGINT, the normalizer a constant, and
+# the only floating op is one division of identical integers.
+# ---------------------------------------------------------------------------
+EWMA_W = 16  # trailing window; weight of lag i is 2^(15-i), normalizer 2^16-1
+
+
+@register(
+    "ewma_dyadic_revenue",
+    oracle=f"""
+        WITH daily AS (
+          SELECT o_orderdate::DATE AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        ),
+        lagged AS (
+          SELECT day, cents,
+                 {" + ".join(f"coalesce(lag(cents, {i}) OVER w, 0) * {1 << (EWMA_W - 1 - i)}" for i in range(EWMA_W))}
+                   AS num,
+                 count(*) OVER (ORDER BY day
+                                ROWS BETWEEN {EWMA_W - 1} PRECEDING AND CURRENT ROW)
+                   AS n_win
+          FROM daily
+          WINDOW w AS (ORDER BY day)
+        )
+        SELECT day, cents,
+               floor(num / {(1 << EWMA_W) - 1}.0 * 100 + 0.5) / 100 AS ewma_cents
+        FROM lagged WHERE n_win = {EWMA_W}
+    """,
+    doc=f"Exponentially weighted moving average of daily revenue with alpha=1/2 over a {EWMA_W}-day window: dyadic weights make the weighted sum a BIGINT, so the smoothing — normally hopeless to hash cross-engine — reduces to one division of identical integers.",
+    tags=("relational", "timeseries", "window", "ext", "scale"),
+)
+def ewma_dyadic_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing, the other classical trend estimator next to
+    `seasonal_decompose_daily_revenue`'s centered moving average — EWMA
+    reacts faster to level shifts and is what monitoring dashboards
+    actually plot. FP exponential smoothing can never hash cross-engine
+    (the recursion accumulates rounding in engine-specific order), so
+    this operator picks alpha = 1/2 and a finite {EWMA_W}-day horizon:
+    weight of lag i is 2^({EWMA_W - 1}-i) — every weighted term is a
+    BIGINT product, the numerator a BIGINT sum, the normalizer the
+    constant 2^{EWMA_W}-1, and the single division runs on identical
+    integers in both engines. (Truncating the infinite EWMA tail at
+    {EWMA_W} days discards < 2^-{EWMA_W} of the weight — far below the
+    cent quantization.)
+
+    Scale: one map-side-combinable daily aggregate over the fact table;
+    the lag window runs on |days| rows (metadata scale) with O(1) state
+    per row. Full-window rows only, like the decomposition's contract.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    num = None
+    for i in range(EWMA_W):
+        term = F.coalesce(F.lag("cents", i).over(w), F.lit(0)) * (
+            1 << (EWMA_W - 1 - i)
+        )
+        num = term if num is None else num + term
+    lagged = daily.select(
+        "day",
+        "cents",
+        num.alias("num"),
+        F.count(F.lit(1))
+        .over(w.rowsBetween(-(EWMA_W - 1), 0))
+        .alias("n_win"),
+    )
+    return lagged.filter(F.col("n_win") == EWMA_W).select(
+        "day",
+        "cents",
+        (
+            F.floor(F.col("num") / float((1 << EWMA_W) - 1) * 100 + 0.5) / 100
+        ).alias("ewma_cents"),
+    )

@@ -681,3 +681,203 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8] Count-min ESTIMATE profile with engine-portable hashes — the
+# sketch-accuracy readout (true vs estimated vs overestimate) that
+# heavy_hitters_sketch_verified deliberately hides behind its exact
+# verify pass. Three independent Lehmer rows reuse the proven
+# Fishman-Moore multipliers (the r7 small-multiplier lesson).
+# ---------------------------------------------------------------------------
+CME_W = 512  # cells per row: noise bound ~ n_events/W per cell
+CME_TOP = 10  # profile the top-N users by exact count
+CME_ROWS = (  # (A, C) per CM row — the three proven Lehmer parameter pairs
+    (742_938_285, 362_437),
+    (950_706_376, 11),
+    (1_226_874_159, 7),
+)
+
+
+def _cme_cell_sql(key_sql: str, a: int, c: int) -> str:
+    """Portable CM cell index: Lehmer affine mod P, folded to W cells.
+    Shared verbatim by both engines (all-integer, non-negative input)."""
+    return f"((({key_sql} % {QSK_P}) * {a} + {c}) % {QSK_P}) % {CME_W}"
+
+
+@register(
+    "countmin_estimate_profile",
+    oracle=f"""
+        WITH ev AS (SELECT user_id FROM events),
+        c0 AS (SELECT {_cme_cell_sql("user_id", *CME_ROWS[0])} AS cell,
+                      CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+        c1 AS (SELECT {_cme_cell_sql("user_id", *CME_ROWS[1])} AS cell,
+                      CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+        c2 AS (SELECT {_cme_cell_sql("user_id", *CME_ROWS[2])} AS cell,
+                      CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+        top AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+          FROM ev GROUP BY user_id
+          ORDER BY true_n DESC, user_id ASC LIMIT {CME_TOP}
+        )
+        SELECT t.user_id, t.true_n,
+               least(a.c, b.c, d.c) AS est_n,
+               least(a.c, b.c, d.c) - t.true_n AS over_n
+        FROM top t
+        JOIN c0 a ON a.cell = {_cme_cell_sql("t.user_id", *CME_ROWS[0])}
+        JOIN c1 b ON b.cell = {_cme_cell_sql("t.user_id", *CME_ROWS[1])}
+        JOIN c2 d ON d.cell = {_cme_cell_sql("t.user_id", *CME_ROWS[2])}
+    """,
+    doc=f"Count-min sketch estimates for the top-{CME_TOP} users, with the one-sided error exposed (est - true >= 0 always, bounded by ~n/{CME_W} per independent row): the sketch-ACCURACY readout, hash-exact because the hashes are portable Lehmer maps and the counters are integer sums.",
+    tags=("events", "sketch", "ext", "scale"),
+)
+def countmin_estimate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch with its error bars showing: per heavy user,
+    the TRUE count, the sketch ESTIMATE (min over 3 independent counter
+    rows), and the overestimate. `heavy_hitters_sketch_verified` uses CM
+    as an internal candidate filter and publishes only exact counts; this
+    op publishes the estimates themselves — what a monitoring dashboard
+    reads when the exact pass is too expensive to run per tick — and
+    hash-checks them cross-engine, which requires the portable Lehmer
+    hashes (Spark's F.hash is JVM-private; the r7 KMV lesson supplies the
+    multipliers that actually wrap sequential ids).
+
+    Property pinned in tests: est_n >= true_n for EVERY key (CM never
+    underestimates — counters only ever add), with the expected noise
+    ~ n_events/{CME_W} per row.
+
+    Scale: the counters are three {CME_W}-cell integer aggregates — pure
+    SUMs, so they map-side combine and MERGE across partitions, days, or
+    streams (the mergeable-sketch family contract: the full-stream
+    shuffle is 3x{CME_W} rows, constant at any corpus size). Probes are
+    broadcast joins of {CME_W}-row tables.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counters = []
+    for a, c in CME_ROWS:
+        counters.append(
+            ev.selectExpr(f"{_cme_cell_sql('user_id', a, c)} AS cell")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("user_id").asc())
+        .limit(CME_TOP)
+    )
+    probed = top
+    for j, (a, c) in enumerate(CME_ROWS):
+        sk = counters[j].select(
+            F.col("cell").alias(f"cell{j}"), F.col("c").alias(f"c{j}")
+        )
+        probed = probed.join(
+            F.broadcast(sk),
+            F.expr(_cme_cell_sql("user_id", a, c)) == F.col(f"cell{j}"),
+        )
+    est = F.least(F.col("c0"), F.col("c1"), F.col("c2"))
+    return probed.select(
+        "user_id",
+        "true_n",
+        est.alias("est_n"),
+        (est - F.col("true_n")).alias("over_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8] Incremental aggregate maintenance WITH RETRACTIONS — the delete
+# path `incremental_agg_maintenance` (insert-only) and
+# `incremental_join_maintenance` (insert/update) do not exercise: a CDC
+# delta of I- and D-rows maintains a grouped aggregate, including making
+# groups DISAPPEAR when their maintained count reaches zero.
+# ---------------------------------------------------------------------------
+@register(
+    "ivm_agg_retractions",
+    oracle="""
+        WITH base AS (
+          SELECT * FROM orders WHERE o_orderkey % 10 != 0
+        ),
+        deletes AS (
+          SELECT * FROM base WHERE o_custkey % 13 = 0 OR o_orderkey % 7 = 0
+        ),
+        inserts AS (
+          SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+                 o_totalprice + 1.0 AS o_totalprice
+          FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        current_rows AS (
+          SELECT o_custkey, o_totalprice FROM base
+          WHERE NOT (o_custkey % 13 = 0 OR o_orderkey % 7 = 0)
+          UNION ALL
+          SELECT o_custkey, o_totalprice FROM inserts
+        )
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM current_rows GROUP BY o_custkey
+    """,
+    doc="Grouped-aggregate view maintained through a CDC delta containing DELETES: counts and sums apply signed deltas, and a group whose maintained count hits zero is REMOVED (sum alone cannot distinguish empty from zero — the classic retraction subtlety); hash-equal to a full recompute of the post-delta state.",
+    tags=("relational", "incremental", "ext", "scale"),
+)
+def ivm_agg_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retraction half of incremental view maintenance. Insert-only
+    maintenance (`incremental_agg_maintenance`) only ever adds; real CDC
+    feeds carry deletes, and a maintained SUM/COUNT view must (a) apply
+    them as SIGNED deltas and (b) drop a group when its maintained count
+    reaches zero — keeping a (0, 0) row or, worse, a (0, nonzero-sum)
+    row is the classic IVM bug this op pins against. The oracle is a
+    FULL RECOMPUTE of the post-delta state, so hash-equality proves no
+    maintenance path was forgotten.
+
+    Delta model (deterministic, engine-shared): base = orderkey%10 != 0;
+    deletes = whole customers (custkey%13 == 0 — groups that must
+    disappear) plus scattered rows (orderkey%7 == 0 — partial
+    retractions); inserts = fresh keys (offset by 1e9) with a price bump.
+
+    Scale: the maintained view never re-reads history — the delta
+    aggregates map-side to one signed row per TOUCHED group, then a
+    keys-touched-sized outer merge against the view. At 100 TB the merge
+    cost is O(|touched groups|), not O(|history|) — the whole point of
+    IVM.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    view_old = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents).cast("long").alias("revenue_cents"),
+    )
+    deletes = base.filter(
+        (F.col("o_custkey") % 13 == 0) | (F.col("o_orderkey") % 7 == 0)
+    ).select("o_custkey", cents.alias("c"), F.lit(-1).alias("sign"))
+    inserts = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            F.floor((F.col("o_totalprice") + 1.0) * 100 + 0.5)
+            .cast("long")
+            .alias("c"),
+            F.lit(1).alias("sign"),
+        )
+    )
+    delta = (
+        deletes.unionByName(inserts)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("sign").cast("long").alias("dn"),
+            F.sum(F.col("sign") * F.col("c")).cast("long").alias("dcents"),
+        )
+    )
+    merged = view_old.join(delta, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (F.coalesce("n_orders", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        .cast("long")
+        .alias("n_orders"),
+        (F.coalesce("revenue_cents", F.lit(0)) + F.coalesce("dcents", F.lit(0)))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    # the retraction subtlety: a group whose maintained COUNT reaches zero
+    # must disappear from the view, whatever its (necessarily zero) sum.
+    return merged.filter(F.col("n_orders") > 0)

@@ -1342,3 +1342,89 @@ def ivf_silhouette_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "silhouette_kmeans double, silhouette_random double, n_vectors long, k long",
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8] k-NN classification by embedding neighborhood — the label-
+# propagation use of the similarity index (auto-labeling / weak
+# supervision over an embedding column).
+# ---------------------------------------------------------------------------
+@register(
+    "knn_classify_embeddings",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+        scored AS (
+          SELECT q.query_id, e.label,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, e.v)
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(e.v, e.v))) DESC,
+                            e.vec_id ASC) AS rnk
+          FROM q JOIN e ON e.vec_id != q.query_id
+        ),
+        votes AS (
+          SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes
+          FROM scored WHERE rnk <= {TOP_K}
+          GROUP BY query_id, label
+        )
+        SELECT query_id, CAST(label AS BIGINT) AS predicted_label, n_votes
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY n_votes DESC, label ASC) AS vr
+          FROM votes
+        ) WHERE vr = 1
+    """,
+    doc=f"k-NN classification: each query vector takes the majority label of its {TOP_K} nearest neighbors by exact cosine (ties: smallest label) — the auto-labeling/weak-supervision read of the similarity index, hash-exact end to end.",
+    tags=("similarity", "ml", "ext", "scale"),
+)
+def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation through the embedding space — the third use of
+    the similarity family after retrieval (`cosine_topk_exact`) and
+    near-dup mining: classify an unlabeled vector by the MAJORITY LABEL
+    of its k nearest neighbors. This is how production corpora bootstrap
+    labels (weak supervision, data programming) before any model exists.
+
+    Determinism: the neighbor set is the proven portable-cosine top-k
+    (identical doubles both engines, vec_id tie-break); votes are integer
+    counts; the winning label breaks ties on (votes DESC, label ASC) —
+    every step exact, so the prediction is hash-checked, not eyeballed.
+
+    Scale: identical shape to `cosine_topk_exact` — the query block
+    broadcasts, scores compute map-side against candidates that never
+    shuffle, and only top-k rank rows + |queries|x|labels| vote rows move.
+    The vote aggregate is map-side combinable. For large query sets the
+    IVF/LSH variants supply the candidate set; the voting tail is
+    unchanged.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    topk = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", cosine(F.col("qv"), F.col("v")).alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+    votes = topk.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("label").cast("long").alias("predicted_label"),
+            "n_votes",
+        )
+    )

@@ -134,6 +134,13 @@ _DRIVER_PRIORITY = [
     "vocab_filter_truncate",
     # --- r8 additions beyond the verdict deliverable land BELOW the ------
     # --- backlog: they earn their first driver row in r9's rotation ------
+    "knn_classify_embeddings",
+    "countmin_estimate_profile",
+    "ewma_dyadic_revenue",
+    "out_of_order_lateness_histogram",
+    "running_distinct_users_daily",
+    "ivm_agg_retractions",
+    "stream_countmin_running",
 ]
 
 

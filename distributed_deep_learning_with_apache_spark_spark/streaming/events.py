@@ -2894,3 +2894,284 @@ def ab_test_lift_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor((pb - pa) * 1_000_000 + 0.5) / 1_000_000).alias("lift"),
         z.alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8] Out-of-order lateness histogram — the measurement that DECIDES
+# a stream's watermark: how far behind the per-key event-time high-water
+# mark do events actually arrive?
+# ---------------------------------------------------------------------------
+OOO_BUCKET_S = 600  # 10-minute lateness buckets
+
+
+@register(
+    "out_of_order_lateness_histogram",
+    oracle=f"""
+        WITH seq AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS t,
+                 max(CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS prev_max
+          FROM events
+        ),
+        late AS (
+          SELECT CASE WHEN prev_max IS NULL THEN 0
+                      ELSE greatest(prev_max - t, 0) END AS lateness_s
+          FROM seq
+        )
+        SELECT (lateness_s // {OOO_BUCKET_S}) * {OOO_BUCKET_S} AS bucket_floor_s,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(lateness_s) AS max_lateness_s
+        FROM late GROUP BY 1
+    """,
+    doc=f"Event-time lateness histogram in {OOO_BUCKET_S}-second buckets: per event, how far behind its key's running event-time maximum (in ARRIVAL order, event_id) it arrived — the distribution that picks a watermark delay; integer-exact end to end.",
+    tags=("streaming", "events", "window", "quality", "ext", "scale"),
+)
+def out_of_order_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every `withWatermark` delay in this repo is a guess unless the
+    corpus' actual disorder is measured; this operator measures it. For
+    each event (in ARRIVAL order — event_id, the ingest sequence), its
+    lateness is how far its event time lags the running event-time
+    maximum already seen for that key; the histogram of those values is
+    exactly the curve a watermark threshold cuts: choosing delay D drops
+    `sum(n_events where bucket >= D)` rows. The streaming dedup/join ops
+    (stream_dedup_within_watermark, stream_stream_left_outer_join) cite
+    10-minute watermarks; this is the op that justifies or refutes such a
+    number on a given corpus.
+
+    Exactness: epoch seconds via the portable floor contract (Spark
+    unix_timestamp truncates, DuckDB epoch() must be floored — the r6
+    lesson); lateness and buckets are pure BIGINT arithmetic.
+
+    Scale: one hash shuffle on user_id, a partition-local running-max
+    window with O(1) state per row, then a bounded histogram aggregate
+    (map-side combinable; the output is |buckets| rows at any corpus
+    size). The per-KEY high-water mark is deliberately the partitionable
+    choice — a GLOBAL running max would serialize the stream through one
+    partition, exactly what a 100 TB plan cannot do; the global
+    watermark readout is max(max_lateness_s), a scalar over the
+    histogram.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", _epoch_s("ts").alias("t")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = e.select(
+        F.when(F.max("t").over(w).isNull(), F.lit(0))
+        .otherwise(F.greatest(F.max("t").over(w) - F.col("t"), F.lit(0)))
+        .cast("long")
+        .alias("lateness_s")
+    )
+    return late.groupBy(
+        ((F.col("lateness_s") / OOO_BUCKET_S).cast("long") * OOO_BUCKET_S).alias(
+            "bucket_floor_s"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("lateness_s").alias("max_lateness_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8] Cumulative-distinct growth curve: daily new users + running
+# total distinct users — the growth-accounting readout (companion to the
+# retention cohort matrix), computed WITHOUT a running COUNT(DISTINCT).
+# ---------------------------------------------------------------------------
+@register(
+    "running_distinct_users_daily",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id, min(ts::TIMESTAMP::DATE) AS first_day FROM events
+          GROUP BY user_id
+        ),
+        daily AS (
+          SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+          FROM firsts GROUP BY first_day
+        ),
+        active AS (
+          SELECT ts::TIMESTAMP::DATE AS day,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+          FROM events GROUP BY 1
+        )
+        SELECT a.day, coalesce(d.new_users, 0) AS new_users, a.active_users,
+               CAST(sum(coalesce(d.new_users, 0))
+                    OVER (ORDER BY a.day) AS BIGINT) AS cumulative_users
+        FROM active a LEFT JOIN daily d ON d.day = a.day
+    """,
+    doc="Growth accounting: per day, new users (first-ever appearance), active users, and the cumulative distinct-user total — the running COUNT(DISTINCT) rewritten as first-seen flags + a prefix sum, the only form that scales.",
+    tags=("streaming", "events", "window", "ext", "scale"),
+)
+def running_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAU / cumulative-users curve every growth dashboard opens with.
+    The naive form — COUNT(DISTINCT user_id) OVER (ORDER BY day) — is
+    unbounded running state and cannot scale; the standard rewrite is:
+    a user contributes to the cumulative total exactly once, on their
+    FIRST day. So: min(day) per user (map-side combinable), count firsts
+    per day, prefix-sum. The running distinct becomes a prefix sum over
+    |days| integers — metadata scale.
+
+    Exactness: dates, counts, and the prefix sum are all integers.
+
+    Scale: one shuffle on user_id for the first-day aggregate, one daily
+    aggregate for active counts, then a |days|-row window. The LEFT join
+    keeps days whose every active user is returning (new_users = 0).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    active = e.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("active_users")
+    )
+    w = Window.orderBy("day")
+    return (
+        active.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+            "active_users",
+        )
+        .withColumn(
+            "cumulative_users", F.sum("new_users").over(w).cast("long")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8] Streaming count-min watchlist: the 3x512 integer counters
+# maintained under Structured Streaming — counter MERGE is cell-wise sum
+# (exactly associative), so the stream's final watchlist estimates
+# hash-equal the batch formula: the third streaming op with a real SQL
+# oracle (after the exactly-once merge and the KMV sketch).
+# ---------------------------------------------------------------------------
+from ..operators.incremental import CME_ROWS as _CME_ROWS
+from ..operators.incremental import CME_W as _CME_W
+from ..operators.incremental import _cme_cell_sql
+
+CMW_WATCH = 10  # monitored key ids: user_id 0..9
+
+
+@register(
+    "stream_countmin_running",
+    oracle=f"""
+        WITH ev AS (SELECT user_id FROM events),
+        c0 AS (SELECT {_cme_cell_sql("user_id", *_CME_ROWS[0])} AS cell,
+                      CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+        c1 AS (SELECT {_cme_cell_sql("user_id", *_CME_ROWS[1])} AS cell,
+                      CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+        c2 AS (SELECT {_cme_cell_sql("user_id", *_CME_ROWS[2])} AS cell,
+                      CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1),
+        watch AS (SELECT id AS user_id FROM range({CMW_WATCH}) AS t(id))
+        SELECT w.user_id,
+               least(coalesce(a.c, 0), coalesce(b.c, 0), coalesce(d.c, 0))
+                 AS est_n
+        FROM watch w
+        LEFT JOIN c0 a ON a.cell = {_cme_cell_sql("w.user_id", *_CME_ROWS[0])}
+        LEFT JOIN c1 b ON b.cell = {_cme_cell_sql("w.user_id", *_CME_ROWS[1])}
+        LEFT JOIN c2 d ON d.cell = {_cme_cell_sql("w.user_id", *_CME_ROWS[2])}
+    """,
+    doc=f"Count-min counters maintained per micro-batch under Structured Streaming (cell-wise-sum merge — exactly associative), probed for a fixed {CMW_WATCH}-key watchlist at the end: the streaming estimates hash-equal the batch-computed formula, a streaming operator with a real SQL oracle.",
+    tags=("streaming", "structured", "sketch", "ext", "scale"),
+)
+def stream_countmin_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming face of `countmin_estimate_profile`: a monitoring
+    dashboard watching a FIXED set of account ids over an unbounded
+    stream, with CONSTANT state — each micro-batch aggregates its own
+    3x{_CME_W}-cell counters and cell-wise SUMS them into the persisted
+    state; because counter merge is associative and integer, the final
+    state is independent of the batch split and hash-equals the
+    batch-computed sketch (the mergeable-sketch contract that made
+    stream_kmv_distinct_running oracle-checkable).
+
+    Watchlist semantics: probing known keys needs no per-key streaming
+    state and no top-k heap — the reason sketch-backed watchlists run
+    where exact per-user streaming counters (stream_stateful_user_counters)
+    would grow unboundedly. Keys the stream never saw read as their
+    cells' collision noise (>= 0, one-sided — CM's contract).
+
+    State: at most 3x{_CME_W} integer rows in a versioned parquet dir;
+    per-batch work is the batch's own aggregate + a bounded merge.
+    """
+    import os as _os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sg_cm_stream_")
+    staging = _os.path.join(base, "staging")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    ev.repartition(4).write.mode("overwrite").parquet(staging)
+
+    state = {"cur": None}
+
+    def merge_counters(batch_df: DataFrame, batch_id: int) -> None:
+        parts = []
+        for j, (a, c) in enumerate(_CME_ROWS):
+            parts.append(
+                batch_df.selectExpr(
+                    f"{j} AS j", f"{_cme_cell_sql('user_id', a, c)} AS cell"
+                )
+                .groupBy("j", "cell")
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            )
+        batch_ctr = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        if state["cur"] is not None:
+            prev = batch_df.sparkSession.read.parquet(state["cur"])
+            batch_ctr = (
+                prev.unionByName(batch_ctr)
+                .groupBy("j", "cell")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        out = _os.path.join(base, f"v{batch_id}")
+        batch_ctr.write.mode("overwrite").parquet(out)
+        state["cur"] = out
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .writeStream.foreachBatch(merge_counters)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    ctr = spark.read.parquet(state["cur"])
+    watch = spark.range(CMW_WATCH).select(F.col("id").alias("user_id"))
+    probed = watch
+    for j, (a, c) in enumerate(_CME_ROWS):
+        sk = ctr.filter(F.col("j") == j).select(
+            F.col("cell").alias(f"cell{j}"), F.col("c").alias(f"c{j}")
+        )
+        probed = probed.join(
+            F.broadcast(sk),
+            F.expr(_cme_cell_sql("user_id", a, c)) == F.col(f"cell{j}"),
+            "left",
+        )
+    out = probed.select(
+        "user_id",
+        F.least(
+            F.coalesce("c0", F.lit(0)),
+            F.coalesce("c1", F.lit(0)),
+            F.coalesce("c2", F.lit(0)),
+        )
+        .cast("long")
+        .alias("est_n"),
+    )
+    # Bounded ({CMW_WATCH}-row) materialization before the temp state dir
+    # is removed — the same contract as the KMV stream's k-row readout.
+    final = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return final

@@ -192,6 +192,10 @@ EVENT_QUERIES = [
     "markov_event_transitions",  # r7: lead() pair counts + one division
     "funnel_stage_durations",  # r7: stage-latency percentiles
     "ab_test_lift_ztest",  # r7: degenerate-conversion z guard
+    "countmin_estimate_profile",  # r8: portable-hash CM estimates
+    "out_of_order_lateness_histogram",  # r8: arrival-order lateness buckets
+    "running_distinct_users_daily",  # r8: first-seen prefix-sum growth curve
+    "stream_countmin_running",  # r8: streaming mergeable CM watchlist
 ]
 
 import datetime as _dt

@@ -182,6 +182,13 @@ def test_r7_oracle_at_driver_sf(spark, duck, name):
 # Oracle-bearing round-8 additions, frozen at the driver's sf0.01.
 R8_ORACLE = [
     "ml_ridge_normal_eq",
+    "knn_classify_embeddings",
+    "countmin_estimate_profile",
+    "ewma_dyadic_revenue",
+    "out_of_order_lateness_histogram",
+    "running_distinct_users_daily",
+    "ivm_agg_retractions",
+    "stream_countmin_running",
 ]
 
 

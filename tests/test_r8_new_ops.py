@@ -1,0 +1,328 @@
+"""Semantic tests for the round-8 operators — each pins the PROPERTY the
+operator exists for, on inputs engineered so a wrong mechanism cannot pass
+(the fixture-only hash checks live in test_oracle_parity / R8_ORACLE)."""
+
+import datetime
+import math
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from distributed_deep_learning_with_apache_spark_spark.operators.decision_support import (
+    EWMA_W,
+)
+from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+REG = load_all()
+
+DIM = 64
+
+
+def _write_embeddings(td, vecs, labels):
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        os.path.join(td, "embeddings.parquet"),
+    )
+
+
+def _unit(axis: int, eps_axis: int = -1, eps: float = 0.0):
+    v = [0.0] * DIM
+    v[axis] = 1.0
+    if eps_axis >= 0:
+        v[eps_axis] = eps
+    return v
+
+
+# ---------------------------------------------------------------------------
+# knn_classify_embeddings
+# ---------------------------------------------------------------------------
+def test_knn_majority_vote_and_tiebreak(spark, tmp_path):
+    """Geometry forces the neighbor sets: query 0 sits near three label-7
+    vectors and two label-3 vectors (7 must win 3:2); query 1 sees a 2:2
+    label split among its 5 neighbors' top labels — construct it so votes
+    tie and the SMALLEST label must be chosen."""
+    vecs = [
+        _unit(0),  # query 0 (vec_id 0): axis 0
+        _unit(1),  # query 1 (vec_id 1): axis 1
+    ]
+    labels = [99, 99]  # query labels are irrelevant (they are the queries)
+    # 5 neighbors near axis 0: labels 7,7,7,3,3
+    for i, lab in enumerate([7, 7, 7, 3, 3]):
+        vecs.append(_unit(0, eps_axis=10 + i, eps=0.01))
+        labels.append(lab)
+    # 5 neighbors near axis 1 with a 2:2:1 split -> top vote ties 2:2
+    # between labels 4 and 8 (plus one label 9); tie-break picks 4.
+    for i, lab in enumerate([8, 8, 4, 4, 9]):
+        vecs.append(_unit(1, eps_axis=20 + i, eps=0.01))
+        labels.append(lab)
+    # push everything else far away so the two neighbor clouds don't mix
+    _write_embeddings(str(tmp_path), vecs, labels)
+    # N_QUERIES is 10, so vec_ids 0..9 are all queries; only check 0 and 1
+    # (the others' neighborhoods include cross-cloud vectors — fine).
+    out = {
+        r["query_id"]: r
+        for r in REG["knn_classify_embeddings"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["predicted_label"] == 7 and out[0]["n_votes"] == 3
+    assert out[1]["predicted_label"] == 4 and out[1]["n_votes"] == 2
+
+
+# ---------------------------------------------------------------------------
+# countmin_estimate_profile
+# ---------------------------------------------------------------------------
+def test_countmin_never_underestimates(spark, sf_dir):
+    """CM's defining property: counters only add, so est >= true for every
+    probed key; on the fixture (few hundred distinct users vs 3x512
+    cells) collisions are rare, so estimates also stay NEAR truth."""
+    rows = REG["countmin_estimate_profile"].fn(spark, sf_dir).collect()
+    assert rows, "no heavy users profiled"
+    for r in rows:
+        assert r["over_n"] >= 0, f"CM underestimated {r}"
+        assert r["est_n"] == r["true_n"] + r["over_n"]
+
+
+def test_countmin_overestimates_on_forced_collision(spark, tmp_path):
+    """Force every row's hash to collide by using ONE distinct heavy key
+    plus enough distinct keys mapped into the same 512-cell space that
+    total collision mass is guaranteed: with 2000 distinct light keys and
+    512 cells, each CM row's cell for the heavy key absorbs other keys'
+    counts with overwhelming odds — over_n must be > 0 for at least the
+    top key, proving the estimate is really read from shared counters
+    (a bugged implementation that just re-counts exactly would show
+    over_n == 0 everywhere)."""
+    uids = [1] * 500 + list(range(100, 2100))  # heavy key 1 + 2000 singletons
+    n = len(uids)
+    base = datetime.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [base + datetime.timedelta(seconds=i) for i in range(n)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(uids, pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    rows = REG["countmin_estimate_profile"].fn(spark, str(tmp_path)).collect()
+    top = {r["user_id"]: r for r in rows}
+    assert top[1]["true_n"] == 500
+    assert top[1]["over_n"] > 0  # shared counters absorbed singleton mass
+    assert all(r["over_n"] >= 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# ewma_dyadic_revenue
+# ---------------------------------------------------------------------------
+def test_ewma_exact_against_reference(spark, tmp_path):
+    """Hand-check the dyadic arithmetic on a step series: 20 days at
+    10000 cents then 20 at 30000. Assert (a) the constant prefix smooths
+    to itself, (b) each output equals the exact integer reference
+    num/(2^W - 1), (c) the smoothed curve converges toward the new level
+    after the step with the dyadic half-life (alpha=1/2 -> the gap to the
+    new level halves each day)."""
+    days = [datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i) for i in range(40)]
+    prices = [100.0] * 20 + [300.0] * 20  # cents: 10000 then 30000
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(40), pa.int64()),
+                "o_custkey": pa.array([0] * 40, pa.int64()),
+                "o_orderstatus": pa.array(["F"] * 40),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderdate": pa.array(days, pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 40),
+            }
+        ),
+        os.path.join(str(tmp_path), "orders.parquet"),
+    )
+    out = {
+        r["day"]: r for r in REG["ewma_dyadic_revenue"].fn(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 40 - (EWMA_W - 1)  # full windows only
+    cents = [10000] * 20 + [30000] * 20
+    den = (1 << EWMA_W) - 1
+    for t in range(EWMA_W - 1, 40):
+        num = sum(cents[t - i] * (1 << (EWMA_W - 1 - i)) for i in range(EWMA_W))
+        expect = math.floor(num / den * 100 + 0.5) / 100
+        got = out[days[t].date()]["ewma_cents"]
+        assert got == expect, (t, got, expect)
+    # constant prefix: smooths to the level itself (within the 2^-W tail)
+    assert abs(out[days[EWMA_W - 1].date()]["ewma_cents"] - 10000) < 0.5
+    # the day after the step the gap to 30000 has roughly halved
+    d_step = out[days[20].date()]["ewma_cents"]
+    assert 19000 < d_step < 21000  # x_t weight is ~1/2: midpoint-ish
+    # convergence: 10 days after the step the gap is < 2^-10 of 20000 + eps
+    assert out[days[30].date()]["ewma_cents"] > 29970
+
+
+# ---------------------------------------------------------------------------
+# out_of_order_lateness_histogram
+# ---------------------------------------------------------------------------
+def test_lateness_histogram_on_disordered_stream(spark, tmp_path):
+    """A hand-built stream where arrival order (event_id) disagrees with
+    event time: one event arrives 2 h late, one 5 min late, the rest in
+    order — the histogram must put exactly one event in the 7200 bucket,
+    one in the 0 bucket with lateness 300, and everything else at 0."""
+    base = datetime.datetime(2024, 6, 1, 8, 0, 0)
+    # (event_id = arrival order, event-time offset seconds)
+    stream = [
+        (0, 0),
+        (1, 60),
+        (2, 120),
+        (3, 120 - 7200),  # 2 h behind the running max (120)
+        (4, 180),
+        (5, 180 - 300),  # 5 min behind the running max (180)
+        (6, 240),
+    ]
+    n = len(stream)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([e for e, _ in stream], pa.int64()),
+                "ts": pa.array(
+                    [base + datetime.timedelta(seconds=s) for _, s in stream],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    out = {
+        r["bucket_floor_s"]: r
+        for r in REG["out_of_order_lateness_histogram"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[7200]["n_events"] == 1 and out[7200]["max_lateness_s"] == 7200
+    assert out[0]["n_events"] == 6  # 5 in-order + the 300 s one
+    assert out[0]["max_lateness_s"] == 300
+
+
+# ---------------------------------------------------------------------------
+# running_distinct_users_daily
+# ---------------------------------------------------------------------------
+def _write_events(td, rows):
+    """rows: (event_id, ts datetime, user_id)"""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        os.path.join(td, "events.parquet"),
+    )
+
+
+def test_running_distinct_counts_first_appearances_once(spark, tmp_path):
+    """Three days: day 1 user A; day 2 users A+B (A returns — must NOT
+    recount); day 3 user A only (a returning-only day: new_users = 0 but
+    the day must still appear with the running total unchanged)."""
+    d = lambda i, h: datetime.datetime(2024, 5, i, h)  # noqa: E731
+    rows = [
+        (0, d(1, 9), 100),
+        (1, d(2, 9), 100),
+        (2, d(2, 10), 200),
+        (3, d(3, 9), 100),
+    ]
+    _write_events(str(tmp_path), rows)
+    out = {
+        r["day"].isoformat(): r
+        for r in REG["running_distinct_users_daily"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out["2024-05-01"]["new_users"] == 1
+    assert out["2024-05-01"]["cumulative_users"] == 1
+    assert out["2024-05-02"]["new_users"] == 1
+    assert out["2024-05-02"]["active_users"] == 2
+    assert out["2024-05-02"]["cumulative_users"] == 2
+    assert out["2024-05-03"]["new_users"] == 0  # returning-only day kept
+    assert out["2024-05-03"]["active_users"] == 1
+    assert out["2024-05-03"]["cumulative_users"] == 2  # unchanged
+
+
+# ---------------------------------------------------------------------------
+# ivm_agg_retractions
+# ---------------------------------------------------------------------------
+def test_ivm_retraction_removes_emptied_groups(spark, tmp_path):
+    """Hand-built orders where customer 13's ENTIRE group is deleted
+    (custkey % 13 == 0): the maintained view must not contain custkey 13
+    at all — neither a (0, 0) row nor a (0, nonzero) row — while a
+    partially-retracted customer keeps a correctly reduced aggregate."""
+    days = datetime.datetime(1995, 3, 1)
+    rows = [
+        # custkey 13: two orders, both swept by the custkey%13 delete rule
+        (11, 13, 100.0),
+        (12, 13, 200.0),
+        # custkey 2: three orders; orderkey 21 has %7==0 -> partial delete
+        (21, 2, 50.0),
+        (22, 2, 60.0),
+        (23, 2, 70.0),
+        # orderkey 30: %10==0 -> held out of base, re-inserted with +1.0
+        (30, 2, 80.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array(["F"] * len(rows)),
+                "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+                "o_orderdate": pa.array([days] * len(rows), pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+            }
+        ),
+        os.path.join(str(tmp_path), "orders.parquet"),
+    )
+    out = {r["o_custkey"]: r for r in REG["ivm_agg_retractions"].fn(spark, str(tmp_path)).collect()}
+    assert 13 not in out  # emptied group GONE, not zeroed
+    # custkey 2: base keeps 22, 23 (21 deleted); insert adds 30 at 81.00
+    assert out[2]["n_orders"] == 3
+    assert out[2]["revenue_cents"] == 6000 + 7000 + 8100
+
+
+# ---------------------------------------------------------------------------
+# stream_countmin_running
+# ---------------------------------------------------------------------------
+def test_stream_countmin_watchlist_one_sided(spark, sf_dir):
+    """The streamed counters must preserve CM's one-sided contract for
+    the watchlist: every estimate >= the key's true count (0 for keys the
+    stream never saw)."""
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import (
+        load_table,
+    )
+
+    est = {
+        r["user_id"]: r["est_n"]
+        for r in REG["stream_countmin_running"].fn(spark, sf_dir).collect()
+    }
+    true = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .filter("user_id < 10")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert set(est) == set(range(10))
+    for uid in range(10):
+        assert est[uid] >= true.get(uid, 0), (uid, est[uid], true.get(uid))

@@ -65,6 +65,9 @@ QUERIES = [
     "merge_full_sync","incremental_join_maintenance",
     "asof_join_forward","hybrid_hotkey_join","kcore_copurchase",
     "seasonal_residual_alerts",
+    # r8 additions
+    "ewma_dyadic_revenue",
+    "ivm_agg_retractions",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"

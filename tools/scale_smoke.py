@@ -157,6 +157,14 @@ QUERIES = [
     "kcore_copurchase",
     "seasonal_residual_alerts",
     "doc_code_detection",
+    # round-8: new scale-tagged ops
+    "knn_classify_embeddings",
+    "countmin_estimate_profile",
+    "ewma_dyadic_revenue",
+    "out_of_order_lateness_histogram",
+    "running_distinct_users_daily",
+    "ivm_agg_retractions",
+    "stream_countmin_running",
 ]
 
 
