@@ -1857,3 +1857,117 @@ def near_dup_index_append_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8] LSH band-tuning profile: the candidate-workload readout for
+# every (bands x rows-per-band) split of the 8-hash signature — the
+# number that DECIDES the banding config at 100 TB.
+# ---------------------------------------------------------------------------
+LSH_TUNE_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))  # (n_bands, rows_per_band)
+
+
+@register(
+    "lsh_band_tuning_profile",
+    oracle=f"""
+        WITH sig AS (
+          SELECT doc_id,
+                 {", ".join(f"{_duck_minhash(k)} AS m{k}" for k in range(N_HASHES))}
+          FROM documents
+          WHERE len({DUCK_SHINGLES}) > 0
+        ),
+        bands AS (
+          {" UNION ALL ".join(
+            f"SELECT CAST({b} AS BIGINT) AS n_bands,"
+            f" CAST({r} AS BIGINT) AS rows_per_band,"
+            f" {bi} AS band_idx,"
+            f" {' || '.join(f'm{r * bi + k}' for k in range(r))} AS val,"
+            f" doc_id FROM sig"
+            for b, r in LSH_TUNE_CONFIGS
+            for bi in range(b)
+          )}
+        ),
+        buckets AS (
+          SELECT n_bands, rows_per_band, band_idx, val,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM bands GROUP BY 1, 2, 3, 4
+        )
+        SELECT n_bands, rows_per_band,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_collision_buckets,
+               CAST(sum(n * (n - 1)) / 2 AS BIGINT) AS candidate_pairs
+        FROM buckets GROUP BY 1, 2
+    """,
+    doc="Candidate-pair workload for every (bands x rows-per-band) split of the 8-hash minhash signature: more bands/fewer rows = higher recall but more candidate pairs — this profile IS the banding decision, computed as integer bucket statistics without running any of the joins.",
+    tags=("dedup", "lsh", "ext", "scale"),
+)
+def lsh_band_tuning_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning table behind `minhash_lsh_candidates`' fixed 4x2
+    choice. LSH banding trades recall against join workload: with r rows
+    per band and b bands, a pair of similarity s collides with
+    probability 1-(1-s^r)^b, and the price is the bucket join over
+    Sum-per-bucket C(n,2) candidate pairs. The S-curve is closed-form;
+    the WORKLOAD is a property of the corpus — this operator measures it
+    for every split of the 8-hash signature (8x1 recall-max, 4x2 the
+    shipped default, 2x4, 1x8 precision-max) as pure integer bucket
+    statistics: buckets, collision buckets, and implied candidate pairs.
+    At 100 TB you run THIS (one aggregate) before committing to the pair
+    join a config implies — picking banding blind is how LSH jobs blow
+    their shuffle budget.
+
+    Exactness: bucket keys are concatenations of md5-derived minhash
+    windows (the engine-portable family every minhash op here shares);
+    counts and pair counts are integers.
+
+    Scale: signature build is the usual shingle scan; the profile itself
+    is one groupBy over 15 (config, band) explosions of the signature —
+    map-side combinable, output bounded by bucket counts; NO pair join
+    runs (that is the point).
+    """
+    import os as _os
+
+    d = load_table(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        _widen_scan(d, spark, _os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", shingles().alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.transform(F.col("sh"), F.md5).alias("hs"))
+        .repartition(n_part)
+    )
+    init = F.struct(*[F.lit("￿").alias(f"m{k}") for k in range(N_HASHES)])
+    sig = sh.select(
+        "doc_id",
+        F.aggregate(
+            "hs",
+            init,
+            lambda acc, h: F.struct(
+                *[
+                    F.least(acc[f"m{k}"], F.substring(h, 2 * k + 1, 16)).alias(f"m{k}")
+                    for k in range(N_HASHES)
+                ]
+            ),
+        ).alias("m"),
+    )
+    band_rows = [
+        F.struct(
+            F.lit(b).cast("long").alias("n_bands"),
+            F.lit(r).cast("long").alias("rows_per_band"),
+            F.lit(bi).alias("band_idx"),
+            F.concat(*[F.col("m")[f"m{r * bi + k}"] for k in range(r)]).alias("val"),
+        )
+        for b, r in LSH_TUNE_CONFIGS
+        for bi in range(b)
+    ]
+    bands = sig.select(F.explode(F.array(*band_rows)).alias("t")).select("t.*")
+    buckets = bands.groupBy("n_bands", "rows_per_band", "band_idx", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return buckets.groupBy("n_bands", "rows_per_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).cast("long").alias(
+            "n_collision_buckets"
+        ),
+        (F.sum(F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias("candidate_pairs"),
+    )

@@ -1428,3 +1428,179 @@ def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8] Top principal component by POWER ITERATION on an integer-
+# quantized covariance — iterative numerics held as scaled BIGINTs (the
+# pagerank discipline), so an 8-round eigenvector hunt is hash-exact.
+# ---------------------------------------------------------------------------
+PCA_ROUNDS = 8
+PCA_QSCALE = 100  # embedding components quantized to q = floor(v*100+.5)
+PCA_WSCALE = 1_000  # iterate vector renormalized to max|w| = 1000
+# Shared renormalization template (used verbatim by BOTH engines): one
+# long->double conversion + one multiply + one divide + floor — every op
+# IEEE-identical on identical integer inputs.
+_PCA_RENORM = (
+    "CAST(floor(CAST({v} AS DOUBLE) * {s}.0 / CAST(greatest({m}, 1) AS DOUBLE)"
+    " + 0.5) AS BIGINT)"
+)
+
+
+def _pca_oracle_sql() -> str:
+    """Unrolled power iteration (MATERIALIZED round CTEs — the r6
+    iterative-oracle lesson: plain CTEs inline and explode 3^k)."""
+    rounds = []
+    prev = "w0"
+    for k in range(1, PCA_ROUNDS + 1):
+        rounds.append(
+            f"""cw{k} AS MATERIALIZED (
+              SELECT c.i, CAST(sum(c.c * w.w) AS BIGINT) AS v
+              FROM c JOIN {prev} w ON w.i = c.j GROUP BY c.i
+            ),
+            m{k} AS MATERIALIZED (SELECT greatest(max(abs(v)), 1) AS m FROM cw{k}),
+            w{k} AS MATERIALIZED (
+              SELECT i, {_PCA_RENORM.format(v="v", s=PCA_WSCALE, m="m")} AS w
+              FROM cw{k}, m{k}
+            )"""
+        )
+        prev = f"w{k}"
+    return f"""
+        WITH emb AS (
+          SELECT list_transform(embedding::DOUBLE[],
+                                x -> CAST(floor(x * {PCA_QSCALE} + 0.5) AS BIGINT))
+                   AS q
+          FROM embeddings
+        ),
+        idx AS (SELECT i FROM range(0, {DIM}) t(i)),
+        s AS (
+          SELECT ii.i AS i, jj.i AS j,
+                 CAST(sum(q[ii.i + 1] * q[jj.i + 1]) AS BIGINT) AS s
+          FROM emb, idx ii, idx jj GROUP BY 1, 2
+        ),
+        d AS (SELECT ii.i AS i, CAST(sum(q[ii.i + 1]) AS BIGINT) AS si
+              FROM emb, idx ii GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM emb),
+        c AS MATERIALIZED (
+          SELECT s.i, s.j, nn.n * s.s - di.si * dj.si AS c
+          FROM s, nn
+          JOIN d di ON di.i = s.i JOIN d dj ON dj.i = s.j
+        ),
+        diag AS (SELECT i, c FROM c WHERE i = j),
+        md AS (SELECT greatest(max(c), 1) AS m FROM diag),
+        w0 AS MATERIALIZED (
+          SELECT i, {_PCA_RENORM.format(v="c", s=PCA_WSCALE, m="m")} AS w
+          FROM diag, md
+        ),
+        {", ".join(rounds)},
+        fin AS MATERIALIZED (
+          SELECT c.i, CAST(sum(c.c * w.w) AS BIGINT) AS v
+          FROM c JOIN w{PCA_ROUNDS} w ON w.i = c.j GROUP BY c.i
+        ),
+        lam AS (SELECT greatest(max(abs(v)), 1) AS m FROM fin)
+        SELECT w.i AS dim_idx, w.w AS loading_q, lam.m AS lam_maxabs
+        FROM w{PCA_ROUNDS} w, lam
+    """
+
+
+@register(
+    "pca_power_iteration_quantized",
+    oracle=_pca_oracle_sql(),
+    doc=f"Top principal component of the embedding cloud by {PCA_ROUNDS} fixed power-iteration rounds on the INTEGER-EXACT centered scatter matrix (n*S_ij - S_i*S_j of {PCA_QSCALE}x-quantized components), the iterate held as max-{PCA_WSCALE} scaled BIGINTs — iterative linear algebra with a hash oracle.",
+    tags=("similarity", "ml", "iterative", "ext", "scale"),
+)
+def pca_power_iteration_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dimensionality-reduction primitive, built so two engines agree
+    to the BIT: drift analysis, whitening, and index tuning all start
+    from the top principal direction of the embedding cloud, but float
+    power iteration can never hash cross-engine (FP matrix-vector
+    accumulation order). The pagerank discipline (r6: state as scaled
+    BIGINTs, integer-exact updates, fixed round count) applies:
+
+    - components quantize to q = floor(v*{PCA_QSCALE}+0.5) — BIGINT;
+    - the CENTERED scatter matrix is C = n*S_ij - S_i*S_j, computed from
+      integer moment sums only (no FP mean subtraction);
+    - each round's matrix-vector product is an integer-SUM aggregate
+      (order-free); renormalization to max|w| = {PCA_WSCALE} is ONE
+      identical double expression (shared template) on identical
+      integers;
+    - both engines run EXACTLY {PCA_ROUNDS} rounds — equality is
+      per-round-exact, independent of convergence, while the test pins
+      that a synthetic dominant direction IS recovered.
+
+    Eigenvalue readout: lam_maxabs = max|C w| of the final iterate
+    (~ lambda * {PCA_WSCALE} in scatter units as w converges) — a max,
+    not an FP inner product, so it stays integer-exact. Overflow budget:
+    |C| <= n^2*(q_max^2 + ...) ~ 1.5e12 at n=2e4, so |Cw| <= 64*|C|*1e3
+    ~ 1e17 << 2^63; safe to n ~ 1.5e5 at these scales — beyond that,
+    lower PCA_WSCALE or pre-aggregate (documented contract, asserted in
+    tests via the fixture bound).
+
+    Scale: the scatter moments are ONE map-side-combinable aggregate
+    over rows x {DIM}^2 products (the classic d^2-per-row PCA cost — at
+    100 TB this is the dominant, embarrassingly parallel scan); every
+    round after that runs on {DIM}^2 + {DIM} rows — metadata scale.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.transform(
+            as_double("embedding"),
+            lambda x: F.floor(x * PCA_QSCALE + F.lit(0.5)).cast("long"),
+        ).alias("q")
+    )
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (x, i) ->"
+                " transform(q, (y, j) -> struct(i AS i, j AS j, x * y AS p))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    s = pairs.groupBy("i", "j").agg(F.sum("p").cast("long").alias("s"))
+    d = (
+        q.select(F.posexplode("q").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.sum("qi").cast("long").alias("si"))
+    )
+    nn = q.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    c = (
+        s.join(F.broadcast(d.select(F.col("i").alias("di"), "si")), F.col("i") == F.col("di"))
+        .join(
+            F.broadcast(d.select(F.col("i").alias("dj"), F.col("si").alias("sj"))),
+            F.col("j") == F.col("dj"),
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("s") - F.col("si") * F.col("sj"))
+            .cast("long")
+            .alias("c"),
+        )
+        .localCheckpoint(eager=True)  # C is reused every round
+    )
+    renorm = lambda: F.expr(_PCA_RENORM.format(v="v", s=PCA_WSCALE, m="m"))  # noqa: E731
+    diag = c.filter(F.col("i") == F.col("j")).select("i", F.col("c").alias("v"))
+    md = diag.agg(F.greatest(F.max("v"), F.lit(1)).alias("m"))
+    w = diag.crossJoin(F.broadcast(md)).select("i", renorm().alias("w"))
+    for _ in range(PCA_ROUNDS):
+        cw = (
+            c.join(F.broadcast(w.select(F.col("i").alias("j2"), "w")), F.col("j") == F.col("j2"))
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("w")).cast("long").alias("v"))
+        )
+        m = cw.agg(F.greatest(F.max(F.abs(F.col("v"))), F.lit(1)).alias("m"))
+        w = (
+            cw.crossJoin(F.broadcast(m))
+            .select("i", renorm().alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    fin = (
+        c.join(F.broadcast(w.select(F.col("i").alias("j2"), "w")), F.col("j") == F.col("j2"))
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("w")).cast("long").alias("v"))
+    )
+    lam = fin.agg(F.greatest(F.max(F.abs(F.col("v"))), F.lit(1)).alias("lam_maxabs"))
+    return w.select(F.col("i").alias("dim_idx"), F.col("w").alias("loading_q")).crossJoin(
+        F.broadcast(lam)
+    )

@@ -141,6 +141,8 @@ _DRIVER_PRIORITY = [
     "running_distinct_users_daily",
     "ivm_agg_retractions",
     "stream_countmin_running",
+    "pca_power_iteration_quantized",
+    "lsh_band_tuning_profile",
 ]
 
 

@@ -89,6 +89,7 @@ DOC_QUERIES = [
     "bigram_perplexity_score",  # r7: corpus-trained bigram LM filter
     "token_budget_top_p",  # r7: integer cumulative-budget cutoff
     "doc_code_detection",  # r7: character-class density routing
+    "lsh_band_tuning_profile",  # r8: banding workload profile
 ]
 
 WORDS = ["spark", "hash", "join", "the", "a", "scan", "émigré", "data1", "Spark", "THE"]

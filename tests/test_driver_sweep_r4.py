@@ -189,6 +189,8 @@ R8_ORACLE = [
     "running_distinct_users_daily",
     "ivm_agg_retractions",
     "stream_countmin_running",
+    "pca_power_iteration_quantized",
+    "lsh_band_tuning_profile",
 ]
 
 

@@ -326,3 +326,110 @@ def test_stream_countmin_watchlist_one_sided(spark, sf_dir):
     assert set(est) == set(range(10))
     for uid in range(10):
         assert est[uid] >= true.get(uid, 0), (uid, est[uid], true.get(uid))
+
+
+# ---------------------------------------------------------------------------
+# pca_power_iteration_quantized
+# ---------------------------------------------------------------------------
+def test_pca_recovers_planted_direction(spark, tmp_path):
+    """Plant a dominant variance direction along axis 5 (values swing
+    +/-0.5 there, +/-0.01 noise elsewhere): the converged iterate must put
+    its maximal |loading| (= 1000 by normalization) on dim 5, every other
+    dim's |loading| must be an order of magnitude smaller, and the
+    eigenvalue readout must dwarf what any noise axis could carry."""
+    import random
+
+    rng = random.Random(11)
+    vecs = []
+    for k in range(60):
+        v = [round(rng.uniform(-0.01, 0.01), 4) for _ in range(DIM)]
+        v[5] = 0.5 if k % 2 == 0 else -0.5
+        vecs.append(v)
+    _write_embeddings(str(tmp_path), vecs, [0] * 60)
+    out = {
+        r["dim_idx"]: r
+        for r in REG["pca_power_iteration_quantized"].fn(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == DIM
+    assert abs(out[5]["loading_q"]) == 1000  # the max-normalized component
+    for i in range(DIM):
+        if i != 5:
+            assert abs(out[i]["loading_q"]) < 100, (i, out[i]["loading_q"])
+    # eigenvalue readout: the planted axis carries variance ~0.25 * n in
+    # raw units = 0.25 * Q^2 * n^2 in scatter units (C = n*S - S*S), vs
+    # ~1e-4 per noise axis — the readout must reflect that separation.
+    assert out[0]["lam_maxabs"] > 1000 * 60 * 50 * 50  # >> any noise axis
+
+
+def test_pca_overflow_budget_holds_at_fixture(spark, sf_dir):
+    """The documented int64 budget: |C| and |C w| must sit far inside
+    2^63 on the fixture (the docstring's n ~ 1.5e5 safety analysis)."""
+    from pyspark.sql import functions as F
+
+    from distributed_deep_learning_with_apache_spark_spark.operators.similarity import (
+        PCA_QSCALE,
+    )
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    stats = e.select(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.array_max(
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x: F.abs(F.floor(x * PCA_QSCALE + F.lit(0.5))),
+                )
+            )
+        ).alias("qmax"),
+    ).collect()[0]
+    n, qmax = stats["n"], stats["qmax"]
+    c_bound = n * n * qmax * qmax  # |C_ij| <= n*S_ij + S_i*S_j <= 2*n^2*q^2
+    cw_bound = 64 * 2 * c_bound * 1000
+    assert cw_bound < 2**62, (n, qmax, cw_bound)
+
+
+# ---------------------------------------------------------------------------
+# lsh_band_tuning_profile
+# ---------------------------------------------------------------------------
+def test_lsh_tuning_monotonic_and_catches_exact_dups(spark, tmp_path):
+    """The property the profile exists to show: fewer rows per band =
+    more candidate pairs (recall-workload monotonicity); and an exact
+    duplicate pair must collide under EVERY config (identical signature
+    => identical band keys), so candidate_pairs >= 1 even at the
+    precision-max 1x8 split."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "the quick brown fox jumps over the lazy dog near the river bank",  # exact dup
+        "a completely different document about spark shuffles and joins here",
+        "yet another text concerning window functions and watermark tuning",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["web"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = {
+        r["rows_per_band"]: r
+        for r in REG["lsh_band_tuning_profile"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 4, 8}
+    # workload monotone: recall-max 8x1 generates the most candidates
+    assert (
+        out[1]["candidate_pairs"]
+        >= out[2]["candidate_pairs"]
+        >= out[4]["candidate_pairs"]
+        >= out[8]["candidate_pairs"]
+    )
+    # the exact dup collides everywhere, even at 1x8
+    assert out[8]["candidate_pairs"] >= 1
+    assert all(r["n_collision_buckets"] >= 1 for r in out.values())

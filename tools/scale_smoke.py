@@ -165,6 +165,8 @@ QUERIES = [
     "running_distinct_users_daily",
     "ivm_agg_retractions",
     "stream_countmin_running",
+    "pca_power_iteration_quantized",
+    "lsh_band_tuning_profile",
 ]
 
 
