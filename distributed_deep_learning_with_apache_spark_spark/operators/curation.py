@@ -1573,3 +1573,91 @@ def doc_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(n_digit * 10000.0 / n).cast("long").alias("digit_bp"),
         (n_sym * 10000 >= n * CODE_SYMBOL_BP).alias("is_code_like"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8] Vocabulary OOV-rate report — tokenizer/vocab coverage: how much
+# of each document falls outside a frequency-built vocabulary (the
+# go/no-go number before committing a tokenizer to a corpus).
+# ---------------------------------------------------------------------------
+VOCAB_TOP_K = 20  # vocabulary = the K most frequent corpus tokens
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+        ),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC)
+                     AS rnk
+            FROM toks GROUP BY tok
+          ) WHERE rnk <= {VOCAB_TOP_K}
+        ),
+        per_doc AS (
+          SELECT t.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov
+          FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+          GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_tokens, n_oov,
+               floor(n_oov * 1000000.0 / n_tokens) / 1000000 AS oov_rate
+        FROM per_doc
+    """,
+    doc=f"Per-document out-of-vocabulary rate against a corpus-built top-{VOCAB_TOP_K} frequency vocabulary (ties break on token): the tokenizer-coverage report — a doc whose text is mostly OOV will shred into byte fallbacks and bloat its token count.",
+    tags=("curation", "text", "quality", "ext", "scale"),
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage, the report run before committing a tokenizer
+    or embedding table to a corpus: build the frequency vocabulary from
+    the corpus itself (top-{VOCAB_TOP_K} tokens, deterministic tie-break),
+    then score every document by the fraction of its tokens falling
+    outside it. High-OOV docs are the wrong-language / boilerplate /
+    encoding-damage tail that inflates token counts downstream (S12's
+    pretrained-vector join drops exactly these tokens on the floor —
+    `Word2VecTransformingIterator.java:123` ancestry).
+
+    Exactness: counts are integers; the rate is one floor-quantized
+    division of identical integers. Docs with zero tokens are naturally
+    absent (no token rows), sidestepping the divide-by-zero the r5 fuzz
+    found in ansi_safe_doc_ratios.
+
+    Scale: one token aggregate for the vocabulary (map-side combinable,
+    vocab-bounded output), broadcast of a {VOCAB_TOP_K}-row table, one
+    per-doc aggregate — no pair joins, no per-row UDFs.
+    """
+    from pyspark.sql import Window
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= VOCAB_TOP_K)
+        .select(F.col("tok").alias("vtok"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), toks.tok == vocab.vtok, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("vtok").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (F.floor(F.col("n_oov") * 1000000.0 / F.col("n_tokens")) / 1000000).alias(
+            "oov_rate"
+        ),
+    )

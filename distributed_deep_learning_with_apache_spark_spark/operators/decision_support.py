@@ -1378,3 +1378,128 @@ def ewma_dyadic_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("num") / float((1 << EWMA_W) - 1) * 100 + 0.5) / 100
         ).alias("ewma_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8] Poisson-bootstrap confidence interval for mean order value —
+# the resampling CI computed WITHOUT materializing resamples: the
+# distributed bootstrap (Poisson(1) weights per (row, rep)), with the
+# randomness a portable Lehmer map so both engines draw identical
+# "bootstrap samples".
+# ---------------------------------------------------------------------------
+import math as _math
+
+BOOT_B = 100  # bootstrap replicates
+BOOT_P = 2_147_483_647
+BOOT_A = 950_706_376  # Fishman-Moore (see setops/incremental constants)
+BOOT_C = 11
+# Poisson(1) CDF thresholds as INTEGER literals against the Lehmer output
+# (exact constants shared by both engines — no runtime exp() anywhere):
+_POIS_CDF = [_math.exp(-1.0) * s for s in (1.0, 2.0, 2.5, 8.0 / 3.0)]
+BOOT_T = [int(_math.floor(c * BOOT_P)) for c in _POIS_CDF]  # w<=0,1,2,3; else 4
+
+
+def _boot_weight_sql(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {BOOT_T[0]} THEN 0 WHEN {u} < {BOOT_T[1]} THEN 1 "
+        f"WHEN {u} < {BOOT_T[2]} THEN 2 WHEN {u} < {BOOT_T[3]} THEN 3 ELSE 4 END"
+    )
+
+
+@register(
+    "bootstrap_ci_revenue",
+    oracle=f"""
+        WITH expanded AS (
+          SELECT b.b,
+                 {_boot_weight_sql(f"(((o_orderkey * {BOOT_B} + b.b) % {BOOT_P}) * {BOOT_A} + {BOOT_C}) % {BOOT_P}")}
+                   AS w,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders CROSS JOIN range({BOOT_B}) AS b(b)
+        ),
+        reps AS (
+          SELECT b, CAST(sum(w * cents) AS BIGINT) AS s,
+                 CAST(sum(w) AS BIGINT) AS n
+          FROM expanded GROUP BY b
+        ),
+        means AS (SELECT s * 1.0 / n AS m FROM reps WHERE n > 0),
+        pt AS (
+          SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) * 1.0 / count(*) AS m0
+          FROM orders
+        )
+        -- two GROUP-BY-less (always-one-row) aggregates cross-joined, so a
+        -- degenerate corpus (no orders -> no replicate means) still yields
+        -- exactly ONE all-NULL/0 row, matching Spark's global agg (found by
+        -- the tpch fuzz: `FROM means, pt GROUP BY` emitted ZERO rows there)
+        SELECT floor(pt.m0 * 100 + 0.5) / 100 AS mean_cents,
+               floor(q.lo * 100 + 0.5) / 100 AS ci_lo_cents,
+               floor(q.hi * 100 + 0.5) / 100 AS ci_hi_cents,
+               q.n_reps
+        FROM pt, (SELECT quantile_cont(m, 0.025) AS lo,
+                         quantile_cont(m, 0.975) AS hi,
+                         CAST(count(m) AS BIGINT) AS n_reps
+                  FROM means) q
+    """,
+    doc=f"95% bootstrap CI for mean order value via the POISSON bootstrap ({BOOT_B} replicates, Poisson(1) weights from a portable Lehmer draw, thresholds baked as integer literals): the distributed resampling form — no resample is ever materialized, and both engines draw identical replicates.",
+    tags=("relational", "statistics", "ext", "scale"),
+)
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error bars for a 100 TB metric. Classical bootstrap resamples rows
+    WITH replacement — impossible to coordinate across a cluster; the
+    standard distributed fix (the Poisson bootstrap) gives every (row,
+    replicate) pair an independent Poisson(1) weight, which each executor
+    draws locally: every replicate's weighted sum is one map-side-
+    combinable aggregate, and the {BOOT_B} replicate means yield the
+    percentile CI.
+
+    Determinism: the "randomness" is the proven Lehmer map over
+    (orderkey*{BOOT_B} + rep) — a bijection below P, so draws never
+    repeat — against Poisson CDF thresholds precomputed as INTEGER
+    literals (math.exp runs once, in this module, at import; neither
+    engine evaluates a transcendental at query time — the bigram-ln
+    lesson). Replicate sums are BIGINTs; each mean is one division of
+    identical integers; the percentile interpolation is the proven
+    Spark-percentile == DuckDB-quantile_cont parity.
+
+    Scale: the expansion is rows x {BOOT_B} weight draws — pure
+    scan-stage arithmetic that partial-aggregates to {BOOT_B} rows
+    before the shuffle. Nothing is ever resampled or re-shuffled; cost
+    is one scan regardless of B's size (B scales compute, not shuffle).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    expanded = o.select(
+        F.col("o_orderkey").alias("k"), cents.alias("cents")
+    ).select(
+        "k", "cents", F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b")
+    ).selectExpr(
+        "b",
+        "cents",
+        _boot_weight_sql(
+            f"(((k * {BOOT_B} + b) % {BOOT_P}) * {BOOT_A} + {BOOT_C}) % {BOOT_P}"
+        )
+        + " AS w",
+    )
+    reps = expanded.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("s"),
+        F.sum("w").cast("long").alias("n"),
+    )
+    means = reps.filter(F.col("n") > 0).select(
+        (F.col("s") * 1.0 / F.col("n")).alias("m")
+    )
+    pt = o.agg((F.sum(cents).cast("long") * 1.0 / F.count(F.lit(1))).alias("m0"))
+    half_up2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
+    return (
+        means.agg(
+            F.percentile("m", F.lit(0.025)).alias("lo"),
+            F.percentile("m", F.lit(0.975)).alias("hi"),
+            F.count("m").cast("long").alias("n_reps"),
+        )
+        .crossJoin(F.broadcast(pt))
+        .select(
+            half_up2(F.col("m0")).alias("mean_cents"),
+            half_up2(F.col("lo")).alias("ci_lo_cents"),
+            half_up2(F.col("hi")).alias("ci_hi_cents"),
+            "n_reps",
+        )
+    )

@@ -928,3 +928,185 @@ def mad_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("g", "l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8] Bucketed table checksums — anti-entropy reconciliation: compare
+# two copies of a 100 TB table WITHOUT moving rows, by comparing bounded
+# per-bucket fingerprints (the Merkle/anti-entropy pattern replication
+# and lakehouse sync jobs run).
+# ---------------------------------------------------------------------------
+CHK_BUCKETS = 64
+CHK_P = SAMPLE_P  # Lehmer modulus 2^31-1
+CHK_A = TAKESAMPLE_A  # proven Fishman-Moore multiplier (wraps sequential keys)
+
+
+@register(
+    "table_checksum_buckets",
+    oracle=f"""
+        WITH rows_h AS (
+          SELECT o_orderkey % {CHK_BUCKETS} AS bucket,
+                 ((o_orderkey % {CHK_P}) * {CHK_A}
+                  + CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % {CHK_P}
+                  + CAST(o_custkey AS BIGINT)) % {CHK_P} AS rh
+          FROM orders
+        )
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(rh) % {CHK_P} AS BIGINT) AS checksum
+        FROM rows_h GROUP BY bucket
+    """,
+    doc=f"Per-bucket row-count + order-free modular checksum over orders ({CHK_BUCKETS} key buckets, portable Lehmer row hash): two table copies reconcile by comparing {CHK_BUCKETS} fingerprint rows instead of shipping rows — the anti-entropy primitive.",
+    tags=("relational", "quality", "ext", "scale"),
+)
+def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How 100 TB tables get compared: not row-by-row, but by exchanging
+    bounded per-bucket fingerprints — if a bucket's (count, checksum)
+    matches, its rows are (overwhelmingly likely) identical and never
+    move; a mismatched bucket narrows the diff to 1/{CHK_BUCKETS} of the
+    keyspace (recurse or re-sync just that slice). This is the
+    anti-entropy / Merkle-tree pattern behind replica repair, CDC
+    validation, and lake-copy verification — and the honest companion to
+    `cdc_snapshot_diff`, which ships rows to find diffs.
+
+    The checksum must be ORDER-FREE (partitions scan in any order) and
+    engine-portable: each row hashes through the proven Lehmer map of
+    (key, cents, custkey) and the bucket checksum is the SUM mod P —
+    commutative, associative, integer-exact. A content change anywhere
+    flips the bucket's sum with probability 1 - 1/P.
+
+    Scale: one map-side-combinable aggregate; the shuffle is
+    {CHK_BUCKETS} rows at ANY table size. The bucket key is o_orderkey
+    mod {CHK_BUCKETS}, so both copies bucket identically without
+    coordination.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    rh = (
+        F.pmod(F.col("o_orderkey"), CHK_P) * CHK_A
+        + F.pmod(cents, CHK_P)
+        + F.col("o_custkey").cast("long")
+    ) % CHK_P
+    return (
+        o.select(
+            F.pmod(F.col("o_orderkey"), CHK_BUCKETS).alias("bucket"),
+            rh.alias("rh"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.pmod(F.sum("rh"), CHK_P).cast("long").alias("checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8] Range-partition boundary planning: exact quantile split points
+# + the per-partition row counts they imply — what repartitionByRange /
+# Z-order writers need BEFORE shuffling 100 TB.
+# ---------------------------------------------------------------------------
+RPB_PARTS = 8
+
+
+@register(
+    "range_partition_boundaries",
+    oracle=f"""
+        WITH vals AS (
+          SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders
+        ),
+        ranked AS (
+          SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+                 count(*) OVER () AS n
+          FROM vals
+        ),
+        bounds AS (
+          SELECT CAST(p.p AS BIGINT) AS part_idx,
+                 max(CASE WHEN rn <= (p.p * n) // {RPB_PARTS} THEN cents END)
+                   AS upper_cents
+          FROM ranked, range(1, {RPB_PARTS} + 1) AS p(p)
+          GROUP BY p.p
+        ),
+        edges AS (
+          SELECT part_idx, upper_cents,
+                 coalesce(lag(upper_cents) OVER (ORDER BY part_idx), -1)
+                   AS lower_cents
+          FROM bounds
+        ),
+        counted AS (
+          SELECT e.part_idx, e.upper_cents,
+                 CAST(count(*) AS BIGINT) AS n_rows
+          FROM edges e JOIN vals v
+            ON v.cents > e.lower_cents AND v.cents <= e.upper_cents
+          GROUP BY e.part_idx, e.upper_cents
+        )
+        SELECT part_idx, upper_cents, n_rows FROM counted
+    """,
+    doc=f"Range-partitioner planning: exact {RPB_PARTS}-quantile split points over order value plus the row count each range actually receives — the boundary table a repartitionByRange/Z-order write needs, computed before any data shuffles.",
+    tags=("relational", "window", "ext", "scale"),
+)
+def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's repartitionByRange samples to pick boundaries; a skewed or
+    adversarial column makes sampled boundaries lopsided, and at 100 TB a
+    2x-overloaded range partition is a straggler that doubles the job.
+    This operator computes EXACT rank-based split points (the k·n/{RPB_PARTS}
+    order statistics) and audits the row count each range would receive —
+    the planning table you persist and feed to range writes, Z-ordering,
+    or external sort-merge jobs. Duplicate-heavy columns show up honestly:
+    repeated boundary values collapse ranges (a range can receive 0 rows),
+    which IS the signal that range partitioning needs a tiebreaker column.
+
+    Exactness: split points are order statistics of integer cents
+    (row_number over a total order — duplicates break by rank, same both
+    engines because the VALUE at a rank is unique-ized by max-below-rank);
+    counts are integers.
+
+    Scale note (deliberate contrast): the global row_number here is the
+    EXACT form — one sort of the value column (Spark plans a range-
+    partitioned sort, not a single partition). The sketch-backed sibling
+    (`quantile_sketch_rollup_monthly`) is what you run when even one sort
+    is too much; this op is for when boundaries must be exact (layout
+    contracts, reproducible Z-order tiles).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents")
+    )
+    w = Window.orderBy("cents")
+    ranked = vals.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    # 1..RPB_PARTS inclusive: partition RPB_PARTS is the final range
+    # (upper bound = the global max, i.e. the n-th order statistic) —
+    # without it the audit silently drops the top n/RPB_PARTS rows
+    # (caught by the balance test: counts summed to 7n/8).
+    parts = spark.range(1, RPB_PARTS + 1).select(F.col("id").alias("part_idx"))
+    bounds = (
+        ranked.crossJoin(F.broadcast(parts))
+        .groupBy("part_idx")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") <= (F.col("part_idx") * F.col("n")) / RPB_PARTS,
+                    F.col("cents"),
+                )
+            ).alias("upper_cents")
+        )
+    )
+    we = Window.orderBy("part_idx")
+    edges = bounds.select(
+        "part_idx",
+        "upper_cents",
+        F.coalesce(F.lag("upper_cents").over(we), F.lit(-1)).alias("lower_cents"),
+    )
+    return (
+        vals.join(
+            F.broadcast(edges),
+            (F.col("cents") > F.col("lower_cents"))
+            & (F.col("cents") <= F.col("upper_cents")),
+        )
+        .groupBy("part_idx", "upper_cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )

@@ -3175,3 +3175,85 @@ def stream_countmin_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(base, ignore_errors=True)
     return final
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8] Semi-structured schema profile: discover the keys actually
+# present in a JSON column and classify each key's value types — schema
+# drift detection for the props payload, with DYNAMIC key discovery
+# (no hardcoded '$.k' paths).
+# ---------------------------------------------------------------------------
+@register(
+    "json_schema_profile",
+    oracle="""
+        WITH kv AS (
+          SELECT k, json_type(props, '$.' || k) AS jt
+          FROM events, unnest(json_keys(props)) AS t(k)
+          WHERE props IS NOT NULL
+        ),
+        classified AS (
+          SELECT k,
+                 CASE WHEN jt IN ('UBIGINT', 'BIGINT') THEN 'int'
+                      WHEN jt = 'DOUBLE' THEN 'float'
+                      WHEN jt = 'VARCHAR' THEN 'string'
+                      WHEN jt = 'BOOLEAN' THEN 'bool'
+                      ELSE 'null' END AS vtype
+          FROM kv
+        )
+        SELECT k AS json_key, vtype,
+               CAST(count(*) AS BIGINT) AS n_values
+        FROM classified GROUP BY 1, 2
+    """,
+    doc="Dynamic JSON schema profile of the props payload: keys discovered per row (variant map cast / json_keys - no hardcoded paths), values classified int/float/bool/string/null from their TRUE JSON types (Spark schema_of_variant vs DuckDB json_type), so a stringified number registers as the drift it is.",
+    tags=("streaming", "json", "variant", "quality", "ext", "scale"),
+)
+def json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What is ACTUALLY inside the JSON column - the question every
+    semi-structured pipeline asks before writing extraction paths
+    (`events_props_json` / `events_props_variant` hardcode '$.k'; this op
+    discovers keys per row and classifies their value types), and keeps
+    asking in production: a producer that starts emitting "42" instead
+    of 42 flips the key's type histogram here long before a downstream
+    CAST fails.
+
+    Typing is from the JSON grammar, not a regex over extracted text:
+    Spark parses once to VARIANT, casts to map<string, variant> (dynamic
+    keys - variant_get would need a constant path), and reads each
+    value's type via schema_of_variant; DuckDB asks json_type. The type
+    vocabularies differ, so each side maps through its own CASE to the
+    shared {int, float, string, bool, null} labels (Spark integer
+    variants surface as BIGINT or DECIMAL(p,0), both "int"; DuckDB says
+    UBIGINT/BIGINT). A quoted "42" is STRING/VARCHAR on both - the
+    drift case a lossy extract-then-regex classifier cannot see, pinned
+    in tests. Documented bound: integers beyond UBIGINT (> 2^64-1)
+    classify float in DuckDB vs int in Spark - outside any JSON
+    producer this repo models.
+
+    Scale: scan-stage variant parsing + one map-side-combinable
+    aggregate whose output is |keys| x |types| rows - bounded at any
+    corpus size. At 100 TB this profile is what justifies promoting a
+    hot key to the shredded Variant path.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    kv = e.select(
+        F.explode(F.parse_json("props").cast("map<string, variant>")).alias("k", "v")
+    ).select("k", F.schema_of_variant("v").alias("jt"))
+    vtype = (
+        F.when(
+            F.col("jt").isin("TINYINT", "SMALLINT", "INT", "BIGINT")
+            | F.col("jt").rlike("^DECIMAL\\([0-9]+,0\\)$"),
+            "int",
+        )
+        .when(
+            F.col("jt").isin("FLOAT", "DOUBLE") | F.col("jt").startswith("DECIMAL"),
+            "float",
+        )
+        .when(F.col("jt") == "STRING", "string")
+        .when(F.col("jt") == "BOOLEAN", "bool")
+        .otherwise("null")
+    )
+    return (
+        kv.select(F.col("k").alias("json_key"), vtype.alias("vtype"))
+        .groupBy("json_key", "vtype")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_values"))
+    )

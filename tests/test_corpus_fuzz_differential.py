@@ -90,6 +90,7 @@ DOC_QUERIES = [
     "token_budget_top_p",  # r7: integer cumulative-budget cutoff
     "doc_code_detection",  # r7: character-class density routing
     "lsh_band_tuning_profile",  # r8: banding workload profile
+    "vocab_oov_rate",  # r8: frequency-vocab coverage report
 ]
 
 WORDS = ["spark", "hash", "join", "the", "a", "scan", "émigré", "data1", "Spark", "THE"]
@@ -197,6 +198,7 @@ EVENT_QUERIES = [
     "out_of_order_lateness_histogram",  # r8: arrival-order lateness buckets
     "running_distinct_users_daily",  # r8: first-seen prefix-sum growth curve
     "stream_countmin_running",  # r8: streaming mergeable CM watchlist
+    "json_schema_profile",  # r8: dynamic JSON key/type discovery
 ]
 
 import datetime as _dt

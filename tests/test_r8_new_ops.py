@@ -433,3 +433,159 @@ def test_lsh_tuning_monotonic_and_catches_exact_dups(spark, tmp_path):
     # the exact dup collides everywhere, even at 1x8
     assert out[8]["candidate_pairs"] >= 1
     assert all(r["n_collision_buckets"] >= 1 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# table_checksum_buckets
+# ---------------------------------------------------------------------------
+def _write_orders_simple(td, rows):
+    """rows: (o_orderkey, o_custkey, o_totalprice)"""
+    d = datetime.datetime(1995, 3, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array(["F"] * len(rows)),
+                "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+                "o_orderdate": pa.array([d] * len(rows), pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+            }
+        ),
+        os.path.join(td, "orders.parquet"),
+    )
+
+
+def test_checksum_localizes_a_tampered_row(spark, tmp_path):
+    """The anti-entropy property: two copies differing in ONE row must
+    agree on every bucket except the tampered row's — that is what lets
+    reconciliation skip 63/64 of the table."""
+    rows = [(k, k % 5, 100.0 + k) for k in range(256)]
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir(), b_dir.mkdir()
+    _write_orders_simple(str(a_dir), rows)
+    tampered = [(k, c, p + 0.01 if k == 77 else p) for k, c, p in rows]
+    _write_orders_simple(str(b_dir), tampered)
+    fp = lambda d: {  # noqa: E731
+        r["bucket"]: (r["n_rows"], r["checksum"])
+        for r in REG["table_checksum_buckets"].fn(spark, str(d)).collect()
+    }
+    fa, fb = fp(a_dir), fp(b_dir)
+    diff = [b for b in fa if fa[b] != fb[b]]
+    assert diff == [77 % 64]  # exactly the tampered row's bucket
+    assert fa[77 % 64][0] == fb[77 % 64][0]  # same count, different sum
+
+
+# ---------------------------------------------------------------------------
+# range_partition_boundaries
+# ---------------------------------------------------------------------------
+def test_range_boundaries_balance_and_skew_honesty(spark, tmp_path):
+    """Uniform values must split into near-equal ranges; a column where
+    one value holds >50% of rows must show the collapse honestly (some
+    range receives far more than n/8 — the straggler the op exists to
+    expose before the shuffle)."""
+    uniform = [(k, 0, float(k + 1)) for k in range(800)]
+    u_dir = tmp_path / "u"
+    u_dir.mkdir()
+    _write_orders_simple(str(u_dir), uniform)
+    out = REG["range_partition_boundaries"].fn(spark, str(u_dir)).collect()
+    counts = [r["n_rows"] for r in out]
+    assert sum(counts) == 800
+    assert max(counts) <= 110  # ~100 per range on distinct uniform values
+
+    skewed = [(k, 0, 500.0 if k < 500 else float(k)) for k in range(800)]
+    s_dir = tmp_path / "s"
+    s_dir.mkdir()
+    _write_orders_simple(str(s_dir), skewed)
+    out_s = REG["range_partition_boundaries"].fn(spark, str(s_dir)).collect()
+    assert max(r["n_rows"] for r in out_s) >= 500  # the hot value's range
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_ci_revenue
+# ---------------------------------------------------------------------------
+def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
+    r = REG["bootstrap_ci_revenue"].fn(spark, sf_dir).collect()[0]
+    assert r["n_reps"] == 100
+    assert r["ci_lo_cents"] < r["mean_cents"] < r["ci_hi_cents"]
+    # sanity: a 95% CI on thousands of orders is tight (within ~10%)
+    width = r["ci_hi_cents"] - r["ci_lo_cents"]
+    assert width < 0.2 * r["mean_cents"]
+
+
+# ---------------------------------------------------------------------------
+# vocab_oov_rate
+# ---------------------------------------------------------------------------
+def test_vocab_oov_separates_in_and_out_of_vocab_docs(spark, tmp_path):
+    """One doc written entirely from the corpus' dominant tokens (rate 0)
+    and one from singletons (rate 1); the frequency vocabulary is built
+    from the corpus itself, so the dominant tokens are in-vocab by
+    construction."""
+    # the vocabulary is top-20 by frequency: 4 dominant tokens (200x)
+    # fill slots 1-4; 25 medium tokens (3x) compete for the remaining 16
+    # slots — so singletons (1x) can never reach the vocabulary.
+    common = "alpha beta gamma delta " * 10  # 4 tokens, 10x each, 20 docs
+    texts = [common] * 20
+    medium = " ".join(f"tok{i:02d}" for i in range(25))
+    texts += [medium] * 3  # 25 medium tokens, 3x each
+    texts.append("zzyx qwvv jjkk mmnn oopp rrss")  # all singletons
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["web"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = {
+        r["doc_id"]: r for r in REG["vocab_oov_rate"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["oov_rate"] == 0.0 and out[0]["n_oov"] == 0
+    assert out[23]["oov_rate"] == 1.0 and out[23]["n_oov"] == out[23]["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# json_schema_profile
+# ---------------------------------------------------------------------------
+def test_json_schema_profile_classifies_types(spark, tmp_path):
+    """Mixed-type values under the same key must split into per-type rows
+    — the drift signal ('k' was int, now sometimes string) this op
+    exists to surface."""
+    props = [
+        '{"k": 42, "name": "ada"}',
+        '{"k": "42"}',  # the drift: stringified int
+        '{"k": -3.5, "flag": true}',
+        '{"name": null}',
+    ]
+    n = len(props)
+    base = datetime.datetime(2024, 2, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(
+                    [base + datetime.timedelta(seconds=i) for i in range(n)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(props),
+            }
+        ),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    rows = {
+        (r["json_key"], r["vtype"]): r["n_values"]
+        for r in REG["json_schema_profile"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows[("k", "int")] == 1
+    assert rows[("k", "string")] == 1  # the drifted value
+    assert rows[("k", "float")] == 1
+    assert rows[("flag", "bool")] == 1
+    assert rows[("name", "string")] == 1
+    assert rows[("name", "null")] == 1

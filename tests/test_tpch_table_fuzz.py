@@ -68,6 +68,9 @@ QUERIES = [
     # r8 additions
     "ewma_dyadic_revenue",
     "ivm_agg_retractions",
+    "table_checksum_buckets",
+    "range_partition_boundaries",
+    "bootstrap_ci_revenue",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"

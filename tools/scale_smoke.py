@@ -167,6 +167,11 @@ QUERIES = [
     "stream_countmin_running",
     "pca_power_iteration_quantized",
     "lsh_band_tuning_profile",
+    "table_checksum_buckets",
+    "range_partition_boundaries",
+    "bootstrap_ci_revenue",
+    "vocab_oov_rate",
+    "json_schema_profile",
 ]
 
 
