@@ -18,7 +18,7 @@ Scale posture per query is noted in its docstring; the common themes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -1502,4 +1502,397 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             half_up2(F.col("hi")).alias("ci_hi_cents"),
             "n_reps",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8b] Gini concentration of customer revenue — the inequality
+# readout (how concentrated is revenue across customers), integer-exact
+# via the rank-weighted-sum identity.
+# ---------------------------------------------------------------------------
+GINI_SCALE = 1_000_000
+
+
+@register(
+    "gini_revenue_concentration",
+    oracle=f"""
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT cents,
+                 row_number() OVER (ORDER BY cents, o_custkey) AS i,
+                 count(*) OVER () AS n,
+                 CAST(sum(cents) OVER () AS BIGINT) AS total
+          FROM per_cust
+        ),
+        agg AS (
+          SELECT CAST(max(n) AS BIGINT) AS n_customers,
+                 CAST(max(total) AS BIGINT) AS total_cents,
+                 CAST(sum((2 * i - n - 1) * cents) AS BIGINT) AS g_num,
+                 CAST(sum(CASE WHEN i > n - (n // 10) THEN cents ELSE 0 END)
+                      AS BIGINT) AS top_decile_cents
+          FROM ranked
+        )
+        SELECT n_customers, total_cents,
+               floor(g_num * {GINI_SCALE}.0
+                     / (CAST(n_customers AS DOUBLE) * total_cents) + 0.5)
+                 / {GINI_SCALE} AS gini,
+               floor(top_decile_cents * {GINI_SCALE}.0 / total_cents + 0.5)
+                 / {GINI_SCALE} AS top10pct_share
+        FROM agg
+    """,
+    doc="Gini coefficient of per-customer revenue via the rank-weighted-sum identity (sum((2i-n-1)x_i) / (n*sum(x)) over the ascending total order) plus the top-decile revenue share — concentration as two divisions of exact BIGINTs.",
+    tags=("relational", "statistics", "window", "ext", "scale"),
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration, the number behind every "top X% of
+    customers drive Y% of revenue" claim: the Gini coefficient computed
+    by the rank-weighted-sum identity G = sum_i (2i - n - 1) x_(i) /
+    (n * sum x) over ascending-sorted per-customer revenue, with
+    (cents, custkey) as the tie-free total order. The top-decile share
+    is the operational companion (what a concentration RISK review
+    actually reads).
+
+    Exactness: per-customer cents are BIGINT sums; the rank-weighted
+    numerator is a BIGINT (|2i-n-1| <= n keeps it under n^2 * x_max ~
+    1e18 at 10x scale — documented bound, same class as the PCA budget);
+    each output is one floor-quantized division of exact integers.
+
+    Scale: one customer aggregate, then one sort of n_customers rows
+    (range-partitioned — customer cardinality, not fact cardinality),
+    then a scalar aggregate. The sort is over the DIMENSION-sized
+    series; the fact table is touched once, map-side.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    wall = Window.partitionBy()
+    ranked = per_cust.select(
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wall).cast("long").alias("total"),
+    )
+    agg = ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.max("total").cast("long").alias("total_cents"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
+        .cast("long")
+        .alias("g_num"),
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.floor(F.col("n") / 10).cast("long"),
+                F.col("cents"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("top_decile_cents"),
+    )
+    return agg.select(
+        "n_customers",
+        "total_cents",
+        (
+            F.floor(
+                F.col("g_num")
+                * float(GINI_SCALE)
+                / (F.col("n_customers").cast("double") * F.col("total_cents"))
+                + 0.5
+            )
+            / GINI_SCALE
+        ).alias("gini"),
+        (
+            F.floor(
+                F.col("top_decile_cents") * float(GINI_SCALE) / F.col("total_cents")
+                + 0.5
+            )
+            / GINI_SCALE
+        ).alias("top10pct_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8b] Two-sample Kolmogorov-Smirnov drift statistic — exact D as an
+# integer-ratio (the CDF gap never computed in floating point).
+# ---------------------------------------------------------------------------
+KS_GROUP_A = "1-URGENT"
+KS_GROUP_B = "5-LOW"
+
+
+@register(
+    "ks_two_sample_drift",
+    oracle=f"""
+        WITH vals AS (
+          SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                 CASE WHEN o_orderpriority = '{KS_GROUP_A}' THEN 1 ELSE 0 END AS a,
+                 CASE WHEN o_orderpriority = '{KS_GROUP_B}' THEN 1 ELSE 0 END AS b
+          FROM orders
+          WHERE o_orderpriority IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+        ),
+        per_value AS (
+          SELECT cents, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+          FROM vals GROUP BY cents
+        ),
+        cum AS (
+          SELECT CAST(sum(na) OVER (ORDER BY cents) AS BIGINT) AS ca,
+                 CAST(sum(nb) OVER (ORDER BY cents) AS BIGINT) AS cb,
+                 CAST(sum(na) OVER () AS BIGINT) AS n1,
+                 CAST(sum(nb) OVER () AS BIGINT) AS n2
+          FROM per_value
+        )
+        -- nullif: a corpus missing one (or both) groups makes n1*n2 = 0
+        -- and D undefined — NULL, not a divide-by-zero (the tpch fuzz
+        -- drew exactly that corpus)
+        SELECT max(n1) AS n1, max(n2) AS n2,
+               CAST(max(abs(n2 * ca - n1 * cb)) AS BIGINT) AS d_num,
+               floor(max(abs(n2 * ca - n1 * cb)) * 1000000.0
+                     / nullif(max(n1) * max(n2), 0) + 0.5) / 1000000 AS d_stat
+        FROM cum
+    """,
+    doc=f"Exact two-sample Kolmogorov-Smirnov statistic between the '{KS_GROUP_A}' and '{KS_GROUP_B}' order-value distributions: D's numerator max|n2*F1 - n1*F2| stays an INTEGER over the pooled value walk, so the supremum of a CDF gap — normally an FP minefield — is hash-exact.",
+    tags=("relational", "statistics", "window", "ext", "scale"),
+)
+def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-shift test that needs no binning choices: the KS
+    statistic D = sup_x |F1(x) - F2(x)| between two samples. PSI
+    (`psi_drift_events`) needs bucket design and misses shifts inside a
+    bucket; KS is the binless complement — and it is computable EXACTLY:
+    walk the pooled distinct values in order, hold the two cumulative
+    counts, and D's numerator max|n2*ca - n1*cb| never leaves BIGINT
+    (the division by n1*n2 happens once, at the end). Overflow bound:
+    n1*n2 <= (1.5e5)^2 ~ 2e10 at 10x — far inside int64.
+
+    Scale: one scan-stage filter + per-value aggregate (map-side
+    combinable, distinct-value-bounded), one sort over DISTINCT values
+    (not rows), one scalar readout. The running sums are
+    partition-local after a range-partitioned sort — the same
+    exact-order-statistics shape as range_partition_boundaries.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(KS_GROUP_A, KS_GROUP_B)
+    )
+    vals = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority") == KS_GROUP_A, 1).otherwise(0).alias("a"),
+        F.when(F.col("o_orderpriority") == KS_GROUP_B, 1).otherwise(0).alias("b"),
+    )
+    per_value = vals.groupBy("cents").agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    wc = Window.orderBy("cents")
+    wall = Window.partitionBy()
+    cum = per_value.select(
+        F.sum("na").over(wc).cast("long").alias("ca"),
+        F.sum("nb").over(wc).cast("long").alias("cb"),
+        F.sum("na").over(wall).cast("long").alias("n1"),
+        F.sum("nb").over(wall).cast("long").alias("n2"),
+    )
+    return cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(F.abs(F.col("n2") * F.col("ca") - F.col("n1") * F.col("cb")))
+        .cast("long")
+        .alias("d_num"),
+        (
+            F.floor(
+                F.max(F.abs(F.col("n2") * F.col("ca") - F.col("n1") * F.col("cb")))
+                * 1000000.0
+                / F.nullif(F.max("n1") * F.max("n2"), F.lit(0))
+                + 0.5
+            )
+            / 1000000
+        ).alias("d_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8b] Monthly time-weighted average price (TWAP) — irregular-series
+# averaging where each observation counts for the days it was "current".
+# ---------------------------------------------------------------------------
+@register(
+    "twap_monthly_revenue",
+    oracle="""
+        WITH daily AS (
+          SELECT o_orderdate::DATE AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        ),
+        weighted AS (
+          SELECT strftime(day, '%Y-%m') AS month, cents,
+                 CAST(
+                   coalesce(lead(day) OVER (PARTITION BY strftime(day, '%Y-%m')
+                                            ORDER BY day),
+                            last_day(day) + INTERVAL 1 DAY)::DATE - day
+                   AS BIGINT) AS w
+          FROM daily
+        )
+        SELECT month,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(w) AS BIGINT) AS covered_days,
+               floor(sum(w * cents) * 100.0 / sum(w) + 0.5) / 100
+                 AS twap_cents
+        FROM weighted GROUP BY month
+    """,
+    doc="Monthly time-weighted average of the daily revenue level: each observed day's value is weighted by the days until the next observation (last observation carries to month end) — the TWAP form that makes irregular series comparable, integer-exact.",
+    tags=("relational", "timeseries", "window", "ext", "scale"),
+)
+def twap_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Averaging an IRREGULAR series: a plain AVG over observed days
+    overweights dense stretches; the time-weighted mean holds each
+    observation for the interval it was current (to the next observation,
+    or month end for the last) — the TWAP/step-integral convention of
+    finance and metering. Contrast `locf_forward_fill`, which
+    materializes the filled series; TWAP integrates it without expansion.
+
+    Exactness: weights are day-count BIGINTs (lead(day) within the month
+    partition; the tail uses last_day + 1); the weighted sum is a
+    BIGINT; one floor-quantized terminal division.
+
+    Scale: one daily aggregate over the fact table, then a
+    month-partitioned lead() window and a monthly aggregate over |days|
+    rows — metadata scale, one shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    month = F.date_format("day", "yyyy-MM")
+    wm = Window.partitionBy(month).orderBy("day")
+    weighted = daily.select(
+        month.alias("month"),
+        "cents",
+        F.datediff(
+            F.coalesce(
+                F.lead("day").over(wm), F.date_add(F.last_day("day"), 1)
+            ),
+            F.col("day"),
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    return weighted.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("w").cast("long").alias("covered_days"),
+        (
+            F.floor(
+                F.sum(F.col("w") * F.col("cents")) * 100.0 / F.sum("w") + 0.5
+            )
+            / 100
+        ).alias("twap_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8b] Decile lift table — the model-evaluation staple: rank
+# customers by spend, cut into deciles, read cumulative share and lift.
+# ---------------------------------------------------------------------------
+@register(
+    "decile_lift_table",
+    oracle="""
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT cents,
+                 ntile(10) OVER (ORDER BY cents DESC, o_custkey ASC) AS decile
+          FROM per_cust
+        ),
+        per_decile AS (
+          SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+                 CAST(sum(cents) AS BIGINT) AS decile_cents
+          FROM ranked GROUP BY decile
+        ),
+        cum AS (
+          SELECT decile, n_customers, decile_cents,
+                 CAST(sum(decile_cents) OVER (ORDER BY decile) AS BIGINT)
+                   AS cum_cents,
+                 CAST(sum(n_customers) OVER (ORDER BY decile) AS BIGINT)
+                   AS cum_customers,
+                 CAST(sum(decile_cents) OVER () AS BIGINT) AS total_cents,
+                 CAST(sum(n_customers) OVER () AS BIGINT) AS total_customers
+          FROM per_decile
+        )
+        SELECT decile, n_customers, decile_cents,
+               floor(cum_cents * 1000000.0 / total_cents + 0.5) / 1000000
+                 AS cum_share,
+               floor(cum_cents * 1.0 * total_customers * 1000000.0
+                     / (total_cents * 1.0 * cum_customers) + 0.5) / 1000000
+                 AS cum_lift
+        FROM cum
+    """,
+    doc="Decile lift table over per-customer spend (ntile(10) on a tie-free total order): per-decile totals, cumulative revenue share, and cumulative lift vs uniform — the gains-chart table every targeting-model review reads, integer-exact to the two terminal divisions.",
+    tags=("relational", "statistics", "window", "ext", "scale"),
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gains/lift chart as a table: customers ranked by spend, cut
+    into deciles (ntile over the tie-free (cents DESC, custkey) order —
+    deterministic on both engines), then cumulative revenue share and
+    lift = share-of-revenue / share-of-population. Decile 1's lift is
+    the "top-10% concentration" headline; the curve's shape is what a
+    targeting model is judged against (`gini_revenue_concentration` is
+    the same story as one number).
+
+    Exactness: decile assignment is rank arithmetic on a total order;
+    all sums BIGINT; share and lift are floor-quantized terminal
+    divisions (lift's numerator cum_cents * total_customers stays under
+    ~1e13 * 1.5e5 — within the double-exactness budget of the one
+    division, and the BIGINT product bound is documented like PCA's).
+
+    Scale: customer-dimension aggregate, one sort of n_customers rows,
+    ten-row readout.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wr = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+    ranked = per_cust.select("cents", F.ntile(10).over(wr).alias("decile"))
+    per_decile = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+    )
+    wd = Window.orderBy("decile")
+    wall = Window.partitionBy()
+    cum = per_decile.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        F.sum("decile_cents").over(wd).cast("long").alias("cum_cents"),
+        F.sum("n_customers").over(wd).cast("long").alias("cum_customers"),
+        F.sum("decile_cents").over(wall).cast("long").alias("total_cents"),
+        F.sum("n_customers").over(wall).cast("long").alias("total_customers"),
+    )
+    return cum.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        (F.floor(F.col("cum_cents") * 1000000.0 / F.col("total_cents") + 0.5) / 1000000).alias(
+            "cum_share"
+        ),
+        (
+            F.floor(
+                F.col("cum_cents")
+                * 1.0
+                * F.col("total_customers")
+                * 1000000.0
+                / (F.col("total_cents") * 1.0 * F.col("cum_customers"))
+                + 0.5
+            )
+            / 1000000
+        ).alias("cum_lift"),
     )

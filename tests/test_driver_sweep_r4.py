@@ -196,6 +196,10 @@ R8_ORACLE = [
     "bootstrap_ci_revenue",
     "vocab_oov_rate",
     "json_schema_profile",
+    "gini_revenue_concentration",
+    "ks_two_sample_drift",
+    "twap_monthly_revenue",
+    "decile_lift_table",
 ]
 
 

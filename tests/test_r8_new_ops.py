@@ -589,3 +589,111 @@ def test_json_schema_profile_classifies_types(spark, tmp_path):
     assert rows[("flag", "bool")] == 1
     assert rows[("name", "string")] == 1
     assert rows[("name", "null")] == 1
+
+
+# ---------------------------------------------------------------------------
+# gini_revenue_concentration
+# ---------------------------------------------------------------------------
+def test_gini_extremes(spark, tmp_path):
+    """Equal revenues -> gini 0; one customer holding everything ->
+    gini = (n-1)/n (the finite-sample maximum)."""
+    eq_dir, sk_dir = tmp_path / "eq", tmp_path / "sk"
+    eq_dir.mkdir(), sk_dir.mkdir()
+    _write_orders_simple(str(eq_dir), [(k, k, 100.0) for k in range(50)])
+    r = REG["gini_revenue_concentration"].fn(spark, str(eq_dir)).collect()[0]
+    assert r["gini"] == 0.0 and r["n_customers"] == 50
+    # customer 0 gets 9901 of 10000 cents total: near-max concentration
+    rows = [(0, 0, 99.01)] + [(k, k, 0.01) for k in range(1, 100)]
+    _write_orders_simple(str(sk_dir), rows)
+    r2 = REG["gini_revenue_concentration"].fn(spark, str(sk_dir)).collect()[0]
+    assert r2["gini"] > 0.95
+    assert r2["top10pct_share"] > 0.98
+
+
+# ---------------------------------------------------------------------------
+# ks_two_sample_drift
+# ---------------------------------------------------------------------------
+def _write_orders_prio(td, rows):
+    """rows: (o_orderkey, o_totalprice, o_orderpriority)"""
+    d = datetime.datetime(1995, 3, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([0] * len(rows), pa.int64()),
+                "o_orderstatus": pa.array(["F"] * len(rows)),
+                "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+                "o_orderdate": pa.array([d] * len(rows), pa.timestamp("us")),
+                "o_orderpriority": pa.array([r[2] for r in rows]),
+            }
+        ),
+        os.path.join(td, "orders.parquet"),
+    )
+
+
+def test_ks_identical_zero_disjoint_one(spark, tmp_path):
+    """Identical samples -> D = 0; disjoint value ranges -> D = 1 (the
+    CDF gap reaches its maximum between the ranges)."""
+    same_dir, disj_dir = tmp_path / "same", tmp_path / "disj"
+    same_dir.mkdir(), disj_dir.mkdir()
+    rows = [(k, float(k % 20 + 1), "1-URGENT") for k in range(40)]
+    rows += [(100 + k, float(k % 20 + 1), "5-LOW") for k in range(40)]
+    _write_orders_prio(str(same_dir), rows)
+    r = REG["ks_two_sample_drift"].fn(spark, str(same_dir)).collect()[0]
+    assert r["d_num"] == 0 and r["d_stat"] == 0.0
+    rows2 = [(k, float(k + 1), "1-URGENT") for k in range(30)]
+    rows2 += [(100 + k, float(1000 + k), "5-LOW") for k in range(30)]
+    _write_orders_prio(str(disj_dir), rows2)
+    r2 = REG["ks_two_sample_drift"].fn(spark, str(disj_dir)).collect()[0]
+    assert r2["d_stat"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# twap_monthly_revenue
+# ---------------------------------------------------------------------------
+def test_twap_weights_by_holding_interval(spark, tmp_path):
+    """March: one 100.00 observation on the 1st, one 300.00 on the 29th.
+    TWAP = (28 days * 10000 + 3 days * 30000) / 31 — NOT the naive
+    two-point average 20000."""
+    rows = [
+        (0, 0, 100.0, datetime.datetime(1995, 3, 1)),
+        (1, 0, 300.0, datetime.datetime(1995, 3, 29)),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array(["F"] * len(rows)),
+                "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+                "o_orderdate": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+            }
+        ),
+        os.path.join(str(tmp_path), "orders.parquet"),
+    )
+    r = REG["twap_monthly_revenue"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["month"] == "1995-03"
+    assert r["covered_days"] == 31
+    expect = math.floor((28 * 10000 + 3 * 30000) * 100.0 / 31 + 0.5) / 100
+    assert r["twap_cents"] == expect
+    assert abs(r["twap_cents"] - 20000) > 3000  # far from the naive mean
+
+
+# ---------------------------------------------------------------------------
+# decile_lift_table
+# ---------------------------------------------------------------------------
+def test_decile_lift_shape(spark, sf_dir):
+    rows = sorted(
+        REG["decile_lift_table"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["cum_share"] for r in rows]
+    assert all(a < b for a, b in zip(shares, shares[1:]))  # monotone
+    assert shares[-1] == 1.0
+    assert rows[0]["cum_lift"] > 1.0  # the top decile outspends uniform
+    assert rows[-1]["cum_lift"] == 1.0  # whole population = baseline
+    # deciles ranked by spend: per-decile totals must be non-increasing
+    totals = [r["decile_cents"] for r in rows]
+    assert all(a >= b for a, b in zip(totals, totals[1:]))

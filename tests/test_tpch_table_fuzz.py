@@ -71,6 +71,10 @@ QUERIES = [
     "table_checksum_buckets",
     "range_partition_boundaries",
     "bootstrap_ci_revenue",
+    "gini_revenue_concentration",
+    "ks_two_sample_drift",
+    "twap_monthly_revenue",
+    "decile_lift_table",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"
