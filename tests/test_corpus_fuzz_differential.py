@@ -276,6 +276,7 @@ def test_event_queries_match_oracle_on_hostile_series(spark, tmp_path_factory, n
 # ---------------------------------------------------------------------------
 EMB_QUERIES = [
     "embedding_drift_by_label",  # r6: fixed-point centroid drift
+    "pca_power_iteration_quantized",  # r8: all-zero draws exercise the greatest(m,1) guard
     "embedding_l2_normalized",
     "embedding_quantize_int8",
     "embedding_dim_means",
