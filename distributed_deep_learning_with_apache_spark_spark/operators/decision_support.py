@@ -1562,10 +1562,13 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e18 at 10x scale — documented bound, same class as the PCA budget);
     each output is one floor-quantized division of exact integers.
 
-    Scale: one customer aggregate, then one sort of n_customers rows
-    (range-partitioned — customer cardinality, not fact cardinality),
-    then a scalar aggregate. The sort is over the DIMENSION-sized
-    series; the fact table is touched once, map-side.
+    Scale: one customer aggregate (the fact table is touched once,
+    map-side), then the rank window. A global-order window is ALWAYS a
+    single partition in Spark — here that serial pass is deliberately
+    DIMENSION-sized (n_customers rows, not fact rows), the same
+    exactness trade range_partition_boundaries documents; for
+    billion-customer corpora, bucket revenues first (the per-value
+    sum-of-ranks identity keeps G exact under ties).
     """
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -1670,10 +1673,10 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1*n2 <= (1.5e5)^2 ~ 2e10 at 10x — far inside int64.
 
     Scale: one scan-stage filter + per-value aggregate (map-side
-    combinable, distinct-value-bounded), one sort over DISTINCT values
-    (not rows), one scalar readout. The running sums are
-    partition-local after a range-partitioned sort — the same
-    exact-order-statistics shape as range_partition_boundaries.
+    combinable), then the cumulative window over DISTINCT values only —
+    a global-order window is a single-partition pass in Spark, so
+    keeping rows out of it (only the value domain enters) is the same
+    discipline as range_partition_boundaries; one scalar readout.
     """
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority").isin(KS_GROUP_A, KS_GROUP_B)
@@ -1851,7 +1854,9 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e13 * 1.5e5 — within the double-exactness budget of the one
     division, and the BIGINT product bound is documented like PCA's).
 
-    Scale: customer-dimension aggregate, one sort of n_customers rows,
+    Scale: customer-dimension aggregate, then ntile over the global
+    order — a single-partition window, deliberately dimension-sized
+    (n_customers rows; the gini op documents the same trade), then a
     ten-row readout.
     """
     o = load_table(spark, sf_dir, "orders")

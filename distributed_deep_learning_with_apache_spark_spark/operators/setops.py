@@ -1015,16 +1015,24 @@ RPB_PARTS = 8
           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
           FROM orders
         ),
-        ranked AS (
-          SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
-                 count(*) OVER () AS n
-          FROM vals
+        -- rank arithmetic over DISTINCT values, not rows: the per-value
+        -- count aggregate is distributed/map-side; only the (bounded)
+        -- distinct-value series enters the ordered cumulative pass
+        per_value AS (
+          SELECT cents, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY cents
+        ),
+        cum AS (
+          SELECT cents,
+                 CAST(sum(c) OVER (ORDER BY cents) AS BIGINT) AS cumrows,
+                 CAST(sum(c) OVER () AS BIGINT) AS n
+          FROM per_value
         ),
         bounds AS (
           SELECT CAST(p.p AS BIGINT) AS part_idx,
-                 max(CASE WHEN rn <= (p.p * n) // {RPB_PARTS} THEN cents END)
-                   AS upper_cents
-          FROM ranked, range(1, {RPB_PARTS} + 1) AS p(p)
+                 min(CASE WHEN (p.p * n) // {RPB_PARTS} >= 1
+                           AND cumrows >= (p.p * n) // {RPB_PARTS}
+                          THEN cents END) AS upper_cents
+          FROM cum, range(1, {RPB_PARTS} + 1) AS p(p)
           GROUP BY p.p
         ),
         edges AS (
@@ -1056,42 +1064,48 @@ def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated boundary values collapse ranges (a range can receive 0 rows),
     which IS the signal that range partitioning needs a tiebreaker column.
 
-    Exactness: split points are order statistics of integer cents
-    (row_number over a total order — duplicates break by rank, same both
-    engines because the VALUE at a rank is unique-ized by max-below-rank);
-    counts are integers.
+    Exactness: the value at rank r is min{v : cum(v) >= r} over the
+    per-value cumulative counts — identical in both engines, duplicates
+    handled by construction; counts are integers. Partition RPB_PARTS is
+    the final range (its bound is the global max) so the audit covers
+    every row; ranks of 0 (n < RPB_PARTS) yield NULL bounds.
 
-    Scale note (deliberate contrast): the global row_number here is the
-    EXACT form — one sort of the value column (Spark plans a range-
-    partitioned sort, not a single partition). The sketch-backed sibling
-    (`quantile_sketch_rollup_monthly`) is what you run when even one sort
-    is too much; this op is for when boundaries must be exact (layout
-    contracts, reproducible Z-order tiles).
+    Scale (measured, r8): the per-value count is a distributed map-side-
+    combinable aggregate; the only serial pass — a global-order window is
+    ALWAYS a single partition in Spark — runs over DISTINCT values, which
+    a bounded value domain keeps small (quantize continuous domains
+    first). The first cut ranked ROWS instead, and the 30x curve caught
+    the serialization (7.0x wall for 3x data). The sketch-backed sibling
+    (`quantile_sketch_rollup_monthly`) remains the choice when even the
+    distinct-value pass is too much.
     """
     o = load_table(spark, sf_dir, "orders")
     vals = o.select(
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents")
     )
-    w = Window.orderBy("cents")
-    ranked = vals.select(
+    # per-value counts are a distributed map-side-combinable aggregate;
+    # the ordered cumulative window then runs over DISTINCT values only.
+    # (A row_number() over all rows was the r8 first cut — a global-order
+    # window is a SINGLE-partition pass over the whole fact table, and the
+    # 30x curve measured the serialization: 7.0x wall for 3x data. Over
+    # distinct values the serial pass is value-domain-bounded; quantize
+    # continuous domains first.)
+    per_value = vals.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wv = Window.orderBy("cents")
+    cum = per_value.select(
         "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("c").over(wv).cast("long").alias("cumrows"),
+        F.sum("c").over(Window.partitionBy()).cast("long").alias("n"),
     )
-    # 1..RPB_PARTS inclusive: partition RPB_PARTS is the final range
-    # (upper bound = the global max, i.e. the n-th order statistic) —
-    # without it the audit silently drops the top n/RPB_PARTS rows
-    # (caught by the balance test: counts summed to 7n/8).
     parts = spark.range(1, RPB_PARTS + 1).select(F.col("id").alias("part_idx"))
+    parts = spark.range(1, RPB_PARTS + 1).select(F.col("id").alias("part_idx"))
+    r_k = F.floor((F.col("part_idx") * F.col("n")) / RPB_PARTS).cast("long")
     bounds = (
-        ranked.crossJoin(F.broadcast(parts))
+        cum.crossJoin(F.broadcast(parts))
         .groupBy("part_idx")
         .agg(
-            F.max(
-                F.when(
-                    F.col("rn") <= (F.col("part_idx") * F.col("n")) / RPB_PARTS,
-                    F.col("cents"),
-                )
+            F.min(
+                F.when((r_k >= 1) & (F.col("cumrows") >= r_k), F.col("cents"))
             ).alias("upper_cents")
         )
     )
