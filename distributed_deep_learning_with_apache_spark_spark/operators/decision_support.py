@@ -1901,3 +1901,136 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("cum_lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8c] Cohort LTV curve — cumulative revenue per acquisition cohort
+# by account age: the lifetime-value readout that prices acquisition.
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+        WITH firsts AS (
+          SELECT o_custkey,
+                 date_trunc('month', min(o_orderdate::TIMESTAMP))::DATE
+                   AS cohort_month
+          FROM orders GROUP BY o_custkey
+        ),
+        aged AS (
+          SELECT f.cohort_month,
+                 CAST(datediff('month', f.cohort_month,
+                               date_trunc('month', o.o_orderdate::TIMESTAMP)::DATE)
+                      AS BIGINT) AS age_months,
+                 CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+        ),
+        per_age AS (
+          SELECT cohort_month, age_months,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(cents) AS BIGINT) AS revenue_cents
+          FROM aged GROUP BY 1, 2
+        )
+        SELECT cohort_month, age_months, n_orders, revenue_cents,
+               CAST(sum(revenue_cents) OVER (PARTITION BY cohort_month
+                                             ORDER BY age_months) AS BIGINT)
+                 AS cum_revenue_cents
+        FROM per_age
+    """,
+    doc="Cohort lifetime-value curve: customers grouped by first-order month, revenue accumulated by account age in months — the (cohort, age) revenue triangle with running LTV, the table that prices acquisition; month arithmetic and sums integer-exact.",
+    tags=("relational", "window", "ext", "scale"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue companion to `events_retention_cohorts` (which counts
+    ACTIVITY by cohort): group customers by acquisition month, then
+    accumulate their revenue by account AGE — the (cohort x age) LTV
+    triangle. Reading down a column compares cohort quality at equal
+    age; the running sum is the LTV curve acquisition spend is priced
+    against.
+
+    Exactness: cohort and order months are date_trunc'd dates; the age
+    is a whole-month difference (Spark months_between on month starts is
+    integral; DuckDB datediff('month') counts the same boundaries);
+    revenue and the running sum are BIGINTs.
+
+    Scale: one customer aggregate (map-side), a broadcast-or-shuffle
+    join back to the fact table on the customer key, a (cohort x age)-
+    bounded aggregate, and a window PARTITIONED by cohort (parallel —
+    no global-order window) over the bounded triangle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort_month")
+    )
+    aged = o.join(firsts, "o_custkey").select(
+        "cohort_month",
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date"),
+            F.col("cohort_month"),
+        )
+        .cast("long")
+        .alias("age_months"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    per_age = aged.groupBy("cohort_month", "age_months").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    w = Window.partitionBy("cohort_month").orderBy("age_months")
+    return per_age.select(
+        "cohort_month",
+        "age_months",
+        "n_orders",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r8c] Power-of-two value histogram — floor(log2(x)) computed EXACTLY
+# as the binary digit count, no transcendental anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "log2_value_histogram",
+    oracle="""
+        WITH vals AS (
+          SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders
+          WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0
+        )
+        SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS log2_bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               min(cents) AS min_cents, max(cents) AS max_cents,
+               CAST(sum(cents) AS BIGINT) AS bucket_cents
+        FROM vals GROUP BY 1
+    """,
+    doc="Order-value histogram on power-of-two buckets: floor(log2(cents)) computed EXACTLY as binary-digit-count-minus-one (length(bin(x)) in both engines) — the doubling-bucket distribution view with zero transcendental calls.",
+    tags=("relational", "statistics", "ext", "scale"),
+)
+def log2_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doubling-bucket histogram (the size-class view allocators,
+    latency dashboards, and long-tailed-value monitors use): bucket k
+    holds values in [2^k, 2^(k+1)). floor(log2(x)) via the FP log is
+    exactly the transcendental-boundary trap this repo bans (the bigram
+    ln lesson) — but for integers it has an exact form: the binary digit
+    count. Both engines expose it as length(bin(x)), digit-for-digit
+    identical (probed: 1->1, 5->3, 1024->11), so the bucketing is pure
+    integer/string arithmetic. Zero-cent rows are excluded (log2
+    undefined; the fixture has none, a hostile corpus might).
+
+    Scale: one scan-stage expression + a map-side-combinable aggregate
+    with ~64 output rows at ANY table size.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    vals = o.select(cents.alias("cents")).filter(F.col("cents") > 0)
+    return (
+        vals.groupBy(
+            (F.length(F.bin("cents")) - 1).cast("long").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").cast("long").alias("bucket_cents"),
+        )
+    )

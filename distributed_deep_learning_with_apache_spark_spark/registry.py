@@ -152,6 +152,8 @@ _DRIVER_PRIORITY = [
     "ks_two_sample_drift",
     "twap_monthly_revenue",
     "decile_lift_table",
+    "cohort_ltv_curve",
+    "log2_value_histogram",
 ]
 
 

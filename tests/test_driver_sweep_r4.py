@@ -200,6 +200,8 @@ R8_ORACLE = [
     "ks_two_sample_drift",
     "twap_monthly_revenue",
     "decile_lift_table",
+    "cohort_ltv_curve",
+    "log2_value_histogram",
 ]
 
 

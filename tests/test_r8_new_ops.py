@@ -697,3 +697,62 @@ def test_decile_lift_shape(spark, sf_dir):
     # deciles ranked by spend: per-decile totals must be non-increasing
     totals = [r["decile_cents"] for r in rows]
     assert all(a >= b for a, b in zip(totals, totals[1:]))
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv_curve
+# ---------------------------------------------------------------------------
+def test_cohort_ltv_triangle(spark, tmp_path):
+    """Two cohorts with known spend paths: Jan cohort (cust 1) spends
+    100 then 50 two months later; Feb cohort (cust 2) spends 200 once.
+    The triangle must age each order against ITS customer's cohort and
+    accumulate per cohort."""
+    rows = [
+        (0, 1, 100.0, datetime.datetime(1995, 1, 15)),
+        (1, 1, 50.0, datetime.datetime(1995, 3, 2)),  # age 2 for cohort Jan
+        (2, 2, 200.0, datetime.datetime(1995, 2, 20)),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array(["F"] * len(rows)),
+                "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+                "o_orderdate": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+            }
+        ),
+        os.path.join(str(tmp_path), "orders.parquet"),
+    )
+    out = {
+        (r["cohort_month"].isoformat(), r["age_months"]): r
+        for r in REG["cohort_ltv_curve"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[("1995-01-01", 0)]["revenue_cents"] == 10000
+    assert out[("1995-01-01", 2)]["revenue_cents"] == 5000
+    assert out[("1995-01-01", 2)]["cum_revenue_cents"] == 15000  # running LTV
+    assert out[("1995-02-01", 0)]["cum_revenue_cents"] == 20000
+    assert len(out) == 3  # no spurious (cohort, age) cells
+
+
+# ---------------------------------------------------------------------------
+# log2_value_histogram
+# ---------------------------------------------------------------------------
+def test_log2_histogram_bucket_edges(spark, tmp_path):
+    """Values planted exactly on power-of-two edges: 2^k goes in bucket
+    k, 2^k - 1 in bucket k-1 — the boundary a float log2 would fumble."""
+    cents_vals = [1, 2, 3, 4, 127, 128, 1023, 1024]
+    rows = [(i, 0, c / 100.0) for i, c in enumerate(cents_vals)]
+    _write_orders_simple(str(tmp_path), rows)
+    out = {
+        r["log2_bucket"]: r
+        for r in REG["log2_value_histogram"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["n_orders"] == 1  # 1
+    assert out[1]["n_orders"] == 2  # 2, 3
+    assert out[2]["n_orders"] == 1  # 4
+    assert out[6]["max_cents"] == 127
+    assert out[7]["min_cents"] == 128
+    assert out[9]["min_cents"] == 1023 and out[9]["max_cents"] == 1023
+    assert out[10]["min_cents"] == 1024

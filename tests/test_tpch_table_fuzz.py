@@ -75,6 +75,8 @@ QUERIES = [
     "ks_two_sample_drift",
     "twap_monthly_revenue",
     "decile_lift_table",
+    "cohort_ltv_curve",
+    "log2_value_histogram",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"
