@@ -960,9 +960,10 @@ RIDGE_SSE = (
 )
 RIDGE_RMSE_MICRO = "CAST(floor(sqrt(sse / CAST(n AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)"
 
-# Integer design shared by both engines: xa = 10*a, xb = 8*b, y1000 =
-# 1000*y = 300*xa - 250*xb + (lehmer(id) % 1000 - 500) — every moment a
-# BIGINT sum, order-independent.
+# Integer design shared by both engines: xa = (id*7) % 100, xb =
+# (id*13) % 80, y = 300*xa - 250*xb + (lehmer-style pseudo-noise
+# ((id % p)*a + c) % p % 1000 - 500) — every moment a BIGINT sum,
+# order-independent; folds are id % RIDGE_FOLDS.
 _RIDGE_PTS_COLS = tuple(
     s.format(folds=RIDGE_FOLDS, p=_RP, a=_RA, c=_RC)
     for s in (
@@ -1030,7 +1031,8 @@ _RIDGE_DBL_SELECT = ", ".join(f"{v} AS {k}" for k, v in RIDGE_DBL.items())
         ),
         summed AS (
           SELECT lam AS reg_param,
-                 CAST(sum(rmse_micro) AS DOUBLE) / 3.0 AS avg_rmse_micro
+                 CAST(sum(rmse_micro) AS DOUBLE) / {RIDGE_FOLDS}.0
+                   AS avg_rmse_micro
           FROM folds GROUP BY lam
         )
         SELECT reg_param, avg_rmse_micro,
@@ -1049,8 +1051,9 @@ def ml_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     penalty wins on an informative linear target; RMSE monotone in
     lambda — pinned in tests/test_r8_fixes.py).
 
-    Cross-engine exactness: the design is INTEGER (xa=10a, xb=8b,
-    y1000=1000y with Lehmer pseudo-noise), so all ten per-fold moments
+    Cross-engine exactness: the design is INTEGER (xa=(id*7)%100,
+    xb=(id*13)%80, y=300*xa-250*xb plus bounded Lehmer-style
+    pseudo-noise), so all ten per-fold moments
     are BIGINT sums — order-independent; train moments are total-minus-
     fold BIGINT subtractions (each training set's moments computed
     without a second pass — the K-fold trick at any scale); the 3x3
@@ -1123,7 +1126,9 @@ def ml_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = betas.selectExpr("lam", f"{RIDGE_SSE} AS sse", "n")
     folds = scored.selectExpr("lam", f"{RIDGE_RMSE_MICRO} AS rmse_micro")
     summed = folds.groupBy(F.col("lam").alias("reg_param")).agg(
-        (F.sum("rmse_micro").cast("double") / 3.0).alias("avg_rmse_micro")
+        (F.sum("rmse_micro").cast("double") / float(RIDGE_FOLDS)).alias(
+            "avg_rmse_micro"
+        )
     )
     w = Window.partitionBy()
     return summed.select(

@@ -1511,6 +1511,58 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # via the rank-weighted-sum identity.
 # ---------------------------------------------------------------------------
 GINI_SCALE = 1_000_000
+_PREFIX_PARTS = 32
+
+
+def _value_prefix_counts(spark: SparkSession, per_cust: DataFrame):
+    """Distributed prefix-sum over a BIGINT value column named ``cents``:
+    returns ``(cum_df, n, total)`` where ``cum_df`` has one row per
+    DISTINCT value with its multiplicity ``c`` and the GLOBAL inclusive
+    cumulative count ``cum`` (number of rows with value <= cents), plus
+    the exact row count ``n`` and value-weighted total ``total`` as
+    Python ints (arbitrary precision — they feed loud overflow guards).
+
+    This is the parallel replacement for a global-order rank window (a
+    single-partition pass in Spark, the serialization the 30x scale
+    curves measured): range-repartition the per-value counts so ascending
+    partition ids hold ascending value ranges, freeze the partition
+    assignment with an eager localCheckpoint (both consumers — the
+    offsets collect and the returned plan — must agree on pid, the
+    topk.py:460 discipline), reduce each range to one (count, weighted
+    sum) subtotal, collect those <= 32 rows, and broadcast the
+    running offsets back so every partition completes its cumulative
+    counts locally. All data-proportional passes are partition-parallel;
+    the serial state is the 32-row offset table.
+    """
+    pv = per_cust.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pv = (
+        pv.repartitionByRange(_PREFIX_PARTS, "cents")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pid: both consumers must agree
+    )
+    stats = pv.groupBy("pid").agg(
+        F.sum("c").cast("long").alias("pc"),
+        # decimal(38,0): the weighted subtotal stays EXACT past int64, so
+        # a pathological value domain reaches the Python overflow guards
+        # (exact big-int arithmetic) instead of overflowing mid-aggregate.
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("c")).alias("ps"),
+    ).collect()  # bounded: one row per range partition (<= _PREFIX_PARTS)
+    run, total = 0, 0
+    offsets = []
+    for row in sorted(stats, key=lambda r: r["pid"]):
+        offsets.append((row["pid"], run))
+        run += row["pc"]
+        total += int(row["ps"])
+    offsets_df = spark.createDataFrame(offsets or [], "pid int, off long")
+    wloc = Window.partitionBy("pid").orderBy("cents")
+    cum = pv.join(F.broadcast(offsets_df), "pid").select(
+        "cents",
+        "c",
+        (F.col("off") + F.sum("c").over(wloc)).cast("long").alias("cum"),
+    )
+    return cum, run, total
 
 
 @register(
@@ -1557,18 +1609,25 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the operational companion (what a concentration RISK review
     actually reads).
 
-    Exactness: per-customer cents are BIGINT sums; the rank-weighted
-    numerator is a BIGINT (|2i-n-1| <= n keeps it under n^2 * x_max ~
-    1e18 at 10x scale — documented bound, same class as the PCA budget);
-    each output is one floor-quantized division of exact integers.
+    Exactness: per-customer cents are BIGINT sums; the numerator uses the
+    per-value sum-of-ranks identity (sum over each value's rank block
+    collapses to c*(2*C_prev + c - n), exact under ties by construction)
+    and aggregates in decimal(38,0) — its bound n*total_cents crosses
+    int64 at roughly 30x the test corpus, a REAL overflow the r8 BIGINT
+    cut carried silently; loud Python-int guards hold the BIGINT
+    internals under 2^62 and the decimal budget under 10^37; each output
+    is one floor-quantized division of exactly-represented integers.
 
-    Scale: one customer aggregate (the fact table is touched once,
-    map-side), then the rank window. A global-order window is ALWAYS a
-    single partition in Spark — here that serial pass is deliberately
-    DIMENSION-sized (n_customers rows, not fact rows), the same
-    exactness trade range_partition_boundaries documents; for
-    billion-customer corpora, bucket revenues first (the per-value
-    sum-of-ranks identity keeps G exact under ties).
+    Scale (r9 rewrite): NO global-order window anywhere. The r8 cut
+    ranked the customer dimension through a single-partition rank window
+    — the serialization the 30x curve measured on decile_lift_table
+    (2.97x wall for 3x data). Now the global cumulative counts come from
+    a distributed prefix-sum: range-repartition the per-value counts,
+    aggregate per-range subtotals (<= #partitions rows) to the driver,
+    and broadcast the range offsets back so each partition finishes its
+    cumulative sums locally and in parallel (`_value_prefix_counts`).
+    Every pass is partition-parallel; the only serial state is the
+    32-row offset table.
     """
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -1576,25 +1635,50 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    wall = Window.partitionBy()
-    ranked = per_cust.select(
-        "cents",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("cents").over(wall).cast("long").alias("total"),
-    )
-    agg = ranked.agg(
-        F.max("n").cast("long").alias("n_customers"),
-        F.max("total").cast("long").alias("total_cents"),
-        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
-        .cast("long")
-        .alias("g_num"),
+    cum, n, total = _value_prefix_counts(spark, per_cust)
+    # Loud, engine-agnostic overflow guards in exact Python integers,
+    # checked BEFORE either engine aggregates (the PCA overflow-budget
+    # discipline). Two budgets: every BIGINT intermediate below is
+    # bounded by total_cents (so total < 2^62 keeps int64 internals with
+    # 2x headroom), and the decimal(38,0) numerator is bounded by
+    # n * total_cents (10^37 keeps a 10x band inside the 38-digit type).
+    # The r8 BIGINT numerator's own bound crossed int64 at ~30x the test
+    # corpus — a REAL overflow, which is why g_num aggregates in decimal.
+    if total >= 2**62:
+        raise OverflowError(
+            f"per-customer revenue total_cents = {total} exceeds 2^62; "
+            "pre-bucket the value domain before ranking"
+        )
+    if n * total >= 10**37:
+        raise OverflowError(
+            f"gini numerator bound n*total_cents = {n * total} exceeds "
+            "10^37 (decimal(38,0) budget); pre-bucket the value domain"
+        )
+    k = n // 10
+    agg = cum.agg(
+        F.sum("c").cast("long").alias("n_customers"),
+        F.sum(F.col("cents") * F.col("c")).cast("long").alias("total_cents"),
+        # per-value sum-of-ranks identity: the rank block for value v is
+        # (C_prev, C_prev + c], and sum_{i in block}(2i - n - 1) collapses
+        # to c * (2*C_prev + c - n) — exact under ties by construction.
+        # decimal(38,0): |g_num| <= n * total_cents crosses int64 around
+        # 30x the fixture; the 38-digit exact sum covers ~1e9 customers
+        # x 1e18 total cents with room to spare. The terminal double
+        # division below sees the same value either way (a decimal and a
+        # BIGINT of equal value cast to the identical double), so the
+        # oracle's BIGINT formulation stays hash-identical.
         F.sum(
-            F.when(
-                F.col("i") > F.col("n") - F.floor(F.col("n") / 10).cast("long"),
-                F.col("cents"),
-            ).otherwise(0)
+            (F.col("cents") * F.col("c")).cast("decimal(38,0)")
+            * (2 * (F.col("cum") - F.col("c")) + F.col("c") - F.lit(n))
+        )
+        .alias("g_num"),
+        # top-decile ranks are i > n - k: value v contributes
+        # clamp(cum - (n - k), 0, c) of its c customers.
+        F.sum(
+            F.col("cents")
+            * F.greatest(
+                F.lit(0), F.least(F.col("c"), F.col("cum") - F.lit(n - k))
+            )
         )
         .cast("long")
         .alias("top_decile_cents"),
@@ -1848,16 +1932,23 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     targeting model is judged against (`gini_revenue_concentration` is
     the same story as one number).
 
-    Exactness: decile assignment is rank arithmetic on a total order;
-    all sums BIGINT; share and lift are floor-quantized terminal
-    divisions (lift's numerator cum_cents * total_customers stays under
-    ~1e13 * 1.5e5 — within the double-exactness budget of the one
-    division, and the BIGINT product bound is documented like PCA's).
+    Exactness: decile boundaries are the ntile rank blocks B_d =
+    d*floor(n/10) + min(d, n mod 10), reproduced in closed form; a tied
+    value straddling a boundary contributes identical sums whichever
+    tied customers ntile would place on either side (equal cents), so
+    the per-value overlap arithmetic is exactly ntile's table; all sums
+    BIGINT; share and lift are floor-quantized terminal divisions with
+    the identical IEEE association order as the oracle.
 
-    Scale: customer-dimension aggregate, then ntile over the global
-    order — a single-partition window, deliberately dimension-sized
-    (n_customers rows; the gini op documents the same trade), then a
-    ten-row readout.
+    Scale (r9 rewrite): NO global-order window — the r8 ntile cut was a
+    single-partition pass over the whole customer dimension and the 30x
+    curve measured it (2.97x wall for 3x data). Now the per-value
+    cumulative counts come from the distributed prefix-sum
+    (`_value_prefix_counts`: range-repartition + 32-row offset
+    broadcast), the 10 decile rank blocks are computed in closed form on
+    the driver from n alone, and one broadcast cross-join of the
+    per-value rows against that 10-row spine yields every per-decile and
+    cumulative sum in a single partition-parallel aggregate.
     """
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -1865,37 +1956,59 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    wr = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
-    ranked = per_cust.select("cents", F.ntile(10).over(wr).alias("decile"))
-    per_decile = ranked.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.sum("cents").cast("long").alias("decile_cents"),
+    cum, n, total = _value_prefix_counts(spark, per_cust)
+    # Loud engine-agnostic overflow guard (gini's discipline): every
+    # BIGINT sum below is bounded by total_cents, and F.lit(total) must
+    # itself fit int64.
+    if total >= 2**62:
+        raise OverflowError(
+            f"decile revenue total_cents = {total} exceeds 2^62; "
+            "pre-bucket the value domain before ranking"
+        )
+    # ntile(10) block boundaries in closed form: decile d holds DESC
+    # ranks (B[d-1], B[d]] with B[d] = d*(n//10) + min(d, n%10).
+    base, rem = divmod(n, 10)
+    bounds = [d * base + min(d, rem) for d in range(11)]
+    spine = spark.createDataFrame(
+        [(d, bounds[d - 1], bounds[d]) for d in range(1, 11)],
+        "decile int, lo long, hi long",
     )
-    wd = Window.orderBy("decile")
-    wall = Window.partitionBy()
-    cum = per_decile.select(
+    # DESC-order cumulative counts from the ASC prefix sums: customers
+    # with cents strictly greater = n - cum; value v occupies DESC ranks
+    # (n - cum, n - cum + c].
+    prev_d = F.lit(n) - F.col("cum")
+    cum_d = prev_d + F.col("c")
+    overlap = F.greatest(
+        F.lit(0),
+        F.least(cum_d, F.col("hi")) - F.greatest(prev_d, F.col("lo")),
+    )
+    head = F.greatest(F.lit(0), F.least(F.col("c"), F.col("hi") - prev_d))
+    per_decile = (
+        cum.crossJoin(F.broadcast(spine))
+        .filter(head > 0)
+        .groupBy("decile")
+        .agg(
+            F.sum(overlap).cast("long").alias("n_customers"),
+            F.sum(F.col("cents") * overlap).cast("long").alias("decile_cents"),
+            F.sum(F.col("cents") * head).cast("long").alias("cum_cents"),
+            F.max("hi").cast("long").alias("cum_customers"),
+        )
+        .filter(F.col("n_customers") > 0)  # ntile emits no empty deciles
+    )
+    return per_decile.select(
         "decile",
         "n_customers",
         "decile_cents",
-        F.sum("decile_cents").over(wd).cast("long").alias("cum_cents"),
-        F.sum("n_customers").over(wd).cast("long").alias("cum_customers"),
-        F.sum("decile_cents").over(wall).cast("long").alias("total_cents"),
-        F.sum("n_customers").over(wall).cast("long").alias("total_customers"),
-    )
-    return cum.select(
-        "decile",
-        "n_customers",
-        "decile_cents",
-        (F.floor(F.col("cum_cents") * 1000000.0 / F.col("total_cents") + 0.5) / 1000000).alias(
-            "cum_share"
-        ),
+        (
+            F.floor(F.col("cum_cents") * 1000000.0 / F.lit(total) + 0.5) / 1000000
+        ).alias("cum_share"),
         (
             F.floor(
                 F.col("cum_cents")
                 * 1.0
-                * F.col("total_customers")
+                * F.lit(n)
                 * 1000000.0
-                / (F.col("total_cents") * 1.0 * F.col("cum_customers"))
+                / (F.lit(total) * 1.0 * F.col("cum_customers"))
                 + 0.5
             )
             / 1000000
@@ -2032,5 +2145,277 @@ def log2_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cents").alias("min_cents"),
             F.max("cents").alias("max_cents"),
             F.sum("cents").cast("long").alias("bucket_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9] Per-nation revenue trend — grouped OLS slope in closed form over
+# BIGINT moment sums (the ridge normal-equation discipline, per group).
+# ---------------------------------------------------------------------------
+TREND_EPOCH_YEAR = 1992  # month index t = (year-1992)*12 + (month-1)
+
+
+@register(
+    "nation_revenue_trend",
+    oracle=f"""
+        WITH monthly AS (
+          SELECT c.c_nationkey AS nationkey,
+                 CAST((year(o.o_orderdate) - {TREND_EPOCH_YEAR}) * 12
+                      + (month(o.o_orderdate) - 1) AS BIGINT) AS t,
+                 CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          GROUP BY 1, 2
+        ),
+        mom AS (
+          SELECT nationkey,
+                 CAST(count(*) AS BIGINT) AS n_months,
+                 CAST(sum(t) AS BIGINT) AS st,
+                 CAST(sum(cents) AS BIGINT) AS sy,
+                 CAST(sum(t * t) AS BIGINT) AS stt,
+                 CAST(sum(t * cents) AS BIGINT) AS sty
+          FROM monthly GROUP BY nationkey
+        )
+        SELECT nationkey, n_months,
+               CAST(n_months * sty - st * sy AS BIGINT) AS slope_num,
+               CAST(n_months * stt - st * st AS BIGINT) AS slope_den,
+               floor((n_months * sty - st * sy) * 100.0
+                     / nullif(n_months * stt - st * st, 0) + 0.5) / 100
+                 AS slope_cents_per_month
+        FROM mom
+    """,
+    doc="Per-nation monthly-revenue OLS slope solved in closed form from five BIGINT moment sums (n, St, Sy, Stt, Sty) — the grouped trend table a health dashboard reads, integer-exact to the one terminal division.",
+    tags=("relational", "statistics", "ml", "ext", "scale"),
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which market is growing? The per-group least-squares slope of
+    monthly revenue, computed the way `ml_ridge_normal_eq` fits ridge:
+    closed form over integer moment sums, never an iterative fit. The
+    slope of y on t is (n*Sty - St*Sy) / (n*Stt - St*St); both numerator
+    and denominator are exact BIGINTs, so the grouped regression is
+    hash-exact (one floor-quantized terminal division). A single-month
+    nation has den = 0 -> NULL slope (nullif, both engines).
+
+    Exactness bound: t <= ~80 for the fixture era (months since
+    1992-01), so |n*Sty| <= n_months * t_max * total_nation_cents ~
+    80 * 80 * 1e12 ~ 6e15 at sf0.1 — 1000x headroom inside int64;
+    pre-aggregate to quarters past that (documented, the gini
+    discipline).
+
+    Scale: one fact-table aggregate to (nation x month) — map-side
+    combinable, the orders:customer join is a broadcast dimension join —
+    then a 25-group moment aggregate; everything after runs on |nations|
+    rows. No windows at all.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    t = (
+        (F.year("o_orderdate") - TREND_EPOCH_YEAR) * 12
+        + (F.month("o_orderdate") - 1)
+    ).cast("long")
+    monthly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"), t.alias("t"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    mom = monthly.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("cents").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("cents")).cast("long").alias("sty"),
+    )
+    num = F.col("n_months") * F.col("sty") - F.col("st") * F.col("sy")
+    den = F.col("n_months") * F.col("stt") - F.col("st") * F.col("st")
+    return mom.select(
+        "nationkey",
+        "n_months",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        (F.floor(num * 100.0 / F.nullif(den, F.lit(0)) + 0.5) / 100).alias(
+            "slope_cents_per_month"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9] Percent-of-parent rollup — nation share within region, region
+# share of total: the hierarchical-share readout every drill-down UI shows.
+# ---------------------------------------------------------------------------
+@register(
+    "share_of_parent_revenue",
+    oracle="""
+        WITH leaf AS (
+          SELECT r.r_name, n.n_name,
+                 CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS nation_cents
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          GROUP BY 1, 2
+        ),
+        reg AS (
+          SELECT r_name, CAST(sum(nation_cents) AS BIGINT) AS region_cents
+          FROM leaf GROUP BY r_name
+        ),
+        tot AS (
+          SELECT CAST(sum(nation_cents) AS BIGINT) AS total_cents FROM leaf
+        )
+        SELECT l.r_name, l.n_name, l.nation_cents, g.region_cents,
+               floor(l.nation_cents * 1000000.0 / g.region_cents + 0.5)
+                 / 1000000 AS share_in_region,
+               floor(g.region_cents * 1000000.0 / t.total_cents + 0.5)
+                 / 1000000 AS region_share_of_total
+        FROM leaf l JOIN reg g ON g.r_name = l.r_name CROSS JOIN tot t
+    """,
+    doc="Hierarchical percent-of-parent rollup: revenue per (region, nation) with each nation's share within its region and each region's share of the grand total — two grouped aggregates joined back, no windows, integer-exact to the two quantized divisions.",
+    tags=("relational", "agg", "join", "ext", "scale"),
+)
+def share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drill-down table's contribution column: leaf revenue plus its
+    share of the PARENT level (nation-in-region) and the parent's share
+    of the grand total. The naive formulation is two `sum() over
+    (partition by ...)` windows; this one reuses the grouped aggregates
+    and joins them back — windows over a grouped result and joins are
+    equivalent here, but the join form keeps every pass a hash
+    aggregate (map-side combinable) and the two parent tables are
+    broadcast-sized by construction (|regions|, 1).
+
+    Scale: ONE fact scan to the (region, nation) leaf aggregate (the
+    three dimension joins are broadcasts); region and total tables
+    derive from the 25-row leaf — metadata. Shares are floor-quantized
+    divisions of exact BIGINTs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    leaf = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("nation_cents")
+        )
+    )
+    reg = leaf.groupBy("r_name").agg(
+        F.sum("nation_cents").cast("long").alias("region_cents")
+    )
+    tot = leaf.agg(F.sum("nation_cents").cast("long").alias("total_cents"))
+    return (
+        leaf.join(F.broadcast(reg), "r_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r_name",
+            "n_name",
+            "nation_cents",
+            "region_cents",
+            (
+                F.floor(
+                    F.col("nation_cents") * 1000000.0 / F.col("region_cents")
+                    + 0.5
+                )
+                / 1000000
+            ).alias("share_in_region"),
+            (
+                F.floor(
+                    F.col("region_cents") * 1000000.0 / F.col("total_cents")
+                    + 0.5
+                )
+                / 1000000
+            ).alias("region_share_of_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9] Pointwise mutual information between two categorical columns —
+# the dependence screen, ln quantized to milli-nats with a guard band
+# (the bigram-perplexity transcendental discipline).
+# ---------------------------------------------------------------------------
+PMI_SCALE = 1_000  # milli-nats (see bigram_perplexity_score's rationale)
+
+
+@register(
+    "pmi_priority_status",
+    oracle=f"""
+        WITH cells AS (
+          SELECT o_orderpriority AS priority, o_orderstatus AS status,
+                 CAST(count(*) AS BIGINT) AS n_xy
+          FROM orders GROUP BY 1, 2
+        ),
+        px AS (SELECT priority, CAST(sum(n_xy) AS BIGINT) AS n_x
+               FROM cells GROUP BY priority),
+        py AS (SELECT status, CAST(sum(n_xy) AS BIGINT) AS n_y
+               FROM cells GROUP BY status),
+        tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells)
+        SELECT c.priority, c.status, c.n_xy,
+               CAST(floor(ln(c.n_xy * 1.0 * t.n / (x.n_x * 1.0 * y.n_y))
+                          * {PMI_SCALE}) AS BIGINT) AS pmi_milli
+        FROM cells c
+        JOIN px x ON x.priority = c.priority
+        JOIN py y ON y.status = c.status
+        CROSS JOIN tot t
+    """,
+    doc="Pointwise mutual information per (order-priority, order-status) cell in milli-nats: ln of the integer lift ratio quantized coarsely enough that the two engines' libm logs cannot straddle a floor boundary (guard-band-tested, the bigram-perplexity discipline) — the categorical dependence screen chi-square complements.",
+    tags=("relational", "statistics", "ext", "scale"),
+)
+def pmi_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which priority/status combinations co-occur MORE than independence
+    predicts? `chisq_priority_status_cells` answers "is there dependence
+    at all"; PMI says where and which direction: pmi(x,y) =
+    ln(p(x,y) / (p(x)p(y))) = ln(n_xy * n / (n_x * n_y)) per cell.
+
+    Exactness: the lift argument is a ratio of exact integers evaluated
+    through the identical IEEE expression shape in both engines; ln is
+    the ONLY transcendental and is quantized to milli-nats — at
+    |pmi| <= ~15 nats a 1-ulp libm disagreement moves the scaled value
+    by ~2e-12, so a floor flip needs the true value within that of an
+    integer; tests/test_r9_new_ops.py scans every distinct
+    (n_xy * n, n_x * n_y) pair in the fixtures and asserts a >=1e-6
+    guard band (>10^5x the worst-case disagreement), the exact regime
+    bigram_perplexity_score pinned.
+
+    Scale: one map-side-combinable aggregate to |X x Y| cells (15 here),
+    two marginal aggregates OVER THE CELLS (not the fact table), and
+    broadcast joins of metadata-sized tables. The fact table is scanned
+    once.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    px = cells.groupBy("priority").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    py = cells.groupBy("status").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").cast("long").alias("n"))
+    return (
+        cells.join(F.broadcast(px), "priority")
+        .join(F.broadcast(py), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "priority",
+            "status",
+            "n_xy",
+            F.floor(
+                F.log(
+                    F.col("n_xy") * 1.0 * F.col("n")
+                    / (F.col("n_x") * 1.0 * F.col("n_y"))
+                )
+                * PMI_SCALE
+            )
+            .cast("long")
+            .alias("pmi_milli"),
         )
     )

@@ -1098,7 +1098,6 @@ def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(Window.partitionBy()).cast("long").alias("n"),
     )
     parts = spark.range(1, RPB_PARTS + 1).select(F.col("id").alias("part_idx"))
-    parts = spark.range(1, RPB_PARTS + 1).select(F.col("id").alias("part_idx"))
     r_k = F.floor((F.col("part_idx") * F.col("n")) / RPB_PARTS).cast("long")
     bounds = (
         cum.crossJoin(F.broadcast(parts))

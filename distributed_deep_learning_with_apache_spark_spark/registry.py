@@ -53,87 +53,23 @@ def register(
 
 
 # The driver's correctness gate iterates ``queries()`` in dict order and
-# checks exactly 50 queries per round (CORRECTNESS_r01-r07: 50 rows each).
-# Round-8 rotation (r7 verdict #1, the round's top item): first the 7
-# names whose code changed or landed this round (changed queries must
-# re-earn their hash; ml_ridge_normal_eq is the verdict-#5 deliverable),
-# then the ENTIRE stale-evidence backlog — the 6 queries whose newest
-# driver row is round 1 and the 49 whose newest row is round 2. That is
-# 62 names for 50 slots: the driver covers the front 50 (all changed +
-# all r1 + 37 of r2); the ~12 r2-tail names carry to r9's rotation,
-# which the verdict explicitly allowed ("rotate over two rounds,
-# r2-cohort-first"). Any OTHER new r8 queries intentionally sit BELOW
-# the backlog and earn their first driver row in r9 — local oracle
-# parity + the frozen R8_ORACLE sf0.01 pins cover them until then.
+# checks exactly 50 queries per round (CORRECTNESS_r01-r08: 50 rows each).
+# Round-9 rotation (r8 verdict #1, the round's top item — "never-checked
+# first"): the 20 round-8 operators with NO driver row yet (including
+# the four whose code changed again this round: the gini/decile
+# prefix-sum rewrite, range_partition_boundaries' dead-line delete, and
+# the lateness histogram's integer bucketing), then the 2 otherwise-
+# checked queries whose code changed this round (must re-earn their
+# hash), then the 12 r2-stale names the r8 rotation's 50 slots couldn't
+# reach, then the alphabetically-first 16 of the 47 r3-stale names.
+# That fills exactly 50 slots; the remaining 31 r3-stale names are next
+# in line and front r10's rotation. New r9 operators intentionally sit
+# BELOW the backlog (local oracle parity covers them until their first
+# driver row) — with 308+ registered and 50 slots/round, evidence
+# freshness is the binding constraint (r8 verdict #1).
 # Regenerate this list each round from the CORRECTNESS_r* latest-row map.
 _DRIVER_PRIORITY = [
-    # --- r8 front: new + code-changed this round (must re-earn hash) ----
-    "ml_ridge_normal_eq",
-    "seasonal_decompose_daily_revenue",
-    "seasonal_residual_alerts",
-    "sessionize_with_terminators",
-    "bigram_perplexity_score",
-    "kcore_copurchase",
-    "stream_exactly_once_merge_restart",
-    # --- r1-stale cohort: newest driver row is ROUND 1 (r7 verdict #1) ---
-    "quality_tiers",
-    "returned_item_losses",
-    "sample_stratified_hash",
-    "scd2_customer_history",
-    "small_quantity_revenue",
-    "top_supplier_revenue",
-    # --- r2-stale cohort (r7 verdict #1; ~12 tail names overflow to r9) --
-    "ann_ivf_by_label",
-    "ann_ivf_kmeans",
-    "ann_lsh_bucketed",
-    "ann_lsh_multiprobe",
-    "anomaly_best_worst",
-    "approx_stats_lineitem",
-    "binary_metadata",
-    "chunk_dedup_c4",
-    "clip_outliers_winsorize",
-    "cosine_topk_exact",
-    "customer_balance_ranks",
-    "dedup_incremental",
-    "doc_embedding_avg",
-    "dq_constraint_checks",
-    "embedding_argmax",
-    "embedding_dim_means",
-    "embedding_l2_normalized",
-    "embedding_quantize_int8",
-    "events_latest_per_user_type",
-    "events_sessionized",
-    "events_sliding_1h_30m",
-    "events_tumbling_hourly",
-    "except_unsold_parts",
-    "grouped_best_worst_orders",
-    "grouped_topk_salted",
-    "hstack_features",
-    "intersect_active_building_customers",
-    "lake_partition_pruned_revenue",
-    "lake_zorder_stats",
-    "last_timestep_select",
-    "late_shipment_priority",
-    "minmax_scaled_features",
-    "ml_cnn_features_mlp",
-    "ml_distributed_mlp_sum",
-    "ml_regression_sum",
-    "multimodal_frame_sample",
-    "near_dup_cosine_pairs",
-    "order_gap_days",
-    "pii_scrub",
-    "profile_lineitem",
-    "quantile_order_prices",
-    "repetition_signals",
-    "running_revenue_per_customer",
-    "simhash_fingerprints",
-    "source_csv_orders_agg",
-    "source_json_events_agg",
-    "unpivot_lineitem_measures",
-    "vector_scalar_ops",
-    "vocab_filter_truncate",
-    # --- r8 additions beyond the verdict deliverable land BELOW the ------
-    # --- backlog: they earn their first driver row in r9's rotation ------
+    # --- never driver-checked: the entire r8 addition batch -------------
     "knn_classify_embeddings",
     "countmin_estimate_profile",
     "ewma_dyadic_revenue",
@@ -154,6 +90,78 @@ _DRIVER_PRIORITY = [
     "decile_lift_table",
     "cohort_ltv_curve",
     "log2_value_histogram",
+    # --- code changed this round (re-earn the hash) ---------------------
+    "ml_ridge_normal_eq",
+    "stream_exactly_once_merge_restart",
+    # --- r2-stale cohort: the 12 names r8's 50 slots couldn't reach -----
+    "order_gap_days",
+    "pii_scrub",
+    "profile_lineitem",
+    "quantile_order_prices",
+    "repetition_signals",
+    "running_revenue_per_customer",
+    "simhash_fingerprints",
+    "source_csv_orders_agg",
+    "source_json_events_agg",
+    "unpivot_lineitem_measures",
+    "vector_scalar_ops",
+    "vocab_filter_truncate",
+    # --- r3-stale cohort, alphabetical: first 16 fill the 50 ------------
+    "bigram_lm_quality",
+    "cheapest_part_per_brand",
+    "chunk_overlapping",
+    "cube_revenue",
+    "customer_order_counts_outer",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "dedup_cluster_survivors",
+    "distinct_order_priorities",
+    "events_enriched_by_segment",
+    "events_funnel",
+    "events_hourly_gapfill",
+    "events_props_json",
+    "events_props_variant",
+    "events_rate_anomaly_zscore",
+    "events_value_interpolate",
+    # ==== slot 51+ from here: fronts the r10 rotation ====================
+    # --- r3-stale remainder (31) ----------------------------------------
+    "grouping_sets_revenue",
+    "hybrid_retrieval_rrf",
+    "image_decode_png",
+    "join_key_skew_profile",
+    "lake_snapshot_time_travel",
+    "length_bucket_packing",
+    "local_supplier_volume",
+    "ml_cnn_trained_conv",
+    "monthly_revenue",
+    "near_dup_containment",
+    "orders_above_customer_avg",
+    "orders_by_status_pivot",
+    "pricing_summary",
+    "promo_revenue_share",
+    "psi_drift_events",
+    "reservoir_sample_per_group",
+    "revenue_per_customer",
+    "revenue_per_region",
+    "rolling_7d_customer_revenue",
+    "rollup_revenue",
+    "sample_weighted_quality",
+    "scd2_as_of_lookup",
+    "semantic_dedup",
+    "shipping_priority",
+    "stat_lineitem_correlations",
+    "stream_foreachbatch_merge",
+    "substring_span_dedup",
+    "text_normalize_nfc",
+    "top10_orders",
+    "top_ngrams_boilerplate",
+    "union_account_balances",
+    # --- r9 additions: below the backlog, first driver row in r10+ -------
+    "nation_revenue_trend",
+    "share_of_parent_revenue",
+    "pmi_priority_status",
+    "floored_running_balance",
+    "hot_streak_islands",
 ]
 
 

@@ -2377,8 +2377,19 @@ def stream_exactly_once_merge_restart(spark: SparkSession, sf_dir: str) -> DataF
     # driver — O(distinct users), which does not survive 100x. The rename
     # below is metadata-only; the staging/version/checkpoint scratch is
     # still removed, so nothing unbounded ever touches the driver.
-    publish = tempfile.mkdtemp(prefix="sg_eo_merge_pub_")
+    # Fixed per-process publish path, overwritten on every run and
+    # reclaimed at interpreter exit — the r8 mkdtemp variant leaked one
+    # parquet dir per invocation across driver sweeps / fuzz / bench reps.
+    # Re-invocation invalidates the PREVIOUS run's returned lazy read,
+    # which is fine: every consumer (driver, bench, tests) collects before
+    # re-invoking.
+    import atexit
+
+    publish = _os.path.join(
+        tempfile.gettempdir(), f"sg_eo_merge_pub_{_os.getpid()}"
+    )
     shutil.rmtree(publish, ignore_errors=True)
+    atexit.register(shutil.rmtree, publish, ignore_errors=True)
     shutil.move(final_path, publish)
     shutil.rmtree(base, ignore_errors=True)
     return spark.read.parquet(publish).select(
@@ -2969,7 +2980,10 @@ def out_of_order_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("lateness_s")
     )
     return late.groupBy(
-        ((F.col("lateness_s") / OOO_BUCKET_S).cast("long") * OOO_BUCKET_S).alias(
+        # integer bucketing by construction (lateness_s >= 0): subtracting
+        # the remainder keeps the expression exactly portable — no double
+        # division anywhere (the repo's all-integer bucketing discipline).
+        (F.col("lateness_s") - F.pmod(F.col("lateness_s"), F.lit(OOO_BUCKET_S))).alias(
             "bucket_floor_s"
         )
     ).agg(
@@ -3256,4 +3270,163 @@ def json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         kv.select(F.col("k").alias("json_key"), vtype.alias("vtype"))
         .groupBy("json_key", "vtype")
         .agg(F.count(F.lit(1)).cast("long").alias("n_values"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9] Floored running balance — the clamp-at-zero recurrence
+# b_t = max(0, b_{t-1} + x_t), solved WITHOUT a sequential pass via the
+# reflection identity b_t = p_t - min(0, running-min of p) over plain
+# prefix sums (both windows per-key, parallel).
+# ---------------------------------------------------------------------------
+@register(
+    "floored_running_balance",
+    oracle="""
+        WITH d AS (
+          SELECT user_id, event_id,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE -CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 END AS delta
+          FROM events WHERE event_type IN ('purchase', 'error')
+        ),
+        pref AS (
+          SELECT user_id, event_id,
+                 CAST(sum(delta) OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS BIGINT) AS p
+          FROM d
+        )
+        SELECT user_id, event_id,
+               CAST(p - least(0, min(p) OVER (PARTITION BY user_id
+                                              ORDER BY event_id))
+                    AS BIGINT) AS balance_cents
+        FROM pref
+    """,
+    doc="Per-user running balance floored at zero (purchases credit, errors debit): the sequential recurrence max(0, b+x) computed as two parallel per-key windows via the reflection identity balance = prefix - min(0, running-min(prefix)) — a one-sided clamp needs NO sequential pass.",
+    tags=("relational", "events", "window", "ext", "scale"),
+)
+def floored_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inventory/credit pattern: a balance that accumulates signed
+    deltas but can never go below zero — b_t = max(0, b_{t-1} + x_t).
+    Written as a recurrence it looks unparallelizable (each step needs
+    the last), which is how it ends up as a driver loop or a UDF; the
+    reflection identity dissolves it: with prefix sums p_t and their
+    running minimum m_t, b_t = p_t - min(0, m_t) EXACTLY (each floor
+    event "absorbs" the most negative excursion so far). Proof is two
+    inductions; tests/test_r9_new_ops.py checks it against a literal
+    sequential replay on drawn sequences.
+
+    Ordering contract: event_id alone (globally unique, the ingest
+    sequence) — the r8 sessionize lesson: every window in both engines
+    orders by a SINGLE tie-free key.
+
+    Exactness: deltas, prefixes, and the floor correction are BIGINT
+    cents end to end.
+
+    Scale: ONE hash shuffle on user_id; both windows share the same
+    (partition, order) spec, so Spark plans one Sort + one Window pass;
+    per-row state is O(1). This is the shape `ewma_dyadic_revenue`
+    needed dyadic scans for — the one-sided clamp is the rare stateful
+    recurrence with an EXACT two-window closed form.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    d = e.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents)
+        .otherwise(-cents)
+        .alias("delta"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pref = d.select(
+        "user_id", "event_id", F.sum("delta").over(w).cast("long").alias("p")
+    )
+    return pref.select(
+        "user_id",
+        "event_id",
+        (F.col("p") - F.least(F.lit(0), F.min("p").over(w)))
+        .cast("long")
+        .alias("balance_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9] Hot-streak islands — maximal runs of consecutive high-value
+# events per user (gaps-and-islands by rank difference, all per-key).
+# ---------------------------------------------------------------------------
+HOT_CENTS = 10_000  # "hot" = event value >= 100.00 (integer-cents compare)
+
+
+@register(
+    "hot_streak_islands",
+    oracle=f"""
+        WITH seq AS (
+          SELECT user_id, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY event_id) AS rn
+          FROM events
+        ),
+        hot AS (
+          SELECT user_id, event_id, cents,
+                 rn - row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id) AS grp
+          FROM seq WHERE cents >= {HOT_CENTS}
+        )
+        SELECT user_id,
+               min(event_id) AS start_event_id,
+               max(event_id) AS end_event_id,
+               CAST(count(*) AS BIGINT) AS run_len,
+               CAST(sum(cents) AS BIGINT) AS run_cents
+        FROM hot GROUP BY user_id, grp
+    """,
+    doc=f"Maximal runs of CONSECUTIVE events with value >= {HOT_CENTS} cents per user (gaps-and-islands via the rank-difference constant): one row per streak with its span, length, and total — the burst-detection readout, all windows per-key.",
+    tags=("relational", "events", "window", "ext", "scale"),
+)
+def hot_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection as a relational pattern: a "streak" is a maximal
+    run of CONSECUTIVE events (in the per-user ingest order) whose value
+    clears a bar — adjacency matters, which is what separates this from
+    a plain filter+groupBy. The gaps-and-islands trick makes it two
+    window functions: rank every event per user, rank the qualifying
+    events per user, and the DIFFERENCE of the two ranks is constant
+    exactly within a consecutive run — a grouping key that needs no
+    recursion and no self-join.
+
+    Hotness is an integer-cents compare (cents >= 10000) — no double
+    threshold, the repo's bucketing discipline. Ordering is the single
+    tie-free key event_id (the r8 sessionize lesson).
+
+    Scale: one hash shuffle on user_id; both row_number windows share
+    the partition key (the second runs on the filtered subset), then a
+    hash aggregate on (user, grp). Everything is per-key parallel; run
+    state is O(1) per row.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select(
+        "user_id", "event_id", "cents", F.row_number().over(w).alias("rn")
+    )
+    hot = seq.filter(F.col("cents") >= HOT_CENTS).select(
+        "user_id",
+        "event_id",
+        "cents",
+        (F.col("rn") - F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        hot.groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").alias("start_event_id"),
+            F.max("event_id").alias("end_event_id"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+            F.sum("cents").cast("long").alias("run_cents"),
+        )
+        .drop("grp")
     )

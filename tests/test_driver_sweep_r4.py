@@ -212,6 +212,22 @@ def test_r8_oracle_at_driver_sf(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
+R9_ORACLE = [
+    "nation_revenue_trend",
+    "share_of_parent_revenue",
+    "pmi_priority_status",
+    "floored_running_balance",
+    "hot_streak_islands",
+]
+
+
+@pytest.mark.parametrize("name", R9_ORACLE)
+def test_r9_oracle_at_driver_sf(spark, duck, name):
+    q = REG[name]
+    ok, msg = compare(q.fn(spark, DRIVER_SF_DIR), duck, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
 def test_driver_canon_gate_catches_r4_err_class(spark):
     """Negative control: the exact r4 failure shape (a top-level array
     column) must be flagged by driver_canon_rows, proving the gate is live."""

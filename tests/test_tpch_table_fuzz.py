@@ -77,6 +77,12 @@ QUERIES = [
     "decile_lift_table",
     "cohort_ltv_curve",
     "log2_value_histogram",
+    # r9 additions
+    "nation_revenue_trend",
+    "share_of_parent_revenue",
+    "pmi_priority_status",
+    "floored_running_balance",
+    "hot_streak_islands",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"

@@ -178,6 +178,12 @@ QUERIES = [
     "decile_lift_table",
     "cohort_ltv_curve",
     "log2_value_histogram",
+    # round-9: new scale-tagged ops
+    "nation_revenue_trend",
+    "share_of_parent_revenue",
+    "pmi_priority_status",
+    "floored_running_balance",
+    "hot_streak_islands",
 ]
 
 
