@@ -2419,3 +2419,823 @@ def pmi_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pmi_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9b] Lag-k autocorrelation of the daily revenue series — the
+# periodicity screen (is there a weekly cycle?), integer-exact moments.
+# ---------------------------------------------------------------------------
+ACF_SCALE = 1_000_000
+ACF_MAX_LAG = 7
+
+
+@register(
+    "autocorr_daily_revenue",
+    oracle=f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s
+          FROM daily
+        ),
+        den AS (
+          SELECT CAST(sum(CAST(t.n * d.cents - t.s AS HUGEINT)
+                          * CAST(t.n * d.cents - t.s AS HUGEINT)) AS HUGEINT)
+                   AS den
+          FROM daily d CROSS JOIN tot t
+        ),
+        pairs AS (
+          SELECT l.lag AS lag,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CAST(t.n * a.cents - t.s AS HUGEINT)
+                          * CAST(t.n * b.cents - t.s AS HUGEINT)) AS HUGEINT)
+                   AS num
+          FROM (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag) l
+          JOIN daily a ON true
+          JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+          CROSS JOIN tot t
+          GROUP BY l.lag
+        )
+        SELECT p.lag, p.n_pairs,
+               floor(CAST(p.num AS DOUBLE) * {ACF_SCALE}.0
+                     / nullif(CAST(d.den AS DOUBLE), 0.0) + 0.5)
+                 / {ACF_SCALE} AS acf
+        FROM pairs p CROSS JOIN den d
+        ORDER BY p.lag
+    """,
+    doc="Lag-1..7 autocorrelation of daily revenue: centered cross-products held exact by the n-scaling identity (n*x_t - S is an integer, so every product is an exact decimal/HUGEINT) — one quantized terminal division per lag; the weekly-cycle screen behind seasonal_decompose_daily_revenue.",
+    tags=("relational", "statistics", "timeseries", "ext", "scale"),
+)
+def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the revenue series periodic, and at what lag? The sample
+    autocorrelation r_k = sum_t (x_t - m)(x_{t+k} - m) / sum_t (x_t - m)^2
+    for k = 1..7 — the number that justifies (or falsifies) the 7-day
+    seasonal period `seasonal_decompose_daily_revenue` assumes.
+
+    Exactness: the mean m = S/n is rational, so center by the n-scaling
+    identity instead: (n*x_t - S) is an exact integer and
+    sum (n*x_t - S)(n*x_{t+k} - S) = n^2 * num_k. The n^2 cancels in the
+    ratio, so both numerator and denominator aggregate as EXACT integers
+    (decimal(38,0) here, HUGEINT in the oracle; bound n*(n*max_x + S)^2
+    ~ 2e29 at sf0.1, and n is the CALENDAR day domain — fixed ~2405 —
+    so 1000x data only squares S: ~3e36, still inside the loud 10^37
+    guard). One floor-quantized double division per lag at the end.
+
+    Scale: one fact scan to the |days|-sized daily table; the lag pairs
+    come from an equi-join on day+k over that dimension-sized series
+    (explode factor ACF_MAX_LAG, never the fact table); moments are
+    map-side-combinable sums. No windows, no global sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    daily = daily.localCheckpoint(eager=True)  # reused three times below
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    mrow = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.max("cents").cast("long").alias("mx"),
+    ).collect()[0]  # bounded: one row
+    if not mrow["n"]:  # empty series: no lags, no moments (fuzz corpus)
+        return spark.createDataFrame([], "lag long, n_pairs long, acf double")
+    n_days, s_cents, max_cents = int(mrow["n"]), int(mrow["s"]), int(mrow["mx"])
+    # Loud exact-integer guard (the gini/PCA discipline): every centered
+    # deviation satisfies |n*x_t - S| <= n*max_x + S (the DATA's max, not
+    # the worst case — the all-maximal bound n*(n+1)^2*S^2 is ~10^6x
+    # looser and already fires at 10x the fixture), so the moment sums
+    # are bounded by n*(n*max_x + S)^2 — ~2e31 at 10x, keeping >10^5x
+    # headroom inside the 38-digit decimal budget.
+    if n_days * (n_days * max_cents + s_cents) ** 2 >= 10**37:
+        raise OverflowError(
+            f"acf moment bound n*(n*max+S)^2 = {n_days * (n_days * max_cents + s_cents) ** 2} "
+            "exceeds 10^37 (decimal(38,0) budget); pre-aggregate to weeks"
+        )
+    dev = (F.col("n") * F.col("cents") - F.col("s")).cast("decimal(38,0)")
+    den = (
+        daily.crossJoin(F.broadcast(tot))
+        .agg(F.sum(dev * dev).alias("den"))
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(1, ACF_MAX_LAG + 1)])
+    ).alias("lag")
+    a = daily.select(lags, "day", F.col("cents").alias("ca"))
+    b = daily.select(F.col("day").alias("bday"), F.col("cents").alias("cb"))
+    deva = (F.col("n") * F.col("ca") - F.col("s")).cast("decimal(38,0)")
+    devb = (F.col("n") * F.col("cb") - F.col("s")).cast("decimal(38,0)")
+    pairs = (
+        a.join(b, F.date_add(F.col("day"), F.col("lag").cast("int")) == F.col("bday"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(deva * devb).alias("num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            (
+                F.floor(
+                    F.col("num").cast("double") * float(ACF_SCALE)
+                    / F.nullif(F.col("den").cast("double"), F.lit(0.0))
+                    + 0.5
+                )
+                / ACF_SCALE
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9b] 7-day rolling lower median of daily revenue — the robust
+# trend line (a moving average a single spike can't drag).
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_median_revenue_7d",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        ),
+        win AS (
+          SELECT day, cents,
+                 list(cents) OVER (ORDER BY day
+                                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS w
+          FROM daily
+        )
+        SELECT day, cents,
+               CAST(len(w) AS BIGINT) AS n_window,
+               list_sort(w)[CAST((len(w) + 1) // 2 AS INTEGER)]
+                 AS median_cents_7d
+        FROM win
+    """,
+    doc="Per-day rolling 7-day lower median of daily revenue via a bounded ROWS frame: collect the <=7-element window, sort, take the (n+1)/2-th order statistic — the robust moving trend, integer-exact (no interpolation).",
+    tags=("relational", "statistics", "timeseries", "window", "ext"),
+)
+def rolling_median_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust alternative to the 7-day moving average
+    `seasonal_decompose_daily_revenue` uses: a single promotional spike
+    moves a mean by spike/7 but cannot move the median at all (breakdown
+    point 3 of 7). Lower median (the (n+1)//2-th order statistic of the
+    sorted window) keeps every output an actual observed BIGINT — no
+    even-count interpolation, so the hash check is exact.
+
+    Scale: the window runs over the DAILY series — the calendar-bounded
+    ~2400-row value domain (the ks_two_sample_drift dispensation:
+    fixed-domain dimension, not data-proportional), after one map-side-
+    combinable fact aggregate. The frame is ROWS-bounded at 7, so state
+    per row is constant; at a larger day domain, partition by year and
+    stitch the 6-row seams (documented, not needed at this domain size).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    win = daily.select(
+        "day",
+        "cents",
+        F.collect_list("cents").over(w).alias("wlist"),
+    )
+    return win.select(
+        "day",
+        "cents",
+        F.size("wlist").cast("long").alias("n_window"),
+        F.element_at(
+            F.array_sort("wlist"),
+            ((F.size("wlist") + 1) / 2).cast("int"),
+        ).alias("median_cents_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9b] Haar wavelet pyramid of the daily revenue series — exact
+# multi-resolution rollup (approximations + details), zero FP anywhere.
+# ---------------------------------------------------------------------------
+HAAR_EPOCH = "1992-01-01"
+HAAR_LEVELS = 4
+
+
+@register(
+    "haar_wavelet_daily_revenue",
+    oracle=f"""
+        WITH daily AS (
+          SELECT CAST(datediff('day', DATE '{HAAR_EPOCH}',
+                               CAST(o_orderdate AS DATE)) AS BIGINT) AS i,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        )
+        SELECT l.level,
+               CAST(d.i // (1 << l.level) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(d.cents) AS BIGINT) AS approx_cents,
+               CAST(sum(CASE WHEN (d.i // (1 << (l.level - 1))) % 2 = 0
+                             THEN d.cents ELSE -d.cents END) AS BIGINT)
+                 AS detail_cents
+        FROM daily d
+        CROSS JOIN (SELECT CAST(unnest(range(1, {HAAR_LEVELS} + 1)) AS BIGINT)
+                      AS level) l
+        WHERE d.i >= 0
+        GROUP BY 1, 2
+    """,
+    doc="Unnormalized Haar wavelet pyramid over the zero-filled daily revenue signal: per (level 1..4, bucket of 2^level days) the approximation (bucket sum) and detail (left-half minus right-half) coefficients — the exact multi-resolution rollup, pure integer arithmetic.",
+    tags=("relational", "statistics", "timeseries", "ext", "scale"),
+)
+def haar_wavelet_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-resolution view a time-series store keeps alongside the
+    raw signal: at level L the series is summarized by 2^L-day buckets,
+    each carrying the unnormalized Haar pair (approximation = bucket
+    sum, detail = left-child sum - right-child sum). Reading levels
+    coarse-to-fine reconstructs the signal exactly (approx and detail
+    determine both children), so this IS a lossless rollup — the basis
+    for burst detection at multiple scales and progressive rendering.
+    Missing calendar days contribute zero (the zero-filled signal),
+    which the bucket aggregate gets for free.
+
+    Exactness: every coefficient is a signed BIGINT sum of cents —
+    no normalization by sqrt(2) (deferred to read time), no FP at all.
+
+    Scale: one fact scan to the |days|-sized daily table, then ONE
+    map-side-combinable aggregate over a 4x explode of that
+    dimension-sized series (level tags ride along; the fact table is
+    never exploded). Output ~ |days|, bounded by the calendar domain.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit(HAAR_EPOCH)))
+        .cast("long")
+        .alias("i")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    levels = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(l).cast("long").alias("level"),
+                    F.lit(2**l).cast("long").alias("w"),
+                    F.lit(2 ** (l - 1)).cast("long").alias("hw"),
+                )
+                for l in range(1, HAAR_LEVELS + 1)
+            ]
+        )
+    ).alias("lv")
+    # pre-epoch days are excluded rather than bucketed: Spark's cast-long
+    # truncates toward zero while DuckDB's // floors, so NEGATIVE indexes
+    # would bucket differently — the fixtures start at the epoch; a wider
+    # corpus should move HAAR_EPOCH, not rely on negative buckets.
+    daily = daily.filter(F.col("i") >= 0)
+    tagged = daily.select("i", "cents", levels).select(
+        F.col("lv.level").alias("level"),
+        (F.col("i") / F.col("lv.w")).cast("long").alias("bucket"),
+        F.when((F.col("i") / F.col("lv.hw")).cast("long") % 2 == 0, F.col("cents"))
+        .otherwise(-F.col("cents"))
+        .alias("signed_cents"),
+        "cents",
+    )
+    return tagged.groupBy("level", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("approx_cents"),
+        F.sum("signed_cents").cast("long").alias("detail_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9b] ABC / Pareto classification of parts by revenue — "which 20%
+# of the catalog is 80% of the business", via the distributed prefix-sum
+# (NO global-order window; the gini/range_partition_boundaries machinery
+# extended from cumulative counts to cumulative value sums).
+# ---------------------------------------------------------------------------
+ABC_A_PCT = 80
+ABC_B_PCT = 95
+
+
+@register(
+    "abc_pareto_classification",
+    oracle=f"""
+        WITH per_part AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+          SELECT l_partkey, cents,
+                 CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(sum(cents) OVER () AS BIGINT) AS total
+          FROM per_part
+        ),
+        classed AS (
+          SELECT CASE WHEN cum * 100 <= total * {ABC_A_PCT} THEN 'A'
+                      WHEN cum * 100 <= total * {ABC_B_PCT} THEN 'B'
+                      ELSE 'C' END AS abc_class,
+                 cents, total
+          FROM ranked
+        )
+        SELECT abc_class,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(cents) AS BIGINT) AS class_cents,
+               floor(sum(cents) * 1000000.0 / max(total) + 0.5) / 1000000
+                 AS revenue_share
+        FROM classed GROUP BY abc_class
+    """,
+    doc=f"ABC inventory classification: parts ranked by descending revenue, class A = the head covering {ABC_A_PCT}% of cumulative revenue, B to {ABC_B_PCT}%, C the tail — cumulative sums via the distributed prefix-sum (range-repartition + 32-row offset broadcast), classification as pure integer comparisons.",
+    tags=("relational", "statistics", "ext", "scale"),
+)
+def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto head/tail split every inventory and corpus-curation
+    review starts from: rank parts by revenue descending, then class A
+    is the prefix whose inclusive cumulative revenue is <= 80% of total,
+    B to 95%, C the rest. The classification predicate is cum*100 <=
+    total*PCT over exact BIGINTs — no FP anywhere in the decision, so
+    the boundary part lands identically on both engines.
+
+    Scale: per-part cents is one map-side-combinable fact aggregate.
+    The global cumulative sum NEVER runs a global-order window (the
+    serialization the 30x curves measured): `_value_prefix_counts`'s
+    machinery extended to weighted sums — range-repartition the per-value
+    rows on DESCENDING cents, reduce each range to one (count, sum)
+    subtotal, broadcast the <=32-row running-offset table back, finish
+    cumulative sums partition-locally, and resolve ties (same cents,
+    different part) with a rank window PARTITIONED BY cents (tie blocks,
+    never the dimension). Output is 3 rows at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    pv = per_part.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    pv = (
+        pv.withColumn("v", -F.col("cents"))  # ascending v == descending cents
+        .repartitionByRange(_PREFIX_PARTS, "v")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pid (the gini discipline)
+    )
+    stats = pv.groupBy("pid").agg(
+        F.sum("s").cast("long").alias("ps"),
+    ).collect()  # bounded: <= _PREFIX_PARTS rows
+    run, offsets = 0, []
+    for row in sorted(stats, key=lambda r: r["pid"]):
+        offsets.append((row["pid"], run))
+        run += int(row["ps"])
+    total = run
+    if total >= 2**62:
+        raise OverflowError(
+            f"total revenue cents {total} exceeds 2^62; pre-bucket values"
+        )
+    offsets_df = spark.createDataFrame(offsets or [], "pid int, off long")
+    wloc = Window.partitionBy("pid").orderBy("v")
+    cum_val = pv.join(F.broadcast(offsets_df), "pid").select(
+        "cents",
+        # inclusive cumulative revenue of all value blocks STRICTLY ABOVE
+        # this cents value (exclusive of the block itself):
+        (F.col("off") + F.sum("s").over(wloc) - F.col("s")).alias("cum_excl"),
+    )
+    wtie = Window.partitionBy("cents").orderBy("l_partkey")
+    per_key = (
+        per_part.join(cum_val, "cents")
+        .withColumn("tie_rank", F.row_number().over(wtie).cast("long"))
+        .select(
+            "cents",
+            (F.col("cum_excl") + F.col("tie_rank") * F.col("cents")).alias("cum"),
+        )
+    )
+    # lit(total) must be LONG explicitly: a small fuzz-corpus total makes
+    # an INT literal, and total*95 then overflows int32 under ANSI
+    tot_l = F.lit(total).cast("long")
+    classed = per_key.select(
+        "cents",
+        F.when(F.col("cum") * 100 <= tot_l * ABC_A_PCT, F.lit("A"))
+        .when(F.col("cum") * 100 <= tot_l * ABC_B_PCT, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("class_cents"),
+        (
+            F.floor(F.sum("cents") * 1000000.0 / F.lit(float(total)) + 0.5)
+            / 1000000
+        ).alias("revenue_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9b] Largest-remainder (Hamilton) apportionment — allocate an
+# integer budget across nations exactly proportional to revenue.
+# ---------------------------------------------------------------------------
+ALLOC_BUDGET = 1_000_000
+
+
+@register(
+    "allocation_largest_remainder",
+    oracle=f"""
+        WITH per_nation AS (
+          SELECT n.n_name,
+                 CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM per_nation),
+        base AS (
+          SELECT p.n_name, p.cents,
+                 CAST(p.cents * {ALLOC_BUDGET} // t.t AS BIGINT) AS floor_units,
+                 CAST(p.cents * {ALLOC_BUDGET} % t.t AS BIGINT) AS rem
+          FROM per_nation p CROSS JOIN tot t
+        ),
+        short AS (
+          SELECT CAST({ALLOC_BUDGET} - sum(floor_units) AS BIGINT) AS k
+          FROM base
+        )
+        SELECT b.n_name, b.cents, b.floor_units,
+               CAST(CASE WHEN row_number() OVER (ORDER BY b.rem DESC, b.n_name)
+                              <= s.k THEN 1 ELSE 0 END AS BIGINT) AS extra,
+               b.floor_units
+                 + CASE WHEN row_number() OVER (ORDER BY b.rem DESC, b.n_name)
+                             <= s.k THEN 1 ELSE 0 END AS alloc_units
+        FROM base b CROSS JOIN short s
+    """,
+    doc=f"Hamilton largest-remainder apportionment of a {ALLOC_BUDGET}-unit budget across nations proportional to revenue: integer floors plus one extra unit to the largest remainders, so the allocation sums EXACTLY to the budget — all-integer arithmetic (the rounding scheme that never violates quota).",
+    tags=("relational", "statistics", "ext"),
+)
+def allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How a fixed budget (sampling quota, rate limit, shelf space) is
+    split proportionally WITHOUT fractional units and WITHOUT the
+    sum-drift naive rounding causes: floor each proportional share, then
+    hand the leftover k units to the k largest remainders (ties broken
+    by name). sum(alloc) == budget exactly, and every share is within
+    one unit of exact proportionality — the Hamilton method.
+
+    Exactness: shares as cents*B // T and cents*B % T over exact
+    BIGINTs; |cents*B| <= T*B, loudly guarded under 2^62 (at a larger
+    corpus pre-scale cents — the gini discipline). No FP anywhere.
+
+    Scale: one fact aggregate to |nations| rows (broadcast dimension
+    joins); the remainder rank window runs over that METADATA-sized
+    table (25 rows) — the bounded-window dispensation, not the
+    data-proportional global sort the prefix-sum ops eliminated.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nation = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    trow = per_nation.agg(F.sum("cents")).collect()[0]  # bounded
+    if trow[0] is None:  # no orders at all (fuzz corpus): nothing to split
+        return spark.createDataFrame(
+            [],
+            "n_name string, cents long, floor_units long, extra long, "
+            "alloc_units long",
+        )
+    total = int(trow[0])
+    if total * ALLOC_BUDGET >= 2**62:
+        raise OverflowError(
+            f"cents*budget bound {total * ALLOC_BUDGET} exceeds 2^62; "
+            "pre-scale cents before apportioning"
+        )
+    base = per_nation.select(
+        "n_name",
+        "cents",
+        # integer `div`, never FP: cents*B ~ 4e17 exceeds double's exact
+        # integer range (2^53), so a float division here would mis-floor.
+        F.expr(f"(cents * {ALLOC_BUDGET}) div {total}").cast("long")
+        .alias("floor_units"),
+        F.pmod(F.col("cents") * ALLOC_BUDGET, F.lit(total)).alias("rem"),
+    )
+    short = base.agg(
+        (F.lit(ALLOC_BUDGET) - F.sum("floor_units")).cast("long").alias("k")
+    )
+    wrem = Window.orderBy(F.col("rem").desc(), F.col("n_name").asc())
+    return (
+        base.crossJoin(F.broadcast(short))
+        .withColumn("rn", F.row_number().over(wrem).cast("long"))
+        .select(
+            "n_name",
+            "cents",
+            "floor_units",
+            F.when(F.col("rn") <= F.col("k"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("extra"),
+            (
+                F.col("floor_units")
+                + F.when(F.col("rn") <= F.col("k"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("alloc_units"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9b] Interval-overlap pro-ration — revenue spread across the
+# calendar months an order's fulfillment interval covers, via the
+# bucketed (bounded-explode) range join, all-integer day arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "interval_month_overlap_revenue",
+    oracle="""
+        WITH iv0 AS (
+          SELECT o.o_orderkey,
+                 CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(o.o_orderdate AS DATE) AS d1,
+                 CAST(max(l.l_shipdate) AS DATE) AS d2
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2, 3
+        ),
+        iv AS (
+          SELECT o_orderkey, cents,
+                 least(d1, d2) AS start_d, greatest(d1, d2) AS end_d
+          FROM iv0
+        ),
+        m AS (
+          SELECT iv.*,
+                 unnest(generate_series(date_trunc('month', start_d),
+                                        date_trunc('month', end_d),
+                                        INTERVAL 1 MONTH))::DATE AS month
+          FROM iv
+        ),
+        pro AS (
+          SELECT month, cents,
+                 datediff('day', greatest(start_d, month),
+                          least(end_d, last_day(month))) + 1 AS overlap_days,
+                 datediff('day', start_d, end_d) + 1 AS total_days
+          FROM m
+        )
+        SELECT month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(overlap_days) AS BIGINT) AS covered_days,
+               CAST(sum(cents * overlap_days // total_days) AS BIGINT)
+                 AS prorated_cents
+        FROM pro GROUP BY month
+    """,
+    doc="Revenue pro-rated across the calendar months each order's fulfillment interval [orderdate, last shipdate] covers, weighted by days-in-month — the interval-overlap (range) join realized as a BOUNDED month explode + hash aggregate, with all-integer day arithmetic and floor-division pro-ration.",
+    tags=("relational", "timeseries", "join", "ext", "scale"),
+)
+def interval_month_overlap_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accrual view of revenue: an order open from Jan 20 to Mar 5
+    contributes to January, February, AND March, each in proportion to
+    the days it spans there — the interval-overlap join every
+    billing/occupancy/utilization pipeline needs. The naive form is a
+    theta-join (order interval x month dimension, non-equi on overlap);
+    the scalable form used here EXPLODES each interval to the months it
+    covers and hash-aggregates — candidate generation is a bounded-
+    fan-out scan stage, never a cross product (the bucketed-range-join
+    pattern). The bound is the DATE-DOMAIN width in months (~82 in the
+    fixtures, whose synthetic shipdates roam the whole calendar — even
+    BEFORE the order date, so endpoints are least/greatest-normalized),
+    a fixed constant as data grows; for genuinely unbounded intervals,
+    cap the explode and overflow into an "open" bucket.
+
+    Exactness: overlap and total days are integer datediffs; the
+    pro-ration is integer floor division (cents*overlap div total) — no
+    FP anywhere, so per-month remainders are deterministically dropped
+    (documented: sum(prorated) <= cents per order, the conservative
+    accrual convention).
+
+    Scale: one fact-fact join on orderkey (co-partitioned keys), a <=6x
+    bounded explode, then a map-side-combinable aggregate to |months|
+    rows. No windows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # pre-aggregate the wide fact BEFORE the join: max(shipdate) per order
+    # combines map-side, so the join input is |orders|-sized on both sides
+    # (joining first would shuffle every lineitem row through the groupBy)
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("d2")
+    )
+    iv = (
+        o.select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+            F.to_date("o_orderdate").alias("d1"),
+        )
+        .join(last_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "cents",
+            F.least("d1", "d2").alias("start_d"),
+            F.greatest("d1", "d2").alias("end_d"),
+        )
+    )
+    m = iv.select(
+        "cents",
+        "start_d",
+        "end_d",
+        F.explode(
+            F.expr(
+                "sequence(trunc(start_d, 'MM'), trunc(end_d, 'MM'), "
+                "interval 1 month)"
+            )
+        ).alias("month"),
+    )
+    overlap = (
+        F.datediff(
+            F.least(F.col("end_d"), F.last_day("month")),
+            F.greatest(F.col("start_d"), F.col("month")),
+        )
+        + 1
+    ).cast("long")
+    total = (F.datediff("end_d", "start_d") + 1).cast("long")
+    pro = m.select(
+        "month",
+        "cents",
+        overlap.alias("overlap_days"),
+        total.alias("total_days"),
+    )
+    return pro.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("overlap_days").cast("long").alias("covered_days"),
+        F.sum(F.expr("cents * overlap_days div total_days"))
+        .cast("long")
+        .alias("prorated_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9b] Business-day interval arithmetic — weekday counts in closed
+# form (no calendar table, no per-day iteration), pure integer.
+# ---------------------------------------------------------------------------
+BD_EPOCH = "1970-01-05"  # a Monday: makes dow = days-since-epoch mod 7
+
+
+def _bd_f(day_idx: str) -> str:
+    """Closed-form weekday count in [epoch, epoch + day_idx): full weeks
+    contribute 5, the partial week contributes min(remainder, 5) —
+    identical SQL in both engines (day_idx is a non-negative integer)."""
+    return f"(({day_idx}) // 7 * 5 + least(({day_idx}) % 7, 5))"
+
+
+@register(
+    "business_days_to_ship",
+    oracle=f"""
+        WITH iv AS (
+          SELECT datediff('day', DATE '{BD_EPOCH}',
+                          least(CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE))) AS lo,
+                 datediff('day', DATE '{BD_EPOCH}',
+                          greatest(CAST(o.o_orderdate AS DATE),
+                                   CAST(l.l_shipdate AS DATE))) AS hi
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        bd AS (
+          SELECT CAST({_bd_f('hi')} - {_bd_f('lo')} AS BIGINT) AS business_days,
+                 CAST(hi - lo AS BIGINT) AS calendar_days
+          FROM iv
+        )
+        SELECT business_days,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(min(calendar_days) AS BIGINT) AS min_calendar_days,
+               CAST(max(calendar_days) AS BIGINT) AS max_calendar_days
+        FROM bd GROUP BY business_days
+    """,
+    doc="Business days between order and ship dates via the closed-form weekday count f(d) = d//7*5 + min(d%7, 5) against a Monday epoch — SLA arithmetic with no calendar dimension, no per-day explode, and no FP; bucketed into the lead-time histogram an ops dashboard reads.",
+    tags=("relational", "timeseries", "ext", "scale"),
+)
+def business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA lead times are quoted in BUSINESS days; the naive computations
+    are a calendar-dimension join or a per-day explode. The closed form
+    needs neither: anchor day indexes to a MONDAY epoch, then
+    f(d) = (d div 7)*5 + min(d mod 7, 5) counts weekdays before day d,
+    and business_days(lo, hi) = f(hi) - f(lo) — two integer expressions
+    per row, exact, engine-identical (the fixtures' synthetic shipdates
+    can precede the order date, so endpoints are least/greatest-
+    normalized like interval_month_overlap_revenue). Holidays are a
+    broadcast exclusion list at a real deployment (documented, not
+    fabricated here).
+
+    Scale: one fact-fact equi-join on the natural key and one map-side-
+    combinable aggregate to a <=|distinct lead times| histogram. No
+    calendar spine, no explode, no windows.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    epoch = F.to_date(F.lit(BD_EPOCH))
+    j = li.join(o, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.datediff(
+            F.least(F.to_date("o_orderdate"), F.to_date("l_shipdate")), epoch
+        ).alias("lo"),
+        F.datediff(
+            F.greatest(F.to_date("o_orderdate"), F.to_date("l_shipdate")), epoch
+        ).alias("hi"),
+    )
+    bd = j.select(
+        (
+            F.expr(_bd_f("hi").replace("//", "div"))
+            - F.expr(_bd_f("lo").replace("//", "div"))
+        )
+        .cast("long")
+        .alias("business_days"),
+        (F.col("hi") - F.col("lo")).cast("long").alias("calendar_days"),
+    )
+    return bd.groupBy("business_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.min("calendar_days").alias("min_calendar_days"),
+        F.max("calendar_days").alias("max_calendar_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9b] Dyadic time-decay scoring — recency-weighted customer value
+# with half-life weights as pure integer shifts (the feature-store
+# "decayed count" without a single FP op).
+# ---------------------------------------------------------------------------
+DECAY_MAX_SHIFT = 62
+
+
+@register(
+    "time_decay_customer_score",
+    oracle=f"""
+        WITH anchor AS (
+          SELECT max(CAST(o_orderdate AS DATE)) AS a FROM orders
+        ),
+        scored AS (
+          SELECT o.o_custkey,
+                 CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                   >> CAST(least(datediff('day', CAST(o.o_orderdate AS DATE),
+                                          an.a) // 364, {DECAY_MAX_SHIFT})
+                           AS INTEGER) AS decayed_cents,
+                 CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders o CROSS JOIN anchor an
+        )
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS raw_cents,
+               CAST(sum(decayed_cents) AS BIGINT) AS decayed_cents
+        FROM scored GROUP BY o_custkey
+    """,
+    doc="Recency-weighted customer value with a 364-day (52-week) half-life: each order contributes cents >> floor(age/364) — the exponential time-decay every feature store applies, realized as an integer arithmetic shift (no exp(), no FP), anchored to the corpus max date.",
+    tags=("relational", "timeseries", "ml", "ext", "scale"),
+)
+def time_decay_customer_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Recent revenue matters more': the standard exponential decay
+    w = 2^(-age/half_life) is an exp() away from cross-engine FP drift —
+    unless the half-life is applied in whole periods, where the weight
+    becomes a RIGHT SHIFT: cents >> (age div 364). Each order's decayed
+    contribution is then an exact integer, the aggregate is a BIGINT
+    sum, and the score is hash-exact while behaving like the
+    feature-store decayed counter (year-old revenue halves, two-year-old
+    quarters, ...). The shift is clamped at {DECAY_MAX_SHIFT} (beyond
+    which the contribution is 0 anyway) so a hostile far-past date
+    cannot produce an out-of-range shift. The anchor is the corpus max
+    order date — data-dependent but computed identically in both engines
+    (broadcast one-row cross join, the PMI marginals pattern).
+
+    Scale: one scan-stage expression + one map-side-combinable aggregate
+    to |customers| rows; the anchor is a broadcast singleton. No windows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("a"))
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    scored = o.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        cents.alias("cents"),
+        F.expr(
+            f"shiftright(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), "
+            f"CAST(least(datediff(a, to_date(o_orderdate)) div 364, "
+            f"{DECAY_MAX_SHIFT}) AS INT))"
+        ).alias("decayed_cents"),
+    )
+    return scored.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("raw_cents"),
+        F.sum("decayed_cents").cast("long").alias("decayed_cents"),
+    )

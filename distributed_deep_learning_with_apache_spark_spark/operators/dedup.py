@@ -1971,3 +1971,106 @@ def lsh_band_tuning_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.sum(F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias("candidate_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9b] Prefix-filtered set-similarity self-join (PPJoin family) —
+# the THIRD candidate-pruning strategy beside stop-filtering and MinHash
+# banding, and the only one of the three that is provably LOSSLESS.
+# ---------------------------------------------------------------------------
+PFX_THETA_NUM, PFX_THETA_DEN = 1, 2  # Jaccard threshold 0.5, kept rational
+
+
+@register(
+    "near_dup_prefix_filter_jaccard",
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, {DUCK_SHINGLES} AS sh FROM documents
+        ),
+        posting AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM posting a JOIN posting b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+                     / (len(sa.sh) + len(sb.sh)
+                        - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.sh, sb.sh)) * {PFX_THETA_DEN}
+              >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                 * {PFX_THETA_NUM}
+    """,
+    doc="Jaccard >= 0.5 near-dup pairs via PREFIX FILTERING (PPJoin family): tokens globally ordered by ascending document frequency, each doc indexes only its first |x| - ceil(0.5|x|) + 1 tokens, candidates must collide on a prefix token — provably lossless for the threshold, so the oracle is the full quadratic ground truth (the oracle itself verifies no pair was pruned away).",
+    tags=("dedup", "ext", "scale"),
+)
+def near_dup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third way to bound a set-similarity join's candidate set, and
+    the only LOSSLESS one: stop-filtering (near_dup_jaccard_stopfiltered)
+    drops boilerplate-only pairs by fiat; MinHash banding
+    (near_dup_minhash_verified) is probabilistic. Prefix filtering
+    (Chaudhuri/Bayardo/Xiao's PPJoin line) is exact: order every doc's
+    shingles by GLOBAL rarity (ascending document frequency, shingle as
+    tie-break) and index only the first |x| - ceil(theta*|x|) + 1 — if
+    J(A,B) >= theta then the overlap is >= ceil(theta*max(|A|,|B|)), too
+    large to hide entirely in both suffixes, so some prefix token
+    collides. The hash check against the FULL quadratic oracle is
+    therefore also a losslessness proof: one pruned-away true pair and
+    the row counts split.
+
+    Why it scales: the hottest (most frequent) tokens are exactly the
+    ones prefixes exclude — posting lists in the candidate join come
+    from the rare end of the vocabulary, so fan-out per token is small
+    without any semantic trade (the stop-filter's missed-pair caveat
+    disappears). Verification is exact Jaccard on the full sets, only
+    over surviving candidates.
+
+    Plan: posting explode -> df aggregate (map-side combinable) -> per-doc
+    rank window (PARTITIONED by doc, frames bounded by doc size) ->
+    prefix-posting equi-join -> verify join. No quadratic stage anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles().alias("sh")).filter(F.size("sh") > 0)
+    posting = sh.select(
+        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
+    )
+    dfreq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # prefix length |x| - ceil(theta*|x|) + 1, all-integer:
+    # ceil(x/2) == (x+1) div 2 for theta = 1/2.
+    plen = F.col("sz") - F.expr(
+        f"(sz * {PFX_THETA_NUM} + {PFX_THETA_DEN} - 1) div {PFX_THETA_DEN}"
+    ) + 1
+    prefix = (
+        posting.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") <= plen)
+        .select("doc_id", "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")
+        .filter(inter * PFX_THETA_DEN >= union * PFX_THETA_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter * 1.0 / union, 6).alias("jaccard"),
+        )
+    )

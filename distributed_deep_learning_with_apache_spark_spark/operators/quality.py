@@ -775,3 +775,77 @@ def chisq_priority_status_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi_term"),
     )
     return m
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9b] Per-user event-type entropy — the behavioral-diversity screen
+# (bots repeat one action; ln quantized to milli-nats with a guard band,
+# the bigram-perplexity / PMI transcendental discipline).
+# ---------------------------------------------------------------------------
+ENTROPY_SCALE = 1_000  # milli-nats
+
+
+@register(
+    "user_event_entropy",
+    oracle=f"""
+        WITH cells AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        per_user AS (
+          SELECT user_id,
+                 CAST(sum(c) AS BIGINT) AS n_events,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 sum(c * ln(CAST(c AS DOUBLE))) AS s
+          FROM cells GROUP BY user_id
+        )
+        SELECT user_id, n_events, n_types,
+               CAST(floor((ln(CAST(n_events AS DOUBLE))
+                           - s / CAST(n_events AS DOUBLE))
+                          * {ENTROPY_SCALE}) AS BIGINT) AS entropy_milli
+        FROM per_user
+    """,
+    doc="Shannon entropy of each user's event-type distribution in milli-nats via H = ln(n) - (1/n)*sum(c*ln c) over exact integer counts — the behavioral-diversity screen (entropy ~0 = single-action bot); ln is the only transcendental, floor-quantized behind a guard band.",
+    tags=("events", "quality", "statistics", "ext", "scale"),
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who behaves like a bot? A user replaying one event type has
+    entropy 0; organic users spread across types approach ln(n_types).
+    H = -sum p_i ln p_i rewritten over exact integer counts as
+    H = ln(n) - (1/n) * sum c_i ln(c_i) — every ln argument is an exact
+    BIGINT, so both engines evaluate the same IEEE expression shape on
+    identical inputs and the result is floor-quantized to milli-nats.
+    Cross-engine safety is the PMI guard-band argument: per-type sums
+    may associate differently across engines (~1e-12 relative), so the
+    quantization is only trusted because the test scans every fixture
+    user's exact (counts, n) profile and asserts the true scaled value
+    sits >= 1e-6 from the floor boundary (>10^5x the worst-case
+    disagreement) — the regime bigram_perplexity_score pinned.
+
+    Scale: one map-side-combinable aggregate to (user x type) cells,
+    then a per-user combine — two hash aggregates, no windows, no joins;
+    output is |users|.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_user = cells.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("s"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.floor(
+            (
+                F.log(F.col("n_events").cast("double"))
+                - F.col("s") / F.col("n_events").cast("double")
+            )
+            * ENTROPY_SCALE
+        )
+        .cast("long")
+        .alias("entropy_milli"),
+    )

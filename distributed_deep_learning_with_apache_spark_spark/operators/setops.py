@@ -1123,3 +1123,101 @@ def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_idx", "upper_cents")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9b] Merkle level hierarchy over the bucket checksums — the full
+# anti-entropy descent structure: a diff is localized by reading
+# O(fanout * depth) fingerprints, not by comparing all leaves.
+# ---------------------------------------------------------------------------
+MERKLE_FANOUT = 4
+MERKLE_LEVELS = 4  # 64 leaves -> 16 -> 4 -> 1 root (levels 0..3)
+
+
+@register(
+    "merkle_tree_levels",
+    oracle=f"""
+        WITH rows_h AS (
+          SELECT o_orderkey % {CHK_BUCKETS} AS bucket,
+                 ((o_orderkey % {CHK_P}) * {CHK_A}
+                  + CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % {CHK_P}
+                  + CAST(o_custkey AS BIGINT)) % {CHK_P} AS rh
+          FROM orders
+        ),
+        leaves AS (
+          SELECT bucket,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(rh) % {CHK_P} AS BIGINT) AS checksum
+          FROM rows_h GROUP BY bucket
+        ),
+        lvls AS (
+          SELECT CAST(l.level AS BIGINT) AS level,
+                 CAST(bucket // (1 << CAST(2 * l.level AS INTEGER)) AS BIGINT)
+                   AS node,
+                 CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                 CAST(sum(checksum) % {CHK_P} AS BIGINT) AS checksum
+          FROM leaves
+          CROSS JOIN (SELECT unnest(range({MERKLE_LEVELS})) AS level) l
+          GROUP BY 1, 2
+        )
+        SELECT level, node, n_rows, checksum FROM lvls
+    """,
+    doc=f"Merkle hierarchy over the order-free bucket checksums: {CHK_BUCKETS} leaves roll up by fanout {MERKLE_FANOUT} to one root, each node's fingerprint the modular sum of its subtree's row hashes (commutative, so node == recomputation over the union) — two replicas localize a diff by descending mismatched nodes, reading {MERKLE_FANOUT}x{MERKLE_LEVELS} fingerprints instead of {CHK_BUCKETS} leaves.",
+    tags=("relational", "quality", "ext", "scale"),
+)
+def merkle_tree_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`table_checksum_buckets` gives the LEAVES; replica repair descends
+    a TREE: compare roots (1 row) — equal means done; on mismatch fetch
+    the {MERKLE_FANOUT} children, recurse into the unequal ones, and
+    reach the divergent leaf in log_{MERKLE_FANOUT}({CHK_BUCKETS}) round
+    trips. Because the row hash is summed under a commutative modulus,
+    every internal node equals BOTH the sum of its children's checksums
+    AND a direct recomputation over its key range — the identity the
+    test pins, and the reason incremental maintenance works (a changed
+    row updates one path root-to-leaf).
+
+    Scale: ONE map-side-combinable leaf aggregate over the fact scan
+    (the {CHK_BUCKETS}-row shuffle of table_checksum_buckets); the tree
+    above is built from the 64 leaf rows — metadata-sized work. Output
+    is {CHK_BUCKETS} + 16 + 4 + 1 rows at any table size.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    rh = (
+        F.pmod(F.col("o_orderkey"), CHK_P) * CHK_A
+        + F.pmod(cents, CHK_P)
+        + F.col("o_custkey").cast("long")
+    ) % CHK_P
+    leaves = (
+        o.select(
+            F.pmod(F.col("o_orderkey"), CHK_BUCKETS).alias("bucket"),
+            rh.alias("rh"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.pmod(F.sum("rh"), CHK_P).cast("long").alias("checksum"),
+        )
+    )
+    lv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(l).cast("long").alias("level"),
+                    F.lit(MERKLE_FANOUT**l).cast("long").alias("w"),
+                )
+                for l in range(MERKLE_LEVELS)
+            ]
+        )
+    ).alias("lv")
+    return (
+        leaves.select("bucket", "n_rows", "checksum", lv)
+        .groupBy(
+            F.col("lv.level").alias("level"),
+            (F.col("bucket") / F.col("lv.w")).cast("long").alias("node"),
+        )
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.pmod(F.sum("checksum"), CHK_P).cast("long").alias("checksum"),
+        )
+    )

@@ -1604,3 +1604,213 @@ def pca_power_iteration_quantized(spark: SparkSession, sf_dir: str) -> DataFrame
     return w.select(F.col("i").alias("dim_idx"), F.col("w").alias("loading_q")).crossJoin(
         F.broadcast(lam)
     )
+
+# ---------------------------------------------------------------------------
+# [EXT r9b] Binary-quantized ANN — 248-bit sign-random-projection codes
+# (4 x 62-bit BIGINT words), Hamming shortlist by popcount(xor), exact
+# cosine rerank of the shortlist: the binary-quantization serving stack.
+# ---------------------------------------------------------------------------
+BQ_WORDS = 4
+BQ_WORD_BITS = 62  # bits 0..61 per word: never the BIGINT sign bit
+BQ_BITS = BQ_WORDS * BQ_WORD_BITS  # 248
+BQ_SHORTLIST = 100  # Hamming survivors fetched for exact rerank, per query
+BQ_DIM = 64
+BQ_QSCALE = 10_000  # embedding components quantized to 1e-4 before any dot
+BQ_P = 2_147_483_647
+BQ_A = 950_706_376  # Fishman-Moore optimal multiplier for mod 2^31-1
+BQ_C = 12_345
+BQ_WRANGE = 2_001  # centered weights in [-1000, 1000]
+
+
+def _bq_weight_sql(j: str, d: str) -> str:
+    """Portable signed projection weight for (bit j, dim d) — identical
+    integer arithmetic in Spark SQL and DuckDB."""
+    return (
+        f"((({j} * {BQ_DIM} + {d}) % {BQ_P} * {BQ_A} + {BQ_C}) % {BQ_P})"
+        f" % {BQ_WRANGE} - {(BQ_WRANGE - 1) // 2}"
+    )
+
+
+# each bit_count is cast up front: DuckDB's bit_count returns TINYINT,
+# and 93 + 42 overflows INT8 (found live at sf0.001)
+_BQ_HAM = " + ".join(
+    f"CAST(bit_count(xor(q.qw{w}, c.w{w})) AS BIGINT)" for w in range(BQ_WORDS)
+)
+
+
+@register(
+    "ann_binary_hamming",
+    oracle=f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_transform(embedding::DOUBLE[],
+                                x -> floor(x * {BQ_QSCALE} + 0.5)) AS qv
+          FROM embeddings
+        ),
+        expl AS (
+          SELECT e.vec_id, d.d, e.qv[d.d + 1] AS x
+          FROM e CROSS JOIN (SELECT unnest(range({BQ_DIM})) AS d) d
+        ),
+        dots AS (
+          SELECT x.vec_id, j.j,
+                 CAST(sum(x.x * ({_bq_weight_sql('j.j', 'x.d')})) AS BIGINT)
+                   AS dot
+          FROM expl x CROSS JOIN (SELECT unnest(range({BQ_BITS})) AS j) j
+          GROUP BY 1, 2
+        ),
+        codes AS (
+          SELECT vec_id,
+                 {", ".join(
+                     f"CAST(sum(CASE WHEN dot >= 0 AND j // {BQ_WORD_BITS} = {w} "
+                     f"THEN CAST(1 AS BIGINT) << CAST(j % {BQ_WORD_BITS} AS INTEGER) "
+                     f"ELSE 0 END) AS BIGINT) AS w{w}"
+                     for w in range(BQ_WORDS)
+                 )}
+          FROM dots GROUP BY vec_id
+        ),
+        q AS (SELECT vec_id AS query_id,
+                     {", ".join(f"w{w} AS qw{w}" for w in range(BQ_WORDS))}
+              FROM codes WHERE vec_id < {N_QUERIES}),
+        shortlist AS (
+          SELECT query_id, neighbor_id, hamming FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   CAST({_BQ_HAM} AS BIGINT) AS hamming,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_BQ_HAM}, c.vec_id) AS hrnk
+            FROM q JOIN codes c ON c.vec_id != q.query_id
+          ) WHERE hrnk <= {BQ_SHORTLIST}
+        ),
+        rerank AS (
+          SELECT s.query_id, s.neighbor_id, s.hamming,
+                 list_dot_product(eq.v, en.v)
+                   / (sqrt(list_dot_product(eq.v, eq.v))
+                      * sqrt(list_dot_product(en.v, en.v))) AS cos
+          FROM shortlist s
+          JOIN e eq ON eq.vec_id = s.query_id
+          JOIN e en ON en.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, hamming,
+               round(cos, 6) + 0.0 AS cosine_sim, rnk FROM (
+          SELECT query_id, neighbor_id, hamming, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM rerank
+        ) WHERE rnk <= {TOP_K}
+    """,
+    doc=f"Two-tier binary-quantization ANN: {BQ_BITS}-bit sign-random-projection codes packed into {BQ_WORDS} sign-safe BIGINT words (portable integer weights over 1e-4-quantized components, so every code bit is engine-identical), Hamming = summed popcount(xor) shortlists {BQ_SHORTLIST} candidates per query, exact cosine reranks the shortlist — float vectors are read for 100 rows per query instead of the whole corpus.",
+    tags=("similarity", "ext", "scale"),
+)
+def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary-quantization serving stack (the cheap tier modern
+    vector stores put in front of float vectors): collapse each
+    embedding to {BQ_BITS} sign bits (bit j = sign of a fixed random
+    projection), shortlist by Hamming distance — {BQ_WORDS} xor+popcount
+    BIGINT ops per candidate, ~8x less IO than the float vector — then
+    fetch float vectors ONLY for the {BQ_SHORTLIST}-row shortlist and
+    rerank with exact cosine. Measured recall@5 vs the exact scan: 0.54
+    at sf0.01 (pinned >= 0.4) — the sign-code tier is coarse by design
+    at this corpus's ~0.3 top-5 cosines; widening the shortlist, not the
+    code, is the recall knob (50 -> 0.40, 100 -> 0.54).
+
+    Exactness: components quantize to integers (floor(x*1e4+0.5), double
+    ops correctly rounded identically in both engines); projection
+    weights are portable Lehmer integers in [-1000, 1000]; every dot is
+    an exact BIGINT (|dot| <= {BQ_DIM}*1e5*1e3 = 6.4e9, also exact in
+    the oracle's DOUBLE list path), so code bits NEVER straddle an FP
+    boundary. Bits pack 62 per word, away from the sign bit (the
+    simhash64 1<<63 lesson); the rerank cosine reuses the
+    cosine_topk_exact expression shape.
+
+    Plan: codes build as posexplode -> broadcast (j,d)-weight join ->
+    two map-side-combinable aggregates (at production scale swap this
+    stage for a mapInArrow int64 matmul — same integers); scoring
+    broadcasts the {N_QUERIES}-row query block, map-side popcounts, and
+    only shortlist rank rows shuffle on query_id; the float-vector fetch
+    is a {BQ_SHORTLIST}-per-query semi-join, never a corpus scan.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    qv = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("v", lambda x: F.floor(x * BQ_QSCALE + 0.5).cast("long"))
+        ).alias("d", "x"),
+    )
+    jd = (
+        spark.range(BQ_BITS)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(BQ_DIM).select(F.col("id").alias("d")))
+        .withColumn("w", F.expr(_bq_weight_sql("j", "d")))
+    )
+    dots = (
+        qv.join(F.broadcast(jd), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * F.col("w")).cast("long").alias("dot"))
+    )
+    codes = dots.groupBy("vec_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("dot") >= 0)
+                    & (F.expr(f"j div {BQ_WORD_BITS}") == w),
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), "
+                        f"CAST(j % {BQ_WORD_BITS} AS INT))"
+                    ),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(f"w{w}")
+            for w in range(BQ_WORDS)
+        ]
+    )
+    codes = codes.localCheckpoint(eager=True)  # reused: query + candidate side
+    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"w{w}").alias(f"qw{w}") for w in range(BQ_WORDS)],
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"qw{w} ^ w{w}")) for w in range(BQ_WORDS)
+    ).cast("long")
+    scored = codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), ham.alias("hamming")
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("hrnk", F.row_number().over(wh))
+        .filter(F.col("hrnk") <= BQ_SHORTLIST)
+        .drop("hrnk")
+    )
+    rerank = (
+        shortlist.join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("vq")),
+            "query_id",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vn")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            cosine(F.col("vq"), F.col("vn")).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rerank.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.round("cos", 6).alias("cosine_sim"),
+            "rnk",
+        )
+    )

@@ -156,12 +156,29 @@ _DRIVER_PRIORITY = [
     "top10_orders",
     "top_ngrams_boilerplate",
     "union_account_balances",
-    # --- r9 additions: below the backlog, first driver row in r10+ -------
+    # --- r9 additions: below the backlog, first driver row in r10 --------
+    # (19 names; with the 31 r3-stale above they fill r10's 50 slots
+    # EXACTLY — the addition budget was capped to keep every new op
+    # inside the next rotation, per the r8 verdict's freshness rule)
     "nation_revenue_trend",
     "share_of_parent_revenue",
     "pmi_priority_status",
     "floored_running_balance",
     "hot_streak_islands",
+    "autocorr_daily_revenue",
+    "rolling_median_revenue_7d",
+    "haar_wavelet_daily_revenue",
+    "user_event_entropy",
+    "bitmap_distinct_users",
+    "stream_bitmap_distinct_running",
+    "abc_pareto_classification",
+    "allocation_largest_remainder",
+    "near_dup_prefix_filter_jaccard",
+    "ann_binary_hamming",
+    "interval_month_overlap_revenue",
+    "merkle_tree_levels",
+    "business_days_to_ship",
+    "time_decay_customer_score",
 ]
 
 

@@ -3430,3 +3430,106 @@ def hot_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r9b] Streaming bitmap distinct — presence-bitmap words maintained
+# per micro-batch; bit_or is associative AND idempotent, so redelivery
+# cannot even inflate the count. Fourth streaming op with a real SQL oracle.
+# ---------------------------------------------------------------------------
+from ..operators.incremental import BITMAP_WORD_BITS as _BM_BITS  # noqa: E402
+
+
+@register(
+    "stream_bitmap_distinct_running",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+        FROM events GROUP BY 1
+    """,
+    doc="Per-day distinct users maintained as presence-bitmap words under Structured Streaming: each micro-batch ORs its own (day, word) bits into the persisted state; bit_or is associative and IDEMPOTENT, so the final state is independent of both the batch split and any redelivery, and hash-equals a plain COUNT(DISTINCT) — exact streaming cardinality.",
+    tags=("streaming", "structured", "sketch", "incremental", "ext", "scale"),
+)
+def stream_bitmap_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming face of `bitmap_distinct_users`: a dashboard's
+    daily-active-users counter over an unbounded stream with BOUNDED,
+    mergeable state. Each micro-batch aggregates its own presence words
+    and bit_ORs them into the persisted (day, word_idx) state — the
+    merge is associative (any batch split yields the same state) and
+    idempotent (an at-least-once redelivery ORs bits that are already
+    set), which is strictly stronger than the count-min/KMV merge
+    contract: this streaming counter is EXACT and redelivery-proof, so
+    its oracle is a plain COUNT(DISTINCT).
+
+    State: |days| x |id domain|/32 BIGINT words in a versioned parquet
+    dir, constant in the event count; per-batch work is the batch's own
+    hash aggregate plus a state-sized merge.
+    """
+    import os as _os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sg_bitmap_stream_")
+    staging = _os.path.join(base, "staging")
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    ev.repartition(4).write.mode("overwrite").parquet(staging)
+
+    state = {"cur": None}
+
+    def merge_words(batch_df: DataFrame, batch_id: int) -> None:
+        batch_words = (
+            batch_df.select(
+                F.to_date("ts").alias("day"),
+                (F.col("user_id") / _BM_BITS).cast("long").alias("word_idx"),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(pmod(user_id, {_BM_BITS}) AS INT))"
+                ).alias("mask"),
+            )
+            .groupBy("day", "word_idx")
+            .agg(F.bit_or("mask").alias("word"))
+        )
+        if state["cur"] is not None:
+            prev = batch_df.sparkSession.read.parquet(state["cur"])
+            batch_words = (
+                prev.unionByName(batch_words)
+                .groupBy("day", "word_idx")
+                .agg(F.bit_or("word").alias("word"))
+            )
+        out = _os.path.join(base, f"v{batch_id}")
+        batch_words.write.mode("overwrite").parquet(out)
+        state["cur"] = out
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .writeStream.foreachBatch(merge_words)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    # Publish the final word state to a fixed per-process path and reclaim
+    # the lifecycle scratch — the merge_restart discipline (r9 ADVICE #2):
+    # a mkdtemp left behind per invocation leaks one dir per sweep/fuzz/
+    # bench rep, and the returned DataFrame reads the state LAZILY, so the
+    # scratch tree cannot simply be removed here.
+    import atexit
+    import shutil
+
+    publish = _os.path.join(
+        tempfile.gettempdir(), f"sg_bitmap_pub_{_os.getpid()}"
+    )
+    shutil.rmtree(publish, ignore_errors=True)
+    atexit.register(shutil.rmtree, publish, ignore_errors=True)
+    shutil.move(state["cur"], publish)
+    shutil.rmtree(base, ignore_errors=True)
+
+    words = spark.read.parquet(publish)
+    return words.groupBy("day").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("distinct_users")
+    )

@@ -53,6 +53,7 @@ DOC_QUERIES = [
     "near_dup_containment",
     "near_dup_containment_stopfiltered",
     "near_dup_edit_distance",
+    "near_dup_prefix_filter_jaccard",  # r9b: lossless PPJoin prefix pruning
     "udtf_chunk_spans",
     # full dedup/curation family (crashes on token-less docs were found
     # here: ANSI element_at and negative-length slice)
@@ -199,6 +200,9 @@ EVENT_QUERIES = [
     "running_distinct_users_daily",  # r8: first-seen prefix-sum growth curve
     "stream_countmin_running",  # r8: streaming mergeable CM watchlist
     "json_schema_profile",  # r8: dynamic JSON key/type discovery
+    "user_event_entropy",  # r9b: milli-nat entropy (single-term degenerates)
+    "bitmap_distinct_users",  # r9b: presence-word popcount counting
+    "stream_bitmap_distinct_running",  # r9b: per-batch bit_or state merge
 ]
 
 import datetime as _dt

@@ -83,6 +83,16 @@ QUERIES = [
     "pmi_priority_status",
     "floored_running_balance",
     "hot_streak_islands",
+    # r9 second batch
+    "autocorr_daily_revenue",
+    "rolling_median_revenue_7d",
+    "haar_wavelet_daily_revenue",
+    "abc_pareto_classification",
+    "allocation_largest_remainder",
+    "interval_month_overlap_revenue",
+    "merkle_tree_levels",
+    "business_days_to_ship",
+    "time_decay_customer_score",
 ]
 
 assert len(QUERIES) == len(set(QUERIES)), "duplicate fuzz query entries"

@@ -184,6 +184,19 @@ QUERIES = [
     "pmi_priority_status",
     "floored_running_balance",
     "hot_streak_islands",
+    # round-9 second batch
+    "autocorr_daily_revenue",
+    "haar_wavelet_daily_revenue",
+    "user_event_entropy",
+    "bitmap_distinct_users",
+    "stream_bitmap_distinct_running",
+    "abc_pareto_classification",
+    "near_dup_prefix_filter_jaccard",
+    "ann_binary_hamming",
+    "interval_month_overlap_revenue",
+    "merkle_tree_levels",
+    "business_days_to_ship",
+    "time_decay_customer_score",
 ]
 
 
