@@ -2498,10 +2498,6 @@ def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     daily = daily.localCheckpoint(eager=True)  # reused three times below
-    tot = daily.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("s"),
-    )
     mrow = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("s"),
@@ -2521,21 +2517,23 @@ def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"acf moment bound n*(n*max+S)^2 = {n_days * (n_days * max_cents + s_cents) ** 2} "
             "exceeds 10^37 (decimal(38,0) budget); pre-aggregate to weeks"
         )
-    dev = (F.col("n") * F.col("cents") - F.col("s")).cast("decimal(38,0)")
-    den = (
-        daily.crossJoin(F.broadcast(tot))
-        .agg(F.sum(dev * dev).alias("den"))
-    )
+    # n and s ride as EXACT literals (they were just collected for the
+    # guard) — the long multiply n*x is bounded by the guard, and the
+    # tot-DataFrame crossJoin shape this replaces re-ran the aggregate
+    # and plumbed two joins for the same two integers
+    n_l = F.lit(n_days).cast("long")
+    s_l = F.lit(s_cents).cast("long")
+    dev = (n_l * F.col("cents") - s_l).cast("decimal(38,0)")
+    den = daily.agg(F.sum(dev * dev).alias("den"))
     lags = F.explode(
         F.array(*[F.lit(k) for k in range(1, ACF_MAX_LAG + 1)])
     ).alias("lag")
     a = daily.select(lags, "day", F.col("cents").alias("ca"))
     b = daily.select(F.col("day").alias("bday"), F.col("cents").alias("cb"))
-    deva = (F.col("n") * F.col("ca") - F.col("s")).cast("decimal(38,0)")
-    devb = (F.col("n") * F.col("cb") - F.col("s")).cast("decimal(38,0)")
+    deva = (n_l * F.col("ca") - s_l).cast("decimal(38,0)")
+    devb = (n_l * F.col("cb") - s_l).cast("decimal(38,0)")
     pairs = (
         a.join(b, F.date_add(F.col("day"), F.col("lag").cast("int")) == F.col("bday"))
-        .crossJoin(F.broadcast(tot))
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
@@ -2702,10 +2700,11 @@ def haar_wavelet_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     ).alias("lv")
-    # pre-epoch days are excluded rather than bucketed: Spark's cast-long
-    # truncates toward zero while DuckDB's // floors, so NEGATIVE indexes
-    # would bucket differently — the fixtures start at the epoch; a wider
-    # corpus should move HAAR_EPOCH, not rely on negative buckets.
+    # pre-epoch days are excluded rather than bucketed: both engines'
+    # integer division truncates toward zero here, so indexes in
+    # (-2^l, 2^l) would all collapse into a malformed bucket 0 and break
+    # the dyadic pyramid (the identities assume non-negative indexes) —
+    # a wider corpus should move HAAR_EPOCH, not rely on negative buckets.
     daily = daily.filter(F.col("i") >= 0)
     tagged = daily.select("i", "cents", levels).select(
         F.col("lv.level").alias("level"),
@@ -2808,9 +2807,14 @@ def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         offsets.append((row["pid"], run))
         run += int(row["ps"])
     total = run
-    if total >= 2**62:
+    # the classification predicates compute cum*100 and total*95 in
+    # BIGINT, so the loud bound is 2^63/100 (~9.2e16), NOT 2^62 — the
+    # looser guard would let a ~4000x corpus reach a mid-query ANSI
+    # ArithmeticException instead of this error
+    if total >= 2**63 // 100:
         raise OverflowError(
-            f"total revenue cents {total} exceeds 2^62; pre-bucket values"
+            f"total revenue cents {total} exceeds 2^63/100 (the cum*100 "
+            "classification predicate's BIGINT budget); pre-scale cents"
         )
     offsets_df = spark.createDataFrame(offsets or [], "pid int, off long")
     wloc = Window.partitionBy("pid").orderBy("v")

@@ -934,7 +934,9 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = (
         e.select(
             F.to_date("ts").alias("day"),
-            (F.col("user_id") / BITMAP_WORD_BITS).cast("long").alias("word_idx"),
+            # integer div, never FP: ids >= 2^53 would round the double
+            # quotient before truncation and land bits in the wrong word
+            F.expr(f"user_id div {BITMAP_WORD_BITS}").alias("word_idx"),
             # SQL shiftleft: the pyspark wrapper only takes a literal shift
             F.expr(
                 f"shiftleft(CAST(1 AS BIGINT), "

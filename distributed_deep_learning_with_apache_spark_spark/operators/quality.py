@@ -800,9 +800,11 @@ ENTROPY_SCALE = 1_000  # milli-nats
           FROM cells GROUP BY user_id
         )
         SELECT user_id, n_events, n_types,
-               CAST(floor((ln(CAST(n_events AS DOUBLE))
-                           - s / CAST(n_events AS DOUBLE))
-                          * {ENTROPY_SCALE}) AS BIGINT) AS entropy_milli
+               CASE WHEN n_types = 1 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor((ln(CAST(n_events AS DOUBLE))
+                                     - s / CAST(n_events AS DOUBLE))
+                                    * {ENTROPY_SCALE}) AS BIGINT)
+               END AS entropy_milli
         FROM per_user
     """,
     doc="Shannon entropy of each user's event-type distribution in milli-nats via H = ln(n) - (1/n)*sum(c*ln c) over exact integer counts — the behavioral-diversity screen (entropy ~0 = single-action bot); ln is the only transcendental, floor-quantized behind a guard band.",
@@ -820,7 +822,11 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization is only trusted because the test scans every fixture
     user's exact (counts, n) profile and asserts the true scaled value
     sits >= 1e-6 from the floor boundary (>10^5x the worst-case
-    disagreement) — the regime bigram_perplexity_score pinned.
+    disagreement) — the regime bigram_perplexity_score pinned. The one
+    value pinned TO a boundary by definition — the single-type user's
+    exact 0, where ln(n) - n*ln(n)/n lands one ulp either side of zero
+    depending on each engine's ln — is clamped to 0 by a CASE on
+    n_types in both engines rather than left to the floor.
 
     Scale: one map-side-combinable aggregate to (user x type) cells,
     then a per-user combine — two hash aggregates, no windows, no joins;
@@ -839,12 +845,19 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_events",
         "n_types",
-        F.floor(
-            (
-                F.log(F.col("n_events").cast("double"))
-                - F.col("s") / F.col("n_events").cast("double")
+        # single-type users are EXACTLY 0 by definition, but the FP form
+        # ln(n) - n*ln(n)/n sits one ulp either side of 0 depending on
+        # each engine's own ln bits — floor would then split 0 vs -1
+        # across engines. Clamp the degenerate case instead of hoping.
+        F.when(F.col("n_types") == 1, F.lit(0))
+        .otherwise(
+            F.floor(
+                (
+                    F.log(F.col("n_events").cast("double"))
+                    - F.col("s") / F.col("n_events").cast("double")
+                )
+                * ENTROPY_SCALE
             )
-            * ENTROPY_SCALE
         )
         .cast("long")
         .alias("entropy_milli"),

@@ -1810,7 +1810,9 @@ def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "hamming",
-            F.round("cos", 6).alias("cosine_sim"),
+            # + 0.0 folds -0.0 to 0.0 (the sibling cosine ops' discipline:
+            # the driver's pandas hasher distinguishes the two zeros)
+            (F.round("cos", 6) + 0.0).alias("cosine_sim"),
             "rnk",
         )
     )

@@ -3479,7 +3479,8 @@ def stream_bitmap_distinct_running(spark: SparkSession, sf_dir: str) -> DataFram
         batch_words = (
             batch_df.select(
                 F.to_date("ts").alias("day"),
-                (F.col("user_id") / _BM_BITS).cast("long").alias("word_idx"),
+                # integer div, never FP (see bitmap_distinct_users)
+                F.expr(f"user_id div {_BM_BITS}").alias("word_idx"),
                 F.expr(
                     f"shiftleft(CAST(1 AS BIGINT), "
                     f"CAST(pmod(user_id, {_BM_BITS}) AS INT))"

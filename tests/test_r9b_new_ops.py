@@ -151,7 +151,9 @@ def test_entropy_quantization_guard_band_and_bounds(spark, sf):
         n = sum(cs)
         h = math.log(n) - sum(c * math.log(c) for c in cs) / n
         scaled = h * ENTROPY_SCALE
-        expect[u] = (n, len(cs), math.floor(scaled))
+        # single-type users clamp to EXACT 0 in the operator (both
+        # engines): their FP form sits one ulp either side of zero
+        expect[u] = (n, len(cs), 0 if len(cs) == 1 else math.floor(scaled))
         # The single-type degenerate sits ON the boundary by construction
         # (H == 0 up to one ulp) — but its sum has exactly ONE term, so
         # Python/Spark/DuckDB evaluate the identical expression with no
@@ -169,7 +171,7 @@ def test_entropy_quantization_guard_band_and_bounds(spark, sf):
     assert out == expect
     for n, n_types, h_milli in out.values():
         if n_types == 1:
-            assert h_milli in (-1, 0)  # exact 0 up to one ulp under floor
+            assert h_milli == 0  # clamped by the n_types CASE, both engines
         else:
             assert 0 <= h_milli <= math.log(n_types) * ENTROPY_SCALE
 
@@ -238,9 +240,13 @@ def test_allocation_sums_to_budget_and_satisfies_quota(spark):
     total = sum(r["cents"] for r in rows)
     assert sum(r["alloc_units"] for r in rows) == ALLOC_BUDGET
     for r in rows:
-        exact = r["cents"] * ALLOC_BUDGET / total
         # Hamilton never violates quota: alloc in {floor(exact), ceil(exact)}
-        assert math.floor(exact) <= r["alloc_units"] <= math.ceil(exact)
+        # — bounds in EXACT integers (cents*B ~ 4e17 > 2^53: float division
+        # here would mis-floor, the operator's own `div` rationale)
+        num = r["cents"] * ALLOC_BUDGET
+        exact_floor = num // total
+        exact_ceil = -((-num) // total)
+        assert exact_floor <= r["alloc_units"] <= exact_ceil
         assert r["alloc_units"] - r["floor_units"] == r["extra"]
         assert r["extra"] in (0, 1)
 
@@ -497,8 +503,16 @@ def test_stream_bitmap_publish_dir_is_reused(spark):
     reclaims its lifecycle scratch — re-invocation must not accumulate
     directories (the merge_restart publish-dir lesson, r9 ADVICE #2)."""
     import glob
+    import os
+    import tempfile
 
+    tmp = tempfile.gettempdir()  # the operator builds from here, not /tmp
+    # compare against a BEFORE snapshot: a concurrent or pre-fix process
+    # may have left dirs this process doesn't own
+    scratch_before = set(glob.glob(os.path.join(tmp, "sg_bitmap_stream_*")))
     REG["stream_bitmap_distinct_running"].fn(spark, DRIVER_SF_DIR).collect()
     REG["stream_bitmap_distinct_running"].fn(spark, DRIVER_SF_DIR).collect()
-    assert len(glob.glob("/tmp/sg_bitmap_pub_*")) == 1
-    assert glob.glob("/tmp/sg_bitmap_stream_*") == []
+    pub = os.path.join(tmp, f"sg_bitmap_pub_{os.getpid()}")
+    assert os.path.isdir(pub)  # one fixed per-process publish path
+    scratch_after = set(glob.glob(os.path.join(tmp, "sg_bitmap_stream_*")))
+    assert scratch_after - scratch_before == set()  # no NEW scratch leaked
