@@ -611,9 +611,9 @@ EMB_DIM = 64
         SELECT a.label,
                a.n AS n_old, b.n AS n_new,
                round(list_dot_product(a.c, b.c)
-                     / (sqrt(list_dot_product(a.c, a.c))
-                        * sqrt(list_dot_product(b.c, b.c))), 6) + 0.0
-                 AS centroid_cosine
+                     / nullif(sqrt(list_dot_product(a.c, a.c))
+                              * sqrt(list_dot_product(b.c, b.c)), 0.0), 6)
+                 + 0.0 AS centroid_cosine
         FROM cent a JOIN cent b ON a.label = b.label
         WHERE a.half = 0 AND b.half = 1
     """,
@@ -696,7 +696,14 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "n_old",
         "n_new",
-        (F.round(dot / (n0 * n1), 6) + 0.0).alias("centroid_cosine"),
+        # nullif: a label whose half-centroid is the ZERO vector (every
+        # component quantizes to 0) has no defined cosine — NULL on both
+        # engines instead of ANSI DIVIDE_BY_ZERO here / inf in DuckDB
+        # (found by the SG_FUZZ_MULT=3 hostile-vector draw: an all-zero
+        # label half had never been drawn at default depth)
+        (F.round(dot / F.nullif(n0 * n1, F.lit(0.0)), 6) + 0.0).alias(
+            "centroid_cosine"
+        ),
     )
 
 

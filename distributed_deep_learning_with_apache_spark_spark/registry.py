@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = [
     # --- code changed this round (re-earn the hash) ---------------------
     "ml_ridge_normal_eq",
     "stream_exactly_once_merge_restart",
+    "embedding_drift_by_label",  # zero-centroid nullif (3x-fuzz find)
     # --- r2-stale cohort: the 12 names r8's 50 slots couldn't reach -----
     "order_gap_days",
     "pii_scrub",
@@ -122,8 +123,11 @@ _DRIVER_PRIORITY = [
     "events_props_json",
     "events_props_variant",
     "events_rate_anomaly_zscore",
-    "events_value_interpolate",
     # ==== slot 51+ from here: fronts the r10 rotation ====================
+    # (events_value_interpolate displaced to slot 51 by the drift op's
+    # changed-code re-earn — changed code outranks stale evidence; the
+    # r10 window is therefore 51 names for 50 slots, one spills to r11)
+    "events_value_interpolate",
     # --- r3-stale remainder (31) ----------------------------------------
     "grouping_sets_revenue",
     "hybrid_retrieval_rrf",

@@ -516,3 +516,25 @@ def test_stream_bitmap_publish_dir_is_reused(spark):
     assert os.path.isdir(pub)  # one fixed per-process publish path
     scratch_after = set(glob.glob(os.path.join(tmp, "sg_bitmap_stream_*")))
     assert scratch_after - scratch_before == set()  # no NEW scratch leaked
+
+
+def test_abc_pareto_has_no_global_order_window(spark):
+    """The ABC classifier rides the same distributed prefix-sum as
+    gini/decile — gate that no Window executes over a SinglePartition
+    exchange (its only windows are the per-value tie-rank blocks and the
+    partition-local cumulative sums)."""
+    import re
+
+    df = REG["abc_pareto_classification"].fn(spark, DRIVER_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow\b", ln):
+            block = "\n".join(lines[i : i + 6])
+            if "SinglePartition" in block:
+                bad.append(block)
+    assert not bad, (
+        "abc_pareto_classification serializes a Window through one "
+        "partition:\n" + "\n".join(bad)
+    )
