@@ -996,16 +996,21 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent / highest spend). Ties break on custkey so both engines'
     ntile frontiers are identical.
 
-    Scale: the per-customer rollup is one hash agg; the three ntile
-    windows are global-ORDER windows over the CUSTOMER table (one row per
-    customer — the already-reduced side), not the fact table. At 100 TB
-    of orders the rollup stays a map-side-combinable agg; if customers
-    themselves outgrow a single sort, quartile FRONTIERS come from
-    `quantile_two_pass_exact` and the scores become broadcast range
-    lookups — same output, no global window.
+    Scale (r10 rewrite): the per-customer rollup is one map-side-
+    combinable hash agg; the three quartile scores — formerly three
+    global-ORDER ntile windows, i.e. three single-partition sorts of the
+    customer dimension, the exact serialization the r9 gini/decile
+    rewrite eliminated — now come from three distributed global-rank
+    passes (`global_row_ranks`: range-repartition on the order spec,
+    pinned pids, a <=32-row offset collect, pid-local row_number) plus
+    the closed-form `ntile_from_rank` bucket expression. Every
+    data-proportional pass is partition-parallel; the serial state is
+    three 32-row offset tables. Output is bit-identical to the oracle's
+    ntile (same ANSI fat-bucket contract, same total orders).
     """
+    from .ranks import global_row_ranks, ntile_from_rank
+
     o = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window
 
     anchor = o.agg(F.max("o_orderdate").alias("mx"))
     rfm = (
@@ -1025,23 +1030,23 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    scored = rfm.select(
-        "o_custkey",
+    ranked, n = global_row_ranks(
+        spark, rfm, [("r_days", True), ("o_custkey", True)], "r_rnk"
+    )
+    ranked, _ = global_row_ranks(
+        spark, ranked, [("freq", False), ("o_custkey", True)], "f_rnk"
+    )
+    ranked, _ = global_row_ranks(
+        spark,
+        ranked,
+        [("monetary_cents", False), ("o_custkey", True)],
+        "m_rnk",
+    )
+    scored = ranked.select(
         "monetary_cents",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("r_days").asc(), F.col("o_custkey").asc()))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("freq").desc(), F.col("o_custkey").asc()))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(4)
-        .over(
-            Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey").asc())
-        )
-        .cast("long")
-        .alias("m_score"),
+        ntile_from_rank("r_rnk", n, 4).alias("r_score"),
+        ntile_from_rank("f_rnk", n, 4).alias("f_score"),
+        ntile_from_rank("m_rnk", n, 4).alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -3098,13 +3103,19 @@ def interval_month_overlap_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 # [EXT r9b] Business-day interval arithmetic — weekday counts in closed
 # form (no calendar table, no per-day iteration), pure integer.
 # ---------------------------------------------------------------------------
-BD_EPOCH = "1970-01-05"  # a Monday: makes dow = days-since-epoch mod 7
+BD_EPOCH = "1900-01-01"  # a Monday BELOW any plausible corpus date, so
+# day indexes stay non-negative (r9 ADVICE: Spark div/% truncate while
+# DuckDB //,% floor — the engines split on NEGATIVE day indexes, e.g.
+# d=-1 gives -1 vs -6; with a 1900 epoch + the loud guard below, no
+# negative index can reach _bd_f). Both epochs tried are Mondays, so
+# f(hi)-f(lo) — the only consumed quantity — is epoch-invariant.
 
 
 def _bd_f(day_idx: str) -> str:
     """Closed-form weekday count in [epoch, epoch + day_idx): full weeks
     contribute 5, the partial week contributes min(remainder, 5) —
-    identical SQL in both engines (day_idx is a non-negative integer)."""
+    identical SQL in both engines ONLY for non-negative day_idx
+    (truncating vs flooring division; the caller guards)."""
     return f"(({day_idx}) // 7 * 5 + least(({day_idx}) % 7, 5))"
 
 
@@ -3153,10 +3164,25 @@ def business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     epoch = F.to_date(F.lit(BD_EPOCH))
+    lo_raw = F.datediff(
+        F.least(F.to_date("o_orderdate"), F.to_date("l_shipdate")), epoch
+    )
+    # Loud guard (r9 ADVICE #2): _bd_f's closed form needs non-negative
+    # day indexes (truncating vs flooring div split the engines below the
+    # epoch). lo <= hi, so guarding lo covers both. assert_true returns
+    # NULL on pass, so the when() preserves lo's type and value.
+    lo_guarded = F.when(
+        F.assert_true(
+            lo_raw >= 0,
+            F.lit(
+                f"business_days_to_ship: date precedes BD_EPOCH ({BD_EPOCH}); "
+                "_bd_f requires non-negative day indexes"
+            ),
+        ).isNull(),
+        lo_raw,
+    )
     j = li.join(o, o["o_orderkey"] == li["l_orderkey"]).select(
-        F.datediff(
-            F.least(F.to_date("o_orderdate"), F.to_date("l_shipdate")), epoch
-        ).alias("lo"),
+        lo_guarded.alias("lo"),
         F.datediff(
             F.greatest(F.to_date("o_orderdate"), F.to_date("l_shipdate")), epoch
         ).alias("hi"),

@@ -935,8 +935,24 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             F.to_date("ts").alias("day"),
             # integer div, never FP: ids >= 2^53 would round the double
-            # quotient before truncation and land bits in the wrong word
-            F.expr(f"user_id div {BITMAP_WORD_BITS}").alias("word_idx"),
+            # quotient before truncation and land bits in the wrong word.
+            # Loud non-negative guard (r9 ADVICE #1): a NEGATIVE id under
+            # Spark div/pmod silently COLLIDES bits (-1 and 31 both set
+            # word 0 bit 31 — an undercount, not an error) while DuckDB
+            # would attempt a negative shift; neither is acceptable, so
+            # the precondition raises. assert_true returns NULL on pass,
+            # preserving the word index's type and value.
+            F.when(
+                F.assert_true(
+                    F.col("user_id") >= 0,
+                    F.lit(
+                        "bitmap_distinct_users: negative user_id — the "
+                        "presence-bitmap word/bit mapping requires "
+                        "non-negative ids (remap or offset upstream)"
+                    ),
+                ).isNull(),
+                F.expr(f"user_id div {BITMAP_WORD_BITS}"),
+            ).alias("word_idx"),
             # SQL shiftleft: the pyspark wrapper only takes a literal shift
             F.expr(
                 f"shiftleft(CAST(1 AS BIGINT), "

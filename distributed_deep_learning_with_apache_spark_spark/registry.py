@@ -53,82 +53,47 @@ def register(
 
 
 # The driver's correctness gate iterates ``queries()`` in dict order and
-# checks exactly 50 queries per round (CORRECTNESS_r01-r08: 50 rows each).
-# Round-9 rotation (r8 verdict #1, the round's top item — "never-checked
-# first"): the 20 round-8 operators with NO driver row yet (including
-# the four whose code changed again this round: the gini/decile
-# prefix-sum rewrite, range_partition_boundaries' dead-line delete, and
-# the lateness histogram's integer bucketing), then the 2 otherwise-
-# checked queries whose code changed this round (must re-earn their
-# hash), then the 12 r2-stale names the r8 rotation's 50 slots couldn't
-# reach, then the alphabetically-first 16 of the 47 r3-stale names.
-# That fills exactly 50 slots; the remaining 31 r3-stale names are next
-# in line and front r10's rotation. New r9 operators intentionally sit
-# BELOW the backlog (local oracle parity covers them until their first
-# driver row) — with 308+ registered and 50 slots/round, evidence
-# freshness is the binding constraint (r8 verdict #1).
+# checks exactly 50 queries per round (CORRECTNESS_r01-r09: 50 rows each).
+# Round-10 rotation (r9 verdict #1, the round's top item): the 19
+# round-9b operators with NO driver row yet come first, then the 4
+# queries whose code changed THIS round and must re-earn their hash
+# (the customer_rfm_segments / quality_tiers prefix-sum rewrites, the
+# vocab_oov_rate TakeOrderedAndProject fix, and the exactly-once merge's
+# versioned publish dir — changed code outranks stale evidence, the r9
+# rule), then the alphabetically-first 27 of the 32 r3-stale names.
+# That fills exactly 50 slots; the remaining 5 r3-stale names spill to
+# r11 and front its rotation. NO new operators were added this round —
+# the r9 verdict capped additions so the rotation budget clears the
+# backlog (19 never + 32 stale ~ one full round of slots).
 # Regenerate this list each round from the CORRECTNESS_r* latest-row map.
 _DRIVER_PRIORITY = [
-    # --- never driver-checked: the entire r8 addition batch -------------
-    "knn_classify_embeddings",
-    "countmin_estimate_profile",
-    "ewma_dyadic_revenue",
-    "out_of_order_lateness_histogram",
-    "running_distinct_users_daily",
-    "ivm_agg_retractions",
-    "stream_countmin_running",
-    "pca_power_iteration_quantized",
-    "lsh_band_tuning_profile",
-    "table_checksum_buckets",
-    "range_partition_boundaries",
-    "bootstrap_ci_revenue",
-    "vocab_oov_rate",
-    "json_schema_profile",
-    "gini_revenue_concentration",
-    "ks_two_sample_drift",
-    "twap_monthly_revenue",
-    "decile_lift_table",
-    "cohort_ltv_curve",
-    "log2_value_histogram",
+    # --- never driver-checked: the entire r9b addition batch ------------
+    "nation_revenue_trend",
+    "share_of_parent_revenue",
+    "pmi_priority_status",
+    "floored_running_balance",
+    "hot_streak_islands",
+    "autocorr_daily_revenue",
+    "rolling_median_revenue_7d",
+    "haar_wavelet_daily_revenue",
+    "user_event_entropy",
+    "bitmap_distinct_users",
+    "stream_bitmap_distinct_running",
+    "abc_pareto_classification",
+    "allocation_largest_remainder",
+    "near_dup_prefix_filter_jaccard",
+    "ann_binary_hamming",
+    "interval_month_overlap_revenue",
+    "merkle_tree_levels",
+    "business_days_to_ship",
+    "time_decay_customer_score",
     # --- code changed this round (re-earn the hash) ---------------------
-    "ml_ridge_normal_eq",
+    "customer_rfm_segments",
+    "quality_tiers",
+    "vocab_oov_rate",
     "stream_exactly_once_merge_restart",
-    "embedding_drift_by_label",  # zero-centroid nullif (3x-fuzz find)
-    # --- r2-stale cohort: the 12 names r8's 50 slots couldn't reach -----
-    "order_gap_days",
-    "pii_scrub",
-    "profile_lineitem",
-    "quantile_order_prices",
-    "repetition_signals",
-    "running_revenue_per_customer",
-    "simhash_fingerprints",
-    "source_csv_orders_agg",
-    "source_json_events_agg",
-    "unpivot_lineitem_measures",
-    "vector_scalar_ops",
-    "vocab_filter_truncate",
-    # --- r3-stale cohort, alphabetical: first 16 fill the 50 ------------
-    "bigram_lm_quality",
-    "cheapest_part_per_brand",
-    "chunk_overlapping",
-    "cube_revenue",
-    "customer_order_counts_outer",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "dedup_cluster_survivors",
-    "distinct_order_priorities",
-    "events_enriched_by_segment",
-    "events_funnel",
-    "events_hourly_gapfill",
-    "events_props_json",
-    "events_props_variant",
-    "events_rate_anomaly_zscore",
-    # ==== slot 51+ from here: fronts the r10 rotation ====================
-    # (events_value_interpolate displaced to slot 51 by the drift op's
-    # changed-code re-earn — changed code outranks stale evidence; the
-    # r10 window is therefore 51 names for 50 slots, one spills to r11)
+    # --- r3-stale cohort, alphabetical: first 27 fill the 50 ------------
     "events_value_interpolate",
-    # --- r3-stale remainder (31) ----------------------------------------
     "grouping_sets_revenue",
     "hybrid_retrieval_rrf",
     "image_decode_png",
@@ -155,36 +120,14 @@ _DRIVER_PRIORITY = [
     "shipping_priority",
     "stat_lineitem_correlations",
     "stream_foreachbatch_merge",
+    # ==== slot 51+ from here: fronts the r11 rotation ====================
+    # --- r3-stale remainder (5) ------------------------------------------
     "substring_span_dedup",
     "text_normalize_nfc",
     "top10_orders",
     "top_ngrams_boilerplate",
     "union_account_balances",
-    # --- r9 additions: below the backlog, first driver row in r10 --------
-    # (19 names; with the 31 r3-stale above they fill r10's 50 slots
-    # EXACTLY — the addition budget was capped to keep every new op
-    # inside the next rotation, per the r8 verdict's freshness rule)
-    "nation_revenue_trend",
-    "share_of_parent_revenue",
-    "pmi_priority_status",
-    "floored_running_balance",
-    "hot_streak_islands",
-    "autocorr_daily_revenue",
-    "rolling_median_revenue_7d",
-    "haar_wavelet_daily_revenue",
-    "user_event_entropy",
-    "bitmap_distinct_users",
-    "stream_bitmap_distinct_running",
-    "abc_pareto_classification",
-    "allocation_largest_remainder",
-    "near_dup_prefix_filter_jaccard",
-    "ann_binary_hamming",
-    "interval_month_overlap_revenue",
-    "merkle_tree_levels",
-    "business_days_to_ship",
-    "time_decay_customer_score",
 ]
-
 
 def load_all() -> dict[str, Query]:
     """Import every query-defining module, then return the registry."""

@@ -2377,19 +2377,17 @@ def stream_exactly_once_merge_restart(spark: SparkSession, sf_dir: str) -> DataF
     # driver — O(distinct users), which does not survive 100x. The rename
     # below is metadata-only; the staging/version/checkpoint scratch is
     # still removed, so nothing unbounded ever touches the driver.
-    # Fixed per-process publish path, overwritten on every run and
-    # reclaimed at interpreter exit — the r8 mkdtemp variant leaked one
-    # parquet dir per invocation across driver sweeps / fuzz / bench reps.
-    # Re-invocation invalidates the PREVIOUS run's returned lazy read,
-    # which is fine: every consumer (driver, bench, tests) collects before
-    # re-invoking.
+    # VERSIONED per-invocation publish dir, each atexit-reclaimed (r10
+    # ADVICE on the bitmap twin, applied here too): the r9 fixed-per-pid
+    # path leaked nothing but invalidated the PREVIOUS invocation's
+    # returned lazy read the moment the next invocation rmtree'd it; a
+    # fresh mkdtemp per run keeps every returned DataFrame readable for
+    # the process lifetime and still reclaims all of them at exit.
     import atexit
 
-    publish = _os.path.join(
-        tempfile.gettempdir(), f"sg_eo_merge_pub_{_os.getpid()}"
-    )
-    shutil.rmtree(publish, ignore_errors=True)
+    publish = tempfile.mkdtemp(prefix=f"sg_eo_merge_pub_{_os.getpid()}_")
     atexit.register(shutil.rmtree, publish, ignore_errors=True)
+    shutil.rmtree(publish, ignore_errors=True)  # move wants the name free
     shutil.move(final_path, publish)
     shutil.rmtree(base, ignore_errors=True)
     return spark.read.parquet(publish).select(
@@ -3479,8 +3477,20 @@ def stream_bitmap_distinct_running(spark: SparkSession, sf_dir: str) -> DataFram
         batch_words = (
             batch_df.select(
                 F.to_date("ts").alias("day"),
-                # integer div, never FP (see bitmap_distinct_users)
-                F.expr(f"user_id div {_BM_BITS}").alias("word_idx"),
+                # integer div, never FP; loud non-negative guard — a
+                # negative id silently collides bits (see
+                # bitmap_distinct_users, r9 ADVICE #1)
+                F.when(
+                    F.assert_true(
+                        F.col("user_id") >= 0,
+                        F.lit(
+                            "stream_bitmap_distinct_running: negative "
+                            "user_id — presence bitmaps need non-negative "
+                            "ids (remap or offset upstream)"
+                        ),
+                    ).isNull(),
+                    F.expr(f"user_id div {_BM_BITS}"),
+                ).alias("word_idx"),
                 F.expr(
                     f"shiftleft(CAST(1 AS BIGINT), "
                     f"CAST(pmod(user_id, {_BM_BITS}) AS INT))"
@@ -3514,19 +3524,28 @@ def stream_bitmap_distinct_running(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         q.stop()
 
-    # Publish the final word state to a fixed per-process path and reclaim
-    # the lifecycle scratch — the merge_restart discipline (r9 ADVICE #2):
-    # a mkdtemp left behind per invocation leaks one dir per sweep/fuzz/
-    # bench rep, and the returned DataFrame reads the state LAZILY, so the
-    # scratch tree cannot simply be removed here.
+    # Empty source (zero micro-batches): no state dir was ever written —
+    # return the empty result directly rather than shutil.move(None, ...)
+    # (r10 ADVICE: TypeError on a zero-batch stream).
+    if state["cur"] is None:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        return spark.createDataFrame([], "day date, distinct_users long")
+
+    # Publish the final word state to a VERSIONED per-invocation dir and
+    # reclaim the lifecycle scratch — the merge_restart discipline (r9
+    # ADVICE #2), tightened per r10 ADVICE: a fixed per-pid path made
+    # invocation N+1's rmtree invalidate the DataFrame still held from
+    # invocation N (it reads the dir lazily). mkdtemp gives each
+    # invocation its own dir; every one is atexit-reclaimed, so nothing
+    # leaks across a sweep and earlier results stay readable.
     import atexit
     import shutil
 
-    publish = _os.path.join(
-        tempfile.gettempdir(), f"sg_bitmap_pub_{_os.getpid()}"
-    )
-    shutil.rmtree(publish, ignore_errors=True)
+    publish = tempfile.mkdtemp(prefix=f"sg_bitmap_pub_{_os.getpid()}_")
     atexit.register(shutil.rmtree, publish, ignore_errors=True)
+    shutil.rmtree(publish, ignore_errors=True)  # mkdtemp made it; move wants the name free
     shutil.move(state["cur"], publish)
     shutil.rmtree(base, ignore_errors=True)
 
