@@ -545,27 +545,34 @@ def quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering is total (score desc, doc_id asc) so tier assignment is
     deterministic and engine-portable.
 
-    Scale (r10 rewrite): the tier used to be a global ntile window —
-    a single-partition sort of the WHOLE corpus, the last data-
-    proportional global-order window in the repo. Now the global rank
-    comes from the distributed prefix-sum (`global_row_ranks`:
-    range-repartition on (n_words desc, doc_id), pinned pids, <=32-row
-    offset collect, pid-local row_number) and the tier is the
-    closed-form `ntile_from_rank` integer expression — bit-identical to
-    the oracle's ntile (same ANSI fat-bucket contract, same total
-    order), with every data-proportional pass partition-parallel.
+    Scale (r10 rewrite, frontier form): the tier used to be a global
+    ntile window — a single-partition sort of the WHOLE corpus, the
+    last data-proportional global-order window in the repo. Now
+    `ntile_frontiers` finds the three tier edges from a per-value count
+    aggregate (word counts — a SMALL integer domain, ideal per-value
+    collapse) + a distributed prefix-sum over that value table + (when
+    an edge falls inside a tie block) one distributed rank pass over
+    the block's doc_ids; tier assignment is then a scan-stage predicate
+    against broadcast literals (`ntile_score_expr`) — no per-row rank,
+    no window, bit-identical to the oracle's ntile (same ANSI
+    fat-bucket contract, same total order).
     """
-    from .ranks import global_row_ranks, ntile_from_rank
+    from .ranks import ntile_frontiers, ntile_score_expr
 
     d = load_table(spark, sf_dir, "documents")
     n_words = F.size(tokens("text"))
-    ranked, n = global_row_ranks(
-        spark,
-        d.select("doc_id", n_words.alias("n_words")),
-        [("n_words", False), ("doc_id", True)],
-        "rnk",
+    # one slim materialization feeds the value counts, the tie-block
+    # probes, and the scoring scan (also stops CollapseProject from
+    # re-inlining the tokenize tree into every consumer — the r3 lesson)
+    scored_in = d.select("doc_id", n_words.alias("n_words")).localCheckpoint(
+        eager=True
     )
-    scored = ranked.withColumn("tier", ntile_from_rank("rnk", n, N_TIERS))
+    _n, frontiers = ntile_frontiers(
+        spark, scored_in, "n_words", False, "doc_id", N_TIERS
+    )
+    scored = scored_in.withColumn(
+        "tier", ntile_score_expr("n_words", False, "doc_id", frontiers)
+    )
     return scored.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n_words").alias("min_words"),

@@ -996,19 +996,24 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent / highest spend). Ties break on custkey so both engines'
     ntile frontiers are identical.
 
-    Scale (r10 rewrite): the per-customer rollup is one map-side-
-    combinable hash agg; the three quartile scores — formerly three
-    global-ORDER ntile windows, i.e. three single-partition sorts of the
-    customer dimension, the exact serialization the r9 gini/decile
-    rewrite eliminated — now come from three distributed global-rank
-    passes (`global_row_ranks`: range-repartition on the order spec,
-    pinned pids, a <=32-row offset collect, pid-local row_number) plus
-    the closed-form `ntile_from_rank` bucket expression. Every
-    data-proportional pass is partition-parallel; the serial state is
-    three 32-row offset tables. Output is bit-identical to the oracle's
-    ntile (same ANSI fat-bucket contract, same total orders).
+    Scale (r10 rewrite, frontier form): the per-customer rollup is one
+    map-side-combinable hash agg, checkpointed ONCE; the three quartile
+    scores — formerly three global-ORDER ntile windows, i.e. three
+    single-partition sorts of the customer dimension, the exact
+    serialization the r9 gini/decile rewrite eliminated — now come from
+    `ntile_frontiers`: per-axis, a slim per-value count aggregate, a
+    distributed prefix-sum over the VALUE domain, a <=3-row boundary
+    probe, and (only when a quartile edge falls inside a tie block) one
+    distributed rank pass over that block. Scoring is then a single
+    scan with nine broadcast-literal comparisons (`ntile_score_expr`) —
+    no per-row rank is ever materialized, no join-back, no window. The
+    first r10 cut ranked every row (three full-width checkpointed range
+    sorts; 2.49x wall at 30x); the frontier form is the docstring's
+    promised '"quartile frontiers ... broadcast range lookups"' design.
+    Output is bit-identical to the oracle's ntile (same ANSI fat-bucket
+    contract, same total orders).
     """
-    from .ranks import global_row_ranks, ntile_from_rank
+    from .ranks import ntile_frontiers, ntile_score_expr
 
     o = load_table(spark, sf_dir, "orders")
 
@@ -1029,25 +1034,38 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             "monetary_cents",
         )
+        # one slim materialization feeds all three axes' value counts,
+        # the (rare) tie-block probes, and the final scoring scan
+        .localCheckpoint(eager=True)
     )
-    ranked, n = global_row_ranks(
-        spark, rfm, [("r_days", True), ("o_custkey", True)], "r_rnk"
-    )
-    ranked, _ = global_row_ranks(
-        spark, ranked, [("freq", False), ("o_custkey", True)], "f_rnk"
-    )
-    ranked, _ = global_row_ranks(
-        spark,
-        ranked,
-        [("monetary_cents", False), ("o_custkey", True)],
-        "m_rnk",
-    )
-    scored = ranked.select(
-        "monetary_cents",
-        ntile_from_rank("r_rnk", n, 4).alias("r_score"),
-        ntile_from_rank("f_rnk", n, 4).alias("f_score"),
-        ntile_from_rank("m_rnk", n, 4).alias("m_score"),
-    )
+    axes = [
+        ("r_days", True, "r_score"),
+        ("freq", False, "f_score"),
+        ("monetary_cents", False, "m_score"),
+    ]
+    # the three axes are independent probe pipelines over the same
+    # checkpointed input — submit them as CONCURRENT Spark jobs so the
+    # driver-side collects overlap (each axis alone is a handful of
+    # small jobs; serially their scheduling latency adds up)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(axes)) as ex:
+        futs = [
+            (
+                value_col,
+                asc,
+                out,
+                ex.submit(
+                    ntile_frontiers, spark, rfm, value_col, asc, "o_custkey", 4
+                ),
+            )
+            for value_col, asc, out in axes
+        ]
+        score_cols = [
+            ntile_score_expr(value_col, asc, "o_custkey", fut.result()[1]).alias(out)
+            for value_col, asc, out, fut in futs
+        ]
+    scored = rfm.select("monetary_cents", *score_cols)
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("monetary_cents").cast("long").alias("total_cents"),

@@ -78,6 +78,158 @@ def global_row_ranks(
     return ranked, run
 
 
+def ntile_frontiers(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    asc: bool,
+    tiebreak_col: str,
+    k: int,
+    num_parts: int = RANK_PARTS,
+) -> tuple[int, list[tuple]]:
+    """Exact ``ntile(k)`` FRONTIERS of ``df`` under the total order
+    (``value_col`` asc/desc, ``tiebreak_col`` asc) — the k-1 rows at
+    ranks b_t = t*(n//k) + min(t, n%k) — without ranking ANY row:
+
+    1. one map-side-combinable per-value count aggregate (the value
+       domain, usually far smaller than the row set);
+    2. a distributed prefix-sum over that SLIM table (range-repartition,
+       pinned pids, <= num_parts-row offset collect);
+    3. a <= k-1-row boundary probe (broadcast nested-loop against the
+       cumulative counts);
+    4. only when a boundary falls strictly INSIDE a tie block, one
+       distributed rank pass over that single block to find the
+       tiebreak threshold (at most k-1 such passes).
+
+    Returns ``(n, frontiers)``; each frontier is ``(v_t, ck_t)`` where
+    ``ck_t is None`` means the whole ``v_t`` block lies at-or-before the
+    boundary (value-only comparison suffices). Rows scoring with
+    ``ntile_score_expr`` then need ONE scan with k-1 broadcast-literal
+    comparisons per axis — tile assignment is a scan-stage predicate,
+    the form the 100 TB deployment wants.
+    """
+    if k <= 0:
+        raise ValueError(f"ntile_frontiers needs k >= 1; got {k}")
+    vorder = F.col(value_col).asc() if asc else F.col(value_col).desc()
+    pv = df.groupBy(value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    pv = (
+        pv.repartitionByRange(num_parts, vorder)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin pid: both consumers must agree
+    )
+    stats = (
+        pv.groupBy("__pid").agg(F.sum("__c").cast("long").alias("pc")).collect()
+    )
+    run = 0
+    offsets = []
+    for row in sorted(stats, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], run))
+        run += int(row["pc"])
+    n = run
+    if n == 0:
+        return 0, []
+    offsets_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    wloc = Window.partitionBy("__pid").orderBy(vorder)
+    cum = pv.join(F.broadcast(offsets_df), "__pid").select(
+        value_col,
+        "__c",
+        (F.col("__off") + F.sum("__c").over(wloc)).cast("long").alias("__cum"),
+    )
+    q, r = divmod(n, k)
+    # one boundary per tile edge t = 1..k-1 (duplicates legitimate when
+    # n < k: equal frontiers are counted once per edge by the scorer)
+    bdf = spark.createDataFrame(
+        [(t, t * q + min(t, r)) for t in range(1, k)], "t int, b long"
+    )
+    hits = (
+        cum.join(
+            F.broadcast(bdf),
+            (F.col("__cum") >= F.col("b"))
+            & (F.col("__cum") - F.col("__c") < F.col("b")),
+        )
+        .select(
+            "t",
+            value_col,
+            "__c",
+            (F.col("b") - (F.col("__cum") - F.col("__c"))).alias("__j"),
+        )
+        .collect()
+    )
+    assert len(hits) == k - 1, f"boundary probe found {len(hits)} of {k - 1}"
+    # Boundaries strictly inside a tie block need the j-th smallest
+    # tiebreak of that block. Batch ALL such probes into ONE job: a
+    # window partitioned BY VALUE (parallel across blocks, never a
+    # SinglePartition exchange) over only the probe blocks' rows. If a
+    # single tie block ever outgrows one task (a pathological value
+    # holding a constant fraction of the corpus), swap the window for a
+    # per-block `global_row_ranks` pass — same answer, three jobs per
+    # block instead of one total.
+    need = {}
+    for row in hits:
+        v_t, c, j = row[value_col], int(row["__c"]), int(row["__j"])
+        if 0 < j < c:
+            need[(v_t, j)] = None
+    thresholds: dict[tuple, object] = {}
+    if need:
+        probes = spark.createDataFrame(
+            [(v, j) for v, j in need],
+            f"__pv {df.schema[value_col].dataType.simpleString()}, __pj long",
+        )
+        wblk = Window.partitionBy(value_col).orderBy(F.col(tiebreak_col).asc())
+        blocks = df.filter(
+            F.col(value_col).isin([v for v, _ in need])
+        ).select(value_col, tiebreak_col)
+        found = (
+            blocks.withColumn("__r", F.row_number().over(wblk))
+            .join(
+                F.broadcast(probes),
+                (F.col(value_col) == F.col("__pv"))
+                & (F.col("__r") == F.col("__pj")),
+            )
+            .select("__pv", "__pj", tiebreak_col)
+            .collect()
+        )
+        thresholds = {(r["__pv"], r["__pj"]): r[tiebreak_col] for r in found}
+        assert len(thresholds) == len(need), "tie-block probe lost a boundary"
+    frontiers = []
+    for row in sorted(hits, key=lambda r: r["t"]):
+        v_t, c, j = row[value_col], int(row["__c"]), int(row["__j"])
+        if j >= c:
+            # boundary at the END of the tie block: every v_t row is
+            # at-or-before it, so the value comparison alone decides
+            frontiers.append((v_t, None))
+        else:
+            frontiers.append((v_t, thresholds[(v_t, j)]))
+    return n, frontiers
+
+
+def ntile_score_expr(
+    value_col: str, asc: bool, tiebreak_col: str, frontiers: list[tuple]
+) -> Column:
+    """The exact ntile bucket of a row given its axis's frontiers:
+    1 + the number of frontiers the row sorts strictly AFTER. Pure
+    scan-stage comparisons against broadcast literals — no shuffle, no
+    window, no rank."""
+    expr = F.lit(1).cast("long")
+    for v_t, ck in frontiers:
+        beyond_val = (
+            F.col(value_col) > F.lit(v_t)
+            if asc
+            else F.col(value_col) < F.lit(v_t)
+        )
+        if ck is None:
+            after = beyond_val
+        else:
+            after = beyond_val | (
+                (F.col(value_col) == F.lit(v_t))
+                & (F.col(tiebreak_col) > F.lit(ck))
+            )
+        expr = expr + F.when(after, 1).otherwise(0)
+    return expr.cast("long")
+
+
 def ntile_from_rank(rank_col: str, n: int, k: int) -> Column:
     """The exact ``ntile(k)`` bucket of global rank ``rank_col`` over
     ``n`` rows, in closed form: with ``q, r = divmod(n, k)`` the first

@@ -278,3 +278,49 @@ def test_stream_bitmap_held_dataframe_survives_reinvocation(spark, sf_dir):
     again = sorted((r["day"], r["distinct_users"]) for r in df1.collect())
     assert again == first  # df1 must still be readable after df2's run
     assert sorted((r["day"], r["distinct_users"]) for r in df2.collect()) == first
+
+
+# ---------------------------------------------------------------------------
+# ntile_frontiers + ntile_score_expr: frontier-based tile assignment ==
+# engine ntile, on tie-heavy data where tier edges fall INSIDE tie
+# blocks (the path that needs the per-block tiebreak probe)
+# ---------------------------------------------------------------------------
+from distributed_deep_learning_with_apache_spark_spark.operators.ranks import (  # noqa: E402
+    ntile_frontiers,
+    ntile_score_expr,
+)
+
+
+@pytest.mark.parametrize("asc", [True, False])
+@pytest.mark.parametrize(
+    "n,k,mod",
+    [
+        (500, 4, 3),   # huge tie blocks: every edge inside a block
+        (500, 4, 499),  # nearly unique values
+        (101, 7, 5),
+        (7, 4, 1),     # ALL values equal: every edge inside ONE block
+        (3, 4, 2),     # n < k
+        (1, 4, 1),
+    ],
+)
+def test_ntile_frontiers_match_engine_ntile(spark, asc, n, k, mod):
+    rows = [((i * 7) % mod, i) for i in range(n)]
+    df = spark.createDataFrame(rows, "v int, uid int")
+    nn, fr = ntile_frontiers(spark, df, "v", asc, "uid", k)
+    assert nn == n and len(fr) == k - 1
+    got = df.withColumn("tile", ntile_score_expr("v", asc, "uid", fr))
+    order = F.col("v").asc() if asc else F.col("v").desc()
+    w = Window.orderBy(order, F.col("uid").asc())
+    truth = df.select(
+        "uid", F.ntile(k).over(w).cast("long").alias("t")
+    )
+    bad = got.join(truth, "uid").filter(F.col("tile") != F.col("t")).count()
+    assert bad == 0, f"asc={asc} n={n} k={k} mod={mod}: frontier tiles diverged"
+
+
+def test_ntile_frontiers_empty_and_bad_k(spark):
+    df = spark.createDataFrame([], "v int, uid int")
+    nn, fr = ntile_frontiers(spark, df, "v", True, "uid", 4)
+    assert nn == 0 and fr == []
+    with pytest.raises(ValueError):
+        ntile_frontiers(spark, df, "v", True, "uid", 0)

@@ -197,6 +197,9 @@ QUERIES = [
     "merkle_tree_levels",
     "business_days_to_ship",
     "time_decay_customer_score",
+    # round-10: the two prefix-sum rewrites (customer_rfm_segments is
+    # already in the r6 section; quality_tiers gets its first curve)
+    "quality_tiers",
 ]
 
 
