@@ -198,19 +198,23 @@ def test_lateness_histogram_buckets_are_integer_arithmetic(spark, sf_dir):
     assert rows and all(r["bucket_floor_s"] % ev.OOO_BUCKET_S == 0 for r in rows)
 
 
-def test_merge_restart_publish_dir_is_reused(spark, sf_dir):
-    """Two invocations must not accumulate publish dirs (ADVICE r9): the
-    snapshot lands in ONE fixed per-process path, overwritten each run."""
+def test_merge_restart_publish_dirs_are_versioned_and_owned(spark, sf_dir):
+    """r10 contract (supersedes the r9 fixed-per-pid path, whose rmtree
+    invalidated the PREVIOUS invocation's lazy result): each invocation
+    publishes to its OWN pid-prefixed dir (atexit-reclaimed, so nothing
+    outlives the process), the lifecycle scratch is still removed, and a
+    held DataFrame stays collectable across a re-invocation."""
     reg = load_all()
     fn = reg["stream_exactly_once_merge_restart"].fn
-    pattern = os.path.join(tempfile.gettempdir(), "sg_eo_merge_pub_*")
-    publish = os.path.join(
-        tempfile.gettempdir(), f"sg_eo_merge_pub_{os.getpid()}"
+    pattern = os.path.join(
+        tempfile.gettempdir(), f"sg_eo_merge_pub_{os.getpid()}_*"
     )
-    dirs_before = set(glob.glob(pattern))  # tolerate stale pre-fix leaks
-    n1 = fn(spark, sf_dir).count()
+    dirs_before = set(glob.glob(pattern))
+    df1 = fn(spark, sf_dir)
+    n1 = df1.count()
     n2 = fn(spark, sf_dir).count()
     dirs_after = set(glob.glob(pattern))
     assert n1 == n2 > 0
-    assert dirs_after - dirs_before <= {publish}
-    assert os.path.isdir(publish)
+    new_dirs = dirs_after - dirs_before
+    assert len(new_dirs) == 2, new_dirs  # one versioned dir per invocation
+    assert df1.count() == n1  # invocation 1's result survives invocation 2

@@ -498,10 +498,12 @@ def test_time_decay_halving_semantics(spark):
     assert any(v[2] < v[1] for v in out.values())  # old revenue decays
 
 
-def test_stream_bitmap_publish_dir_is_reused(spark):
-    """The streaming bitmap publishes to ONE fixed per-process path and
-    reclaims its lifecycle scratch — re-invocation must not accumulate
-    directories (the merge_restart publish-dir lesson, r9 ADVICE #2)."""
+def test_stream_bitmap_publish_dirs_are_versioned_and_owned(spark):
+    """r10 contract (supersedes the r9 fixed-per-pid path): each
+    invocation publishes its word state to its OWN pid-prefixed dir
+    (atexit-reclaimed), the lifecycle scratch is still removed, and a
+    held result DataFrame stays collectable across a re-invocation
+    (pinned end-to-end in tests/test_r10_fixes.py)."""
     import glob
     import os
     import tempfile
@@ -510,10 +512,11 @@ def test_stream_bitmap_publish_dir_is_reused(spark):
     # compare against a BEFORE snapshot: a concurrent or pre-fix process
     # may have left dirs this process doesn't own
     scratch_before = set(glob.glob(os.path.join(tmp, "sg_bitmap_stream_*")))
+    pub_before = set(glob.glob(os.path.join(tmp, f"sg_bitmap_pub_{os.getpid()}_*")))
     REG["stream_bitmap_distinct_running"].fn(spark, DRIVER_SF_DIR).collect()
     REG["stream_bitmap_distinct_running"].fn(spark, DRIVER_SF_DIR).collect()
-    pub = os.path.join(tmp, f"sg_bitmap_pub_{os.getpid()}")
-    assert os.path.isdir(pub)  # one fixed per-process publish path
+    pub_after = set(glob.glob(os.path.join(tmp, f"sg_bitmap_pub_{os.getpid()}_*")))
+    assert len(pub_after - pub_before) == 2  # one versioned dir per invocation
     scratch_after = set(glob.glob(os.path.join(tmp, "sg_bitmap_stream_*")))
     assert scratch_after - scratch_before == set()  # no NEW scratch leaked
 
