@@ -2947,7 +2947,7 @@ def allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    trow = per_nation.agg(F.sum("cents")).collect()[0]  # bounded
+    trow = per_nation.agg(F.sum("cents"), F.min("cents")).collect()[0]  # bounded
     if trow[0] is None:  # no orders at all (fuzz corpus): nothing to split
         return spark.createDataFrame(
             [],
@@ -2955,6 +2955,20 @@ def allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alloc_units long",
         )
     total = int(trow[0])
+    # Loud preconditions (r10 sign-sensitivity sweep): largest-remainder
+    # apportionment is undefined for negative weights, and a negative
+    # cents would also split the engines silently (Spark `div` truncates,
+    # SQL `//` floors — quotients differ when negative). A zero total
+    # with rows present has no defined shares either.
+    if int(trow[1]) < 0:
+        raise ValueError(
+            "allocation_largest_remainder: negative per-nation revenue "
+            f"({trow[1]} cents) — apportionment weights must be non-negative"
+        )
+    if total == 0:
+        raise ValueError(
+            "allocation_largest_remainder: all weights are zero; shares undefined"
+        )
     if total * ALLOC_BUDGET >= 2**62:
         raise OverflowError(
             f"cents*budget bound {total * ALLOC_BUDGET} exceeds 2^62; "
@@ -3070,10 +3084,26 @@ def interval_month_overlap_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     last_ship = li.groupBy("l_orderkey").agg(
         F.max(F.to_date("l_shipdate")).alias("d2")
     )
+    # Loud non-negative guard (r10 sign-sensitivity sweep): the per-month
+    # pro-ration below floor-divides cents — Spark `div` truncates while
+    # SQL `//` floors, so a NEGATIVE cents would silently split the
+    # engines (the bitmap/business-days class). assert_true returns NULL
+    # on pass, preserving the value.
+    cents_raw = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    cents_guarded = F.when(
+        F.assert_true(
+            cents_raw >= 0,
+            F.lit(
+                "interval_month_overlap_revenue: negative order revenue — "
+                "pro-ration's integer division requires non-negative cents"
+            ),
+        ).isNull(),
+        cents_raw,
+    )
     iv = (
         o.select(
             "o_orderkey",
-            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+            cents_guarded.alias("cents"),
             F.to_date("o_orderdate").alias("d1"),
         )
         .join(last_ship, F.col("o_orderkey") == F.col("l_orderkey"))

@@ -324,3 +324,59 @@ def test_ntile_frontiers_empty_and_bad_k(spark):
     assert nn == 0 and fr == []
     with pytest.raises(ValueError):
         ntile_frontiers(spark, df, "v", True, "uid", 0)
+
+
+# ---------------------------------------------------------------------------
+# r10 proactive sign-sensitivity sweep: the two remaining div-on-cents
+# sites raise loudly on negative revenue (Spark `div` truncates, SQL `//`
+# floors — negative quotients silently split the engines)
+# ---------------------------------------------------------------------------
+def _write_tpch_min(spark, order_rows):
+    """orders + 1-line lineitem + customer/nation minimal fixture.
+    order_rows: (orderkey, custkey, totalprice)."""
+    import datetime as dt
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sg_r10neg_")
+    o = spark.createDataFrame(
+        [
+            (k, c, float(p), dt.datetime(1995, 1, 2), "O", "1-URGENT")
+            for k, c, p in order_rows
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp, o_orderstatus string, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(k, dt.datetime(1995, 1, 5)) for k, _, _ in order_rows],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    cust = spark.createDataFrame(
+        [(c, int(c % 2)) for _, c, _ in order_rows],
+        "c_custkey long, c_nationkey int",
+    ).dropDuplicates()
+    nat = spark.createDataFrame(
+        [(0, "KENYA"), (1, "PERU")], "n_nationkey int, n_name string"
+    )
+    o.write.mode("overwrite").parquet(d + "/orders.parquet")
+    li.write.mode("overwrite").parquet(d + "/lineitem.parquet")
+    cust.write.mode("overwrite").parquet(d + "/customer.parquet")
+    nat.write.mode("overwrite").parquet(d + "/nation.parquet")
+    return d
+
+
+def test_allocation_negative_revenue_raises_loudly(spark):
+    d = _write_tpch_min(spark, [(1, 1, 100.0), (2, 2, -50.0)])
+    with pytest.raises(ValueError, match="non-negative"):
+        REG["allocation_largest_remainder"].fn(spark, d)
+
+
+def test_allocation_all_zero_weights_raises_loudly(spark):
+    d = _write_tpch_min(spark, [(1, 1, 0.0), (2, 2, 0.0)])
+    with pytest.raises(ValueError, match="all weights are zero"):
+        REG["allocation_largest_remainder"].fn(spark, d)
+
+
+def test_interval_proration_negative_revenue_raises_loudly(spark):
+    d = _write_tpch_min(spark, [(1, 1, -100.0)])
+    with pytest.raises(Exception, match="non-negative cents"):
+        REG["interval_month_overlap_revenue"].fn(spark, d).collect()

@@ -39,6 +39,10 @@ STAT_QUERIES = [
     "bootstrap_ci_revenue",
     "ks_two_sample_drift",
     "log2_value_histogram",
+    # r10: the frontier-ntile rewrite rides the same hostile shapes —
+    # n < k tiles (single_customer, seven_customers), one value block
+    # straddling EVERY tile edge (all_tied: the tie-probe hard case)
+    "customer_rfm_segments",
 ]
 
 PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
