@@ -3088,11 +3088,14 @@ def interval_month_overlap_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     # pro-ration below floor-divides cents — Spark `div` truncates while
     # SQL `//` floors, so a NEGATIVE cents would silently split the
     # engines (the bitmap/business-days class). assert_true returns NULL
-    # on pass, preserving the value.
+    # on pass, preserving the value. A NULL o_totalprice PASSES the guard
+    # (isNull disjunct, r10 ADVICE): SQL arithmetic propagates NULL in
+    # both engines, so NULL-in → NULL-out is the cross-engine-safe path;
+    # only a definitely-negative value raises.
     cents_raw = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     cents_guarded = F.when(
         F.assert_true(
-            cents_raw >= 0,
+            cents_raw.isNull() | (cents_raw >= 0),
             F.lit(
                 "interval_month_overlap_revenue: negative order revenue — "
                 "pro-ration's integer division requires non-negative cents"
@@ -3218,10 +3221,13 @@ def business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Loud guard (r9 ADVICE #2): _bd_f's closed form needs non-negative
     # day indexes (truncating vs flooring div split the engines below the
     # epoch). lo <= hi, so guarding lo covers both. assert_true returns
-    # NULL on pass, so the when() preserves lo's type and value.
+    # NULL on pass, so the when() preserves lo's type and value. A NULL
+    # date PASSES the guard (isNull disjunct, r10 ADVICE): datediff over
+    # NULL propagates NULL in both engines, the cross-engine-safe path;
+    # only a definitely-pre-epoch date raises.
     lo_guarded = F.when(
         F.assert_true(
-            lo_raw >= 0,
+            lo_raw.isNull() | (lo_raw >= 0),
             F.lit(
                 f"business_days_to_ship: date precedes BD_EPOCH ({BD_EPOCH}); "
                 "_bd_f requires non-negative day indexes"

@@ -941,7 +941,11 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             # word 0 bit 31 — an undercount, not an error) while DuckDB
             # would attempt a negative shift; neither is acceptable, so
             # the precondition raises. assert_true returns NULL on pass,
-            # preserving the word index's type and value.
+            # preserving the word index's type and value. A NULL user_id
+            # ALSO raises (assert_true errors on a NULL condition) — an
+            # INTENTIONAL NULL-reject (r10 ADVICE): a presence bitmap is
+            # keyed by identity, and a NULL identity is a data-contract
+            # violation to surface loudly, not a value to propagate.
             F.when(
                 F.assert_true(
                     F.col("user_id") >= 0,

@@ -24,6 +24,25 @@ with every data-proportional pass partition-parallel:
 ``ntile(k)`` bucket in closed form (first ``n mod k`` buckets hold
 ``n//k + 1`` rows — the ANSI ntile contract both Spark and DuckDB
 implement), as a scan-stage integer expression: no window at all.
+
+Fault tolerance (the 100 TB deployment note): the partition-id pin is
+an eager ``localCheckpoint``, which stores blocks on executors WITHOUT
+lineage — on a real cluster, losing an executor after the checkpoint
+invalidates its blocks and FAILS THE JOB LOUDLY (it can never produce a
+silently wrong rank, because both consumers read the same materialized
+blocks or none). The recovery story is job restart, the same contract
+as any non-replicated cache; a deployment that needs to survive
+executor loss mid-query swaps ``localCheckpoint`` for a reliable
+``checkpoint`` (HDFS-backed) at the cost of one distributed write.
+
+Null contract: the order/value columns must be NON-NULL. SQL engines
+disagree on NULL placement (NULLS FIRST vs LAST defaults differ), and a
+NULL value collapses the frontier comparisons (`ntile_score_expr`'s
+``>``/``=`` yield NULL → tile 1 regardless of direction), so
+``ntile_frontiers`` raises on any NULL in ``value_col`` — detected for
+free inside the per-value stats aggregate. Callers null-filter or
+coalesce first (tokens() is null-safe; the RFM axes are
+aggregate-derived, never NULL).
 """
 
 from __future__ import annotations
@@ -32,6 +51,19 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 RANK_PARTS = 32
+
+# A tie block whose row count exceeds this routes through a per-block
+# `global_row_ranks` pass (three small distributed jobs) instead of the
+# batched single-window probe: the window partitions BY VALUE, so one
+# pathological value holding a constant fraction of the corpus would
+# serialize its probe into one task. 4M (value, tiebreak) pairs ≈ 64 MB
+# — comfortably one task; anything bigger is the skew case the r10
+# docstring promised to fall back on (now automatic, r11).
+TIE_BLOCK_TASK_ROWS = 4_000_000
+
+# Test observability: count of tie blocks routed through the fallback
+# since process start (tests force a tiny threshold and assert > 0).
+_fallback_block_probes = 0
 
 
 def global_row_ranks(
@@ -46,6 +78,10 @@ def global_row_ranks(
     tiebreak column so the order is total) without a single-partition
     sort. Returns ``(df_with_rank, n_rows)``; ``n_rows`` is an exact
     Python int (it feeds closed-form ntile math and overflow guards).
+
+    Order columns should be NON-NULL (callers' contract): Spark's range
+    partitioner and row_number place NULLs consistently with each other,
+    but cross-engine NULL ordering differs — see the module docstring.
     """
     sort_cols = [
         F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_spec
@@ -86,6 +122,7 @@ def ntile_frontiers(
     tiebreak_col: str,
     k: int,
     num_parts: int = RANK_PARTS,
+    tie_block_task_rows: int | None = None,
 ) -> tuple[int, list[tuple]]:
     """Exact ``ntile(k)`` FRONTIERS of ``df`` under the total order
     (``value_col`` asc/desc, ``tiebreak_col`` asc) — the k-1 rows at
@@ -107,9 +144,20 @@ def ntile_frontiers(
     ``ntile_score_expr`` then need ONE scan with k-1 broadcast-literal
     comparisons per axis — tile assignment is a scan-stage predicate,
     the form the 100 TB deployment wants.
+
+    ``value_col`` must be NON-NULL (raises ValueError otherwise — see
+    the module docstring); ``tiebreak_col`` must be unique per value so
+    the order is total. Tie blocks larger than ``tie_block_task_rows``
+    are probed with a per-block ``global_row_ranks`` pass instead of
+    the shared by-value window (automatic skew fallback, r11).
     """
+    global _fallback_block_probes
     if k <= 0:
         raise ValueError(f"ntile_frontiers needs k >= 1; got {k}")
+    if tie_block_task_rows is None:
+        # resolved at CALL time so tests (and deployments) can retune the
+        # module constant and see it through the registered query paths
+        tie_block_task_rows = TIE_BLOCK_TASK_ROWS
     vorder = F.col(value_col).asc() if asc else F.col(value_col).desc()
     pv = df.groupBy(value_col).agg(
         F.count(F.lit(1)).cast("long").alias("__c")
@@ -120,8 +168,25 @@ def ntile_frontiers(
         .localCheckpoint(eager=True)  # pin pid: both consumers must agree
     )
     stats = (
-        pv.groupBy("__pid").agg(F.sum("__c").cast("long").alias("pc")).collect()
+        pv.groupBy("__pid")
+        .agg(
+            F.sum("__c").cast("long").alias("pc"),
+            # NULL detection rides the same aggregate — zero extra jobs
+            F.sum(
+                F.when(F.col(value_col).isNull(), F.col("__c")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("nullc"),
+        )
+        .collect()
     )
+    n_null = sum(int(r["nullc"]) for r in stats)
+    if n_null:
+        raise ValueError(
+            f"ntile_frontiers: {value_col} holds {n_null} NULL row(s); the "
+            "frontier comparisons cannot order NULLs — filter or coalesce "
+            "them first (module docstring: null contract)"
+        )
     run = 0
     offsets = []
     for row in sorted(stats, key=lambda r: r["__pid"]):
@@ -157,21 +222,50 @@ def ntile_frontiers(
         )
         .collect()
     )
-    assert len(hits) == k - 1, f"boundary probe found {len(hits)} of {k - 1}"
+    if len(hits) != k - 1:
+        # explicit raise, not assert: python -O must not strip this gate
+        # (a short probe would silently mis-tile every row downstream)
+        raise RuntimeError(
+            f"ntile_frontiers boundary probe found {len(hits)} of {k - 1}"
+        )
     # Boundaries strictly inside a tie block need the j-th smallest
-    # tiebreak of that block. Batch ALL such probes into ONE job: a
-    # window partitioned BY VALUE (parallel across blocks, never a
-    # SinglePartition exchange) over only the probe blocks' rows. If a
-    # single tie block ever outgrows one task (a pathological value
-    # holding a constant fraction of the corpus), swap the window for a
-    # per-block `global_row_ranks` pass — same answer, three jobs per
-    # block instead of one total.
+    # tiebreak of that block. Small blocks batch into ONE job: a window
+    # partitioned BY VALUE (parallel across blocks, never a
+    # SinglePartition exchange) over only the probe blocks' rows. A tie
+    # block larger than `tie_block_task_rows` (a pathological value
+    # holding a constant fraction of the corpus would serialize its one
+    # probe window into one task) routes through a per-block
+    # `global_row_ranks` pass instead — same answer, three small
+    # distributed jobs for that block (automatic skew fallback, r11).
     need = {}
+    thresholds: dict[tuple, object] = {}
     for row in hits:
         v_t, c, j = row[value_col], int(row["__c"]), int(row["__j"])
-        if 0 < j < c:
+        if not 0 < j < c:
+            continue
+        if c > tie_block_task_rows:
+            _fallback_block_probes += 1
+            block = df.filter(F.col(value_col) == F.lit(v_t)).select(
+                value_col, tiebreak_col
+            )
+            ranked, n_blk = global_row_ranks(
+                spark, block, [(tiebreak_col, True)], rank_col="__r",
+                num_parts=num_parts,
+            )
+            if n_blk != c:
+                raise RuntimeError(
+                    f"ntile_frontiers fallback: tie block {v_t!r} ranked "
+                    f"{n_blk} rows, per-value count said {c}"
+                )
+            got = ranked.filter(F.col("__r") == j).select(tiebreak_col).collect()
+            if len(got) != 1:
+                raise RuntimeError(
+                    f"ntile_frontiers fallback probe for block {v_t!r} rank "
+                    f"{j} returned {len(got)} rows"
+                )
+            thresholds[(v_t, j)] = got[0][tiebreak_col]
+        else:
             need[(v_t, j)] = None
-    thresholds: dict[tuple, object] = {}
     if need:
         probes = spark.createDataFrame(
             [(v, j) for v, j in need],
@@ -191,8 +285,15 @@ def ntile_frontiers(
             .select("__pv", "__pj", tiebreak_col)
             .collect()
         )
-        thresholds = {(r["__pv"], r["__pj"]): r[tiebreak_col] for r in found}
-        assert len(thresholds) == len(need), "tie-block probe lost a boundary"
+        thresholds.update(
+            {(r["__pv"], r["__pj"]): r[tiebreak_col] for r in found}
+        )
+        if len(found) != len(need):
+            # explicit raise, not assert: python -O must not strip this
+            raise RuntimeError(
+                f"ntile_frontiers tie-block probe lost a boundary: "
+                f"{len(found)} of {len(need)} resolved"
+            )
     frontiers = []
     for row in sorted(hits, key=lambda r: r["t"]):
         v_t, c, j = row[value_col], int(row["__c"]), int(row["__j"])
@@ -211,7 +312,9 @@ def ntile_score_expr(
     """The exact ntile bucket of a row given its axis's frontiers:
     1 + the number of frontiers the row sorts strictly AFTER. Pure
     scan-stage comparisons against broadcast literals — no shuffle, no
-    window, no rank."""
+    window, no rank. ``value_col`` must be NON-NULL (a NULL collapses
+    every comparison to NULL → tile 1 regardless of direction;
+    ``ntile_frontiers`` raises before frontiers for such data exist)."""
     expr = F.lit(1).cast("long")
     for v_t, ck in frontiers:
         beyond_val = (

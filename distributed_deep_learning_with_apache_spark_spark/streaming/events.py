@@ -2383,6 +2383,12 @@ def stream_exactly_once_merge_restart(spark: SparkSession, sf_dir: str) -> DataF
     # returned lazy read the moment the next invocation rmtree'd it; a
     # fresh mkdtemp per run keeps every returned DataFrame readable for
     # the process lifetime and still reclaims all of them at exit.
+    # Disk growth is one small parquet snapshot per INVOCATION (r11
+    # ADVICE note): bounded for any test/bench/driver run; a long-lived
+    # process invoking this thousands of times would cap retention
+    # (keep last N dirs per pid) — not wired here because every current
+    # caller is a bounded sweep and eager reclamation would re-break the
+    # lazy-read contract this versioning exists to keep.
     import atexit
 
     publish = tempfile.mkdtemp(prefix=f"sg_eo_merge_pub_{_os.getpid()}_")
@@ -3479,7 +3485,9 @@ def stream_bitmap_distinct_running(spark: SparkSession, sf_dir: str) -> DataFram
                 F.to_date("ts").alias("day"),
                 # integer div, never FP; loud non-negative guard — a
                 # negative id silently collides bits (see
-                # bitmap_distinct_users, r9 ADVICE #1)
+                # bitmap_distinct_users, r9 ADVICE #1). NULL user_id also
+                # raises — intentional NULL-reject on an identity column
+                # (r10 ADVICE), mirroring the batch twin.
                 F.when(
                     F.assert_true(
                         F.col("user_id") >= 0,
