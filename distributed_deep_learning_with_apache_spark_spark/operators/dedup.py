@@ -1860,6 +1860,172 @@ def near_dup_index_append_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# [EXT r11] STREAMING near-dup vs the persisted band index: the
+# continuous-ingest composition a training-data pipeline actually runs
+# (r10 verdict missing #3) — micro-batches probe the store, fresh docs
+# are emitted, ACCEPTED postings append, so later batches dedup against
+# earlier accepted batches too, not just against history.
+# ---------------------------------------------------------------------------
+STREAM_ND_BATCHES = 3
+
+
+def probe_band_index(spark: SparkSession, root: str, batch: DataFrame) -> DataFrame:
+    """Probe the persisted band store with a (doc_id, text) batch: band
+    postings equi-join for candidates, exact Jaccard (>= 0.5) over the
+    STORED shingle hashes to verify, returns the FRESH docs
+    ``(doc_id, n_band_candidates)`` — the `near_dup_incremental` probe
+    factored for reuse by the streaming twin (that query's executed body
+    is deliberately left inline: it holds a green driver hash row)."""
+    import os
+
+    hist_bands = spark.read.parquet(os.path.join(root, "bands"))
+    hist_sh = spark.read.parquet(os.path.join(root, "shingles"))
+    bsh = (
+        batch.select("doc_id", shingles().alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.transform(F.col("sh"), F.md5).alias("hs"),
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hx"),
+        )
+    )
+    batch_bands = _band_signature(bsh).select(
+        "doc_id",
+        F.explode(
+            F.create_map(
+                *[
+                    x
+                    for b in range(N_BANDS)
+                    for x in (F.lit(f"band_{b}"), F.col(f"band_{b}"))
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    cand = (
+        batch_bands.alias("b")
+        .join(
+            hist_bands.alias("h"),
+            (F.col("b.band_id") == F.col("h.band_id"))
+            & (F.col("b.band_val") == F.col("h.band_val")),
+        )
+        .select(F.col("b.doc_id").alias("bid"), F.col("h.doc_id").alias("hid"))
+        .distinct()
+    )
+    sa = bsh.select(F.col("doc_id").alias("bid"), F.col("hx").alias("sha"))
+    sb = hist_sh.select(F.col("doc_id").alias("hid"), F.col("hx").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    jacc = inter / (F.size("sha") + F.size("shb") - inter)
+    dup = (
+        cand.join(sa, "bid").join(sb, "hid").filter(jacc >= 0.5).select("bid").distinct()
+    )
+    ncand = cand.groupBy("bid").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ids = batch.select("doc_id")
+    return (
+        ids.join(dup, ids.doc_id == dup.bid, "left_anti")
+        .join(ncand, ids.doc_id == ncand.bid, "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_band_candidates"),
+        )
+    )
+
+
+@register(
+    "stream_near_dup_incremental",
+    oracle=None,  # Structured Streaming lifecycle; batch-twin pinned in tests
+    tags=("dedup", "streaming", "structured", "ext", "lsh", "scale"),
+)
+def stream_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dup, end to end: the batch corpus is staged
+    as {STREAM_ND_BATCHES} files and replayed as a real Structured
+    Streaming file source (``maxFilesPerTrigger=1`` → one micro-batch per
+    file, mtime-ordered); each micro-batch's foreachBatch (a) probes the
+    persisted MinHash band store (`probe_band_index` — candidates via the
+    band equi-join, exact Jaccard over stored shingle hashes), (b) emits
+    the fresh docs, and (c) APPENDS only the ACCEPTED docs' postings
+    (`append_band_index`), so the store is the growing survivor corpus:
+    a batch-2 doc near-duplicating a batch-0 SURVIVOR is rejected, while
+    duplicating only a batch-0 REJECT stays fresh — the semantics
+    `near_dup_incremental` (one-shot probe, no growth) cannot express.
+
+    The probe is materialized (eager localCheckpoint) BEFORE the append
+    mutates the store — otherwise every doc would self-match at
+    Jaccard 1.0. Returns the per-batch admission ledger; the sequential
+    batch twin (same splits, same helpers, no streaming engine) is
+    pinned equal in tests/test_r11_new_ops.py, plus the cross-op
+    invariant: batch 0's fresh set == `near_dup_incremental`'s fresh set
+    restricted to batch 0 (the store is history-only at that point).
+
+    Scale: per-micro-batch work is ∝ batch size (probe shuffle on band
+    values, verify join on candidate ids only); the store grows
+    append-only and is compacted on the lake schedule
+    (`lake_compact_small_files`). State lives in the store, not the
+    stream — restart = resume from the last appended batch.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.events import _stream_state_partitions
+
+    d = load_table(spark, sf_dir, "documents")
+    batch_src = d.filter(F.col("doc_id") % INC_HIST_MOD >= INC_HIST_KEEP).select(
+        "doc_id", "text"
+    )
+    work = tempfile.mkdtemp(prefix="sg_stream_nd_idx_")
+    shutil.rmtree(work)  # build_band_index wants to create it atomically
+    stage = tempfile.mkdtemp(prefix="sg_stream_nd_src_")
+    results: list[tuple[int, int, int]] = []
+    try:
+        root = build_band_index(spark, sf_dir, root=work)
+        for b in range(STREAM_ND_BATCHES):
+            part_dir = os.path.join(stage, f"_w{b}")
+            (
+                batch_src.filter(F.pmod("doc_id", F.lit(STREAM_ND_BATCHES)) == b)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            src_file = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+            dst = os.path.join(stage, f"b{b}.parquet")
+            shutil.move(os.path.join(part_dir, src_file), dst)
+            shutil.rmtree(part_dir)
+            # ascending mtimes AND lexicographic names: the file source's
+            # admission order is deterministic under either sort key
+            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            bspark = batch_df.sparkSession
+            fresh = probe_band_index(bspark, root, batch_df).localCheckpoint(
+                eager=True  # materialize BEFORE the append mutates the store
+            )
+            n_docs = batch_df.count()
+            n_fresh = fresh.count()
+            accepted = batch_df.join(fresh.select("doc_id"), "doc_id")
+            append_band_index(bspark, root, accepted)
+            results.append((int(batch_id), int(n_docs), int(n_fresh)))
+
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        with _stream_state_partitions(spark):
+            q = src.writeStream.foreachBatch(process).start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        return spark.createDataFrame(
+            [(b, nd, nf, nd - nf) for b, nd, nf in sorted(results)],
+            "batch_id long, n_docs long, n_fresh long, n_dup long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # [EXT r8] LSH band-tuning profile: the candidate-workload readout for
 # every (bands x rows-per-band) split of the 8-hash signature — the
 # number that DECIDES the banding config at 100 TB.

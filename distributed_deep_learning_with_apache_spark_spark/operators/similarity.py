@@ -512,7 +512,12 @@ def ann_ivf_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_INDEX_ROOT = "/tmp/ddl_spark_ivf_index_v1"
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str, root: str | None = None) -> str:
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    source: DataFrame | None = None,
+) -> str:
     """Materialize the IVF layout a production vector store keeps on disk:
     assignments parquet PARTITIONED BY cell (so probing nprobe cells reads
     only those directories) + the KB-sized centroid table. Built once per
@@ -543,9 +548,12 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, root: str | None = None) -
     # a concurrent process (pytest alongside the driver) must never probe a
     # half-written index tree.
     stage = f"{root}.tmp.{os.getpid()}"
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
-    )
+    # `source` (r11): index a caller-chosen (vec_id, embedding) subset —
+    # the history side of the append lifecycle — instead of the full
+    # table. Only sensible with an explicit root (the default cache key
+    # is corpus-wide); ann_ivf_append_batch is the caller.
+    src = source if source is not None else load_table(spark, sf_dir, "embeddings")
+    e = src.select("vec_id", as_double("embedding").alias("v"))
     feat = e.withColumn("features", array_to_vector("v"))
     model = KMeans(k=IVF_K, seed=42, maxIter=20).fit(feat)
     assigned = model.transform(feat).select(
@@ -636,6 +644,168 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r11] Incremental IVF maintenance: append a new embedding batch to
+# the persisted cells WITHOUT re-running k-means — kills the full index
+# rebuild (the repo's most expensive op) as the only refresh path.
+# ---------------------------------------------------------------------------
+def _walk_parquet(root: str) -> dict:
+    """{path: size} for every parquet data file under root."""
+    import glob as _g
+    import os as _o
+
+    return {
+        p: _o.path.getsize(p)
+        for p in _g.glob(_o.path.join(root, "**", "*.parquet"), recursive=True)
+    }
+
+
+def append_ivf_index(spark: SparkSession, root: str, batch: DataFrame) -> None:
+    """Grow the persisted IVF index by a new (vec_id, embedding) batch:
+    assign each vector to its nearest EXISTING centroid (broadcast of the
+    KB-sized centroid table — no k-means re-fit, no history re-read) and
+    append the assignments under the matching cell directories. Existing
+    index files are never rewritten (the append-only discipline of
+    `append_band_index` / the snapshot table's data dir).
+
+    Centroids drift from the true corpus means as the store grows;
+    production re-clusters on a maintenance schedule (= re-run
+    `build_ivf_index`), exactly like small-file compaction — the append
+    path is the cheap steady-state, the rebuild the periodic repair."""
+    import os
+
+    centroids = spark.read.parquet(os.path.join(root, "centroids"))
+    l2sq = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    assigned = (
+        batch.select("vec_id", as_double("embedding").alias("v"))
+        .crossJoin(F.broadcast(centroids))
+        .select("vec_id", "v", "cell", l2sq(F.col("v"), F.col("cv")).alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    # repartition on cell: one appended file per touched cell directory,
+    # not one per (writer task x cell) — the build-time small-file rule.
+    (
+        assigned.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(root, "assignments"))
+    )
+
+
+@register(
+    "ann_ivf_append_batch",
+    oracle=None,  # k-means fit is iterative; lifecycle + recall pinned in tests
+    tags=("similarity", "ext", "ivf", "scale", "lifecycle"),
+)
+def ann_ivf_append_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index LIFECYCLE op the r10 verdict ordered (missing #4),
+    symmetric to `near_dup_index_append_cycle`: build the IVF index over
+    the HISTORY 90% of the corpus (private root), append the remaining
+    10% as a new batch via `append_ivf_index` (broadcast-centroid assign,
+    append-only files, no rebuild), then serve the standard top-k probe
+    from the GROWN index — `ann_ivf_persisted`'s exact plan shape, with
+    the appended vectors now retrievable.
+
+    In-operator gates (loud, WAP-style):
+    - immutability: every pre-append index file must be byte-identical
+      in size after the append (only additions allowed);
+    - completeness: every appended vec_id must be present in the
+      read-back assignments.
+    tests/test_r11_new_ops.py additionally pins post-append recall at
+    the standing >= 0.5 * nprobe/k floor and the appended-neighbor
+    reachability.
+
+    Scale: the append touches O(batch) rows + one broadcast of k
+    centroids; the 14 s full rebuild (`ann_ivf_pq_build`) drops out of
+    the steady-state ingest path entirely.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_batch = (F.col("vec_id") % 10 == 9) & (F.col("vec_id") >= N_QUERIES)
+    hist = e.filter(~is_batch)
+    batch = e.filter(is_batch)
+    work = tempfile.mkdtemp(prefix="sg_ivf_append_")
+    shutil.rmtree(work)  # build_ivf_index wants to create it atomically
+    try:
+        root = build_ivf_index(spark, sf_dir, root=work, source=hist)
+        before = _walk_parquet(root)
+        append_ivf_index(spark, root, batch)
+        after = _walk_parquet(root)
+        rewritten = [p for p, sz in before.items() if after.get(p) != sz]
+        if rewritten:
+            raise RuntimeError(
+                f"ann_ivf_append_batch rewrote existing index files: "
+                f"{rewritten[:3]} (append-only contract)"
+            )
+        assigned = spark.read.parquet(os.path.join(root, "assignments"))
+        n_batch = batch.count()
+        n_found = assigned.join(
+            batch.select("vec_id"), "vec_id", "left_semi"
+        ).count()
+        if n_found != n_batch:
+            raise RuntimeError(
+                f"ann_ivf_append_batch lost vectors: {n_found} of {n_batch} "
+                "appended ids present in the grown index"
+            )
+        centroids = spark.read.parquet(os.path.join(root, "centroids"))
+        l2sq = lambda a, b: F.aggregate(  # noqa: E731
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        qw = Window.partitionBy("query_id").orderBy(
+            F.col("d2").asc(), F.col("cell").asc()
+        )
+        probes = (
+            assigned.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+            .crossJoin(F.broadcast(centroids))
+            .select(
+                "query_id", "qv", "cell", l2sq(F.col("qv"), F.col("cv")).alias("d2")
+            )
+            .select(
+                "query_id", "qv", "cell", F.row_number().over(qw).alias("cell_rnk")
+            )
+            .filter(F.col("cell_rnk") <= IVF_NPROBE)
+            .select("query_id", "qv", F.col("cell").alias("qcell"))
+        )
+        scored = assigned.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        out = (
+            scored.select(
+                "query_id",
+                "neighbor_id",
+                (F.round("cos", 6) + 0.0).alias("cosine_sim"),
+                F.row_number().over(w).alias("rnk"),
+            )
+            .filter(F.col("rnk") <= TOP_K)
+        )
+        # the private index root is reclaimed in finally: materialize
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

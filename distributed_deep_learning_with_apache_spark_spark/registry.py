@@ -53,80 +53,90 @@ def register(
 
 
 # The driver's correctness gate iterates ``queries()`` in dict order and
-# checks exactly 50 queries per round (CORRECTNESS_r01-r09: 50 rows each).
-# Round-10 rotation (r9 verdict #1, the round's top item): the 19
-# round-9b operators with NO driver row yet come first, then the 4
-# queries whose code changed THIS round and must re-earn their hash
-# (the customer_rfm_segments / quality_tiers prefix-sum rewrites, the
-# vocab_oov_rate TakeOrderedAndProject fix, and the exactly-once merge's
-# versioned publish dir — changed code outranks stale evidence, the r9
-# rule), then the alphabetically-first 27 of the 32 r3-stale names.
-# That fills exactly 50 slots; the remaining 5 r3-stale names spill to
-# r11 and front its rotation. NO new operators were added this round —
-# the r9 verdict capped additions so the rotation budget clears the
-# backlog (19 never + 32 stale ~ one full round of slots).
+# checks exactly 50 queries per round (CORRECTNESS_r01-r10: 50 rows each).
+# Round-11 rotation (r10 verdict #1): (a) the last 5 r3-stale names lead
+# — with them green, no query's latest driver row predates r4; (b) every
+# query whose EXECUTED CODE changed this round re-earns its hash (the
+# ranks.py hardening flows into customer_rfm_segments/quality_tiers; the
+# NULL-pass-through guard rewrites touch interval_month_overlap_revenue
+# and business_days_to_ship); (c) the round's one new ORACLE-BEARING op
+# (lake_zorder_write); (d) the remaining slots hold the oldest
+# oracle-bearing names (the full r4 cohort, then r5 alphabetical) — and,
+# per r10 verdict finding #1, ONLY oracle-bearing names occupy the 50,
+# so every driver slot produces a hash verdict (rows-only ops are
+# exercised by test_rows_only_runs instead; the round's two new
+# rows-only lifecycle ops front the r12 rotation below for their
+# execution rows).
 # Regenerate this list each round from the CORRECTNESS_r* latest-row map.
 _DRIVER_PRIORITY = [
-    # --- never driver-checked: the entire r9b addition batch ------------
-    "nation_revenue_trend",
-    "share_of_parent_revenue",
-    "pmi_priority_status",
-    "floored_running_balance",
-    "hot_streak_islands",
-    "autocorr_daily_revenue",
-    "rolling_median_revenue_7d",
-    "haar_wavelet_daily_revenue",
-    "user_event_entropy",
-    "bitmap_distinct_users",
-    "stream_bitmap_distinct_running",
-    "abc_pareto_classification",
-    "allocation_largest_remainder",
-    "near_dup_prefix_filter_jaccard",
-    "ann_binary_hamming",
-    "interval_month_overlap_revenue",
-    "merkle_tree_levels",
-    "business_days_to_ship",
-    "time_decay_customer_score",
-    # --- code changed this round (re-earn the hash) ---------------------
-    "customer_rfm_segments",
-    "quality_tiers",
-    "vocab_oov_rate",
-    "stream_exactly_once_merge_restart",
-    # --- r3-stale cohort, alphabetical: first 27 fill the 50 ------------
-    "events_value_interpolate",
-    "grouping_sets_revenue",
-    "hybrid_retrieval_rrf",
-    "image_decode_png",
-    "join_key_skew_profile",
-    "lake_snapshot_time_travel",
-    "length_bucket_packing",
-    "local_supplier_volume",
-    "ml_cnn_trained_conv",
-    "monthly_revenue",
-    "near_dup_containment",
-    "orders_above_customer_avg",
-    "orders_by_status_pivot",
-    "pricing_summary",
-    "promo_revenue_share",
-    "psi_drift_events",
-    "reservoir_sample_per_group",
-    "revenue_per_customer",
-    "revenue_per_region",
-    "rolling_7d_customer_revenue",
-    "rollup_revenue",
-    "sample_weighted_quality",
-    "scd2_as_of_lookup",
-    "semantic_dedup",
-    "shipping_priority",
-    "stat_lineitem_correlations",
-    "stream_foreachbatch_merge",
-    # ==== slot 51+ from here: fronts the r11 rotation ====================
-    # --- r3-stale remainder (5) ------------------------------------------
+    # --- r3-stale remainder: retires staleness entirely (5) -------------
     "substring_span_dedup",
     "text_normalize_nfc",
     "top10_orders",
     "top_ngrams_boilerplate",
     "union_account_balances",
+    # --- code changed this round (re-earn the hash) (4) ------------------
+    "customer_rfm_segments",
+    "quality_tiers",
+    "interval_month_overlap_revenue",
+    "business_days_to_ship",
+    # --- new oracle-bearing op this round (1) -----------------------------
+    "lake_zorder_write",
+    # --- oldest oracle-bearing cohort: all of r4 (12) ---------------------
+    "ann_matryoshka_refine",
+    "bucketed_join_revenue",
+    "events_retention_cohorts",
+    "global_agg_stats",
+    "k_anonymity_violations",
+    "lake_schema_evolution",
+    "near_dup_containment_stopfiltered",
+    "near_dup_edit_distance",
+    "recursive_calendar_daily",
+    "salted_join_quantity_tier",
+    "simhash64_near_dup_pairs",
+    "udtf_chunk_spans",
+    # --- r5 oracle-bearing, alphabetical: first 28 fill the 50 ------------
+    "ansi_safe_doc_ratios",
+    "batch_observed_metrics",
+    "bloom_semijoin_pruned",
+    "cdc_snapshot_diff",
+    "collated_token_counts",
+    "distinct_multi_two_phase",
+    "events_ohlc_hourly",
+    "except_all_order_priorities",
+    "grouped_apply_in_arrow",
+    "grouped_quantile_exact",
+    "heavy_hitters_sketch_verified",
+    "incremental_agg_maintenance",
+    "intersect_all_order_priorities",
+    "lake_compact_small_files",
+    "lake_deletion_vectors",
+    "lake_dynamic_partition_overwrite",
+    "lake_vacuum_expire",
+    "lateral_top3_orders",
+    "leakage_safe_splits",
+    "locf_forward_fill",
+    "map_in_arrow_bytes",
+    "notin_nullaware_anti",
+    "ntile_balance_quartiles",
+    "nullsafe_bucket_join",
+    "percentile_band_segments",
+    "quantile_two_pass_exact",
+    "segment_nation_rollcall",
+    "skew_agg_two_phase",
+    # ==== slot 51+ from here: fronts the r12 rotation ====================
+    # --- new rows-only lifecycle ops (execution rows when slots allow) ---
+    "stream_near_dup_incremental",
+    "ann_ivf_append_batch",
+    # --- r5 oracle-bearing remainder (8) ----------------------------------
+    "source_orc_lineitem_agg",
+    "source_xml_events_agg",
+    "sql_registered_udf",
+    "temperature_mixture_weights",
+    "triangle_count_copurchase",
+    "udaf_weighted_median",
+    "udf_iterator_scoring",
+    "union_by_name_schema_drift",
 ]
 
 def load_all() -> dict[str, Query]:

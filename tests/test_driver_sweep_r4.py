@@ -243,6 +243,19 @@ def test_r9_oracle_at_driver_sf(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
+# Oracle-bearing round-11 addition (lake z-order clustered write).
+R11_ORACLE = [
+    "lake_zorder_write",
+]
+
+
+@pytest.mark.parametrize("name", R11_ORACLE)
+def test_r11_oracle_at_driver_sf(spark, duck, name):
+    q = REG[name]
+    ok, msg = compare(q.fn(spark, DRIVER_SF_DIR), duck, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
 def test_driver_canon_gate_catches_r4_err_class(spark):
     """Negative control: the exact r4 failure shape (a top-level array
     column) must be flagged by driver_canon_rows, proving the gate is live."""

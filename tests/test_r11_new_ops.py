@@ -1,0 +1,248 @@
+"""Round-11 new lifecycle operators (r10 VERDICT missing #2-#4):
+
+- `lake_zorder_write`: exact-boundary z-clustered write — oracle parity
+  is swept elsewhere (sf0.001 routine + sf0.01 driver rehearsal); here
+  the LAYOUT claims are pinned: footer-stats skipping fractions on both
+  single-key probes, and the exact order-stat boundaries' file balance.
+- `stream_near_dup_incremental`: the streaming admission ledger must
+  equal the sequential batch twin on the same staged splits, batch 0's
+  fresh set must equal `near_dup_incremental`'s (history-only store at
+  that point), and accepted docs must self-match on re-probe.
+- `ann_ivf_append_batch`: post-append top-k recall holds the standing
+  floor, and an appended exact-duplicate vector lands in its twin's
+  cell (reachability without rebuild).
+"""
+
+import os
+import shutil
+import tempfile
+
+import pyarrow.parquet as papq
+from pyspark.sql import functions as F
+
+from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+
+REG = load_all()
+
+
+# ---------------------------------------------------------------------------
+# lake_zorder_write
+# ---------------------------------------------------------------------------
+def test_zorder_write_layout_skips_and_balances(spark, sf_dir, tmp_path):
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import (
+        load_table,
+    )
+    from distributed_deep_learning_with_apache_spark_spark.sources.lake import (
+        ZW_FILES,
+        _zorder_skipping_gate,
+        zorder_exact_file_ids,
+        zorder_key,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    mx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    max_p, max_s = int(mx[0]), int(mx[1])
+    keyed = li.select(
+        "*",
+        zorder_key(
+            F.col("l_partkey"), F.col("l_suppkey"), F.lit(max_p), F.lit(max_s)
+        ).alias("zval"),
+    ).localCheckpoint(eager=True)
+    fid, cuts = zorder_exact_file_ids(spark, keyed, "zval", ZW_FILES)
+    out = str(tmp_path / "zw")
+    (
+        keyed.withColumn("_fid", fid)
+        .repartition(ZW_FILES, "_fid")
+        .sortWithinPartitions("_fid", "zval")
+        .write.mode("overwrite")
+        .partitionBy("_fid")
+        .parquet(out)
+    )
+    stats = _zorder_skipping_gate(out, max_p, max_s)
+    # tighter than the in-op gate: single-key eighth-probes each overlap
+    # at most half the files; the conjunctive box at most a quarter
+    assert stats["files"] >= 8
+    assert stats["f_a"] <= 0.5 and stats["f_b"] <= 0.5, stats
+    assert stats["f_ab"] <= 0.25, stats
+    # exact order-stat boundaries: file row counts balance (no sampled-
+    # boundary straggler); ties on z can shift rows by a block at most
+    import glob
+
+    rows = [
+        papq.read_metadata(p).num_rows
+        for p in glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)
+    ]
+    assert max(rows) <= 2 * (sum(rows) // len(rows)) + 1, rows
+    # lossless: the files hold every source row exactly once
+    assert sum(rows) == li.count()
+
+
+def test_zorder_write_registered_query_round_trips(spark, sf_dir):
+    out = REG["lake_zorder_write"].fn(spark, sf_dir)
+    src = REG["lake_zorder_write"]
+    assert set(out.columns) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "zval",
+    }
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import (
+        load_table,
+    )
+
+    n_src = load_table(spark, sf_dir, "lineitem").count()
+    assert out.count() == n_src
+    assert src.oracle is not None  # hash-checked by the parity sweeps
+
+
+# ---------------------------------------------------------------------------
+# stream_near_dup_incremental
+# ---------------------------------------------------------------------------
+def test_stream_near_dup_matches_sequential_twin(spark, sf_dir):
+    from distributed_deep_learning_with_apache_spark_spark.operators.dedup import (
+        INC_HIST_KEEP,
+        INC_HIST_MOD,
+        STREAM_ND_BATCHES,
+        append_band_index,
+        build_band_index,
+        probe_band_index,
+        shingles,
+    )
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import (
+        load_table,
+    )
+
+    out = REG["stream_near_dup_incremental"].fn(spark, sf_dir).collect()
+    ledger = sorted((r.batch_id, r.n_docs, r.n_fresh, r.n_dup) for r in out)
+    assert len(ledger) == STREAM_ND_BATCHES
+    assert all(nd == ndocs - nf for _, ndocs, nf, nd in ledger)
+
+    # sequential batch twin: same splits, same store helpers, no engine
+    d = load_table(spark, sf_dir, "documents")
+    batch_src = d.filter(
+        F.col("doc_id") % INC_HIST_MOD >= INC_HIST_KEEP
+    ).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="sg_stream_nd_twin_")
+    shutil.rmtree(work)
+    try:
+        root = build_band_index(spark, sf_dir, root=work)
+        twin = []
+        fresh_sets = []
+        accepted_ids = set()
+        for b in range(STREAM_ND_BATCHES):
+            bdf = batch_src.filter(
+                F.pmod("doc_id", F.lit(STREAM_ND_BATCHES)) == b
+            ).localCheckpoint(eager=True)
+            fresh = probe_band_index(spark, root, bdf).localCheckpoint(eager=True)
+            ids = {r.doc_id for r in fresh.select("doc_id").collect()}
+            n_docs = bdf.count()
+            twin.append((b, n_docs, len(ids), n_docs - len(ids)))
+            fresh_sets.append(ids)
+            accepted_ids |= ids
+            append_band_index(
+                spark, root, bdf.join(fresh.select("doc_id"), "doc_id")
+            )
+        assert ledger == twin, f"stream {ledger} != sequential twin {twin}"
+
+        # cross-op invariant: at batch 0 the store is history-only, so the
+        # fresh set equals near_dup_incremental's fresh set ∩ split 0
+        inc_fresh = {
+            r.doc_id
+            for r in REG["near_dup_incremental"]
+            .fn(spark, sf_dir)
+            .select("doc_id")
+            .collect()
+        }
+        inc0 = {i for i in inc_fresh if i % STREAM_ND_BATCHES == 0}
+        assert fresh_sets[0] == inc0
+
+        # self-match invariant: every ACCEPTED doc with a non-empty
+        # shingle set is now in the store and must re-probe as dup
+        accepted = batch_src.filter(F.col("doc_id").isin(list(accepted_ids)))
+        shingled = {
+            r.doc_id
+            for r in accepted.select("doc_id", shingles().alias("sh"))
+            .filter(F.size("sh") > 0)
+            .collect()
+        }
+        still_fresh = {
+            r.doc_id
+            for r in probe_band_index(spark, root, accepted)
+            .select("doc_id")
+            .collect()
+        }
+        assert not (still_fresh & shingled), (
+            "accepted shingled docs did not self-match after append: "
+            f"{sorted(still_fresh & shingled)[:5]}"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_append_batch
+# ---------------------------------------------------------------------------
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ann_ivf_append_contract_and_recall(spark, sf_dir):
+    from distributed_deep_learning_with_apache_spark_spark.operators.similarity import (
+        IVF_K,
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    out = REG["ann_ivf_append_batch"].fn(spark, sf_dir)
+    assert set(out.columns) == {"query_id", "neighbor_id", "cosine_sim", "rnk"}
+    counts = out.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    assert all(r.n <= TOP_K for r in counts)
+    approx = _topk_sets(out)
+    assert len(approx) == N_QUERIES
+    exact = _topk_sets(REG["cosine_topk_exact"].fn(spark, sf_dir))
+    hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    recall = hits / (len(exact) * TOP_K)
+    assert recall >= 0.5 * IVF_NPROBE / IVF_K, f"post-append recall {recall:.2f}"
+
+
+def test_append_ivf_exact_duplicate_lands_in_twin_cell(spark, sf_dir):
+    """Appending a COPY of an indexed vector must assign it to the same
+    cell its twin lives in (broadcast-centroid nearest == the stored
+    k-means prediction), so a probe that reaches the twin reaches the
+    appendee — retrieval reachability without any rebuild."""
+    from distributed_deep_learning_with_apache_spark_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+    )
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="sg_ivf_twin_")
+    shutil.rmtree(work)
+    try:
+        root = build_ivf_index(spark, sf_dir, root=work, source=e)
+        new_id = e.agg(F.max("vec_id")).first()[0] + 1
+        clone = e.filter(F.col("vec_id") == 0).select(
+            F.lit(new_id).cast("long").alias("vec_id"), "embedding"
+        )
+        append_ivf_index(spark, root, clone)
+        assigned = spark.read.parquet(os.path.join(root, "assignments"))
+        cells = {
+            r.vec_id: r.cell
+            for r in assigned.filter(
+                F.col("vec_id").isin(0, int(new_id))
+            ).collect()
+        }
+        assert cells[new_id] == cells[0], cells
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
