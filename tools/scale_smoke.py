@@ -200,6 +200,10 @@ QUERIES = [
     # round-10: the two prefix-sum rewrites (customer_rfm_segments is
     # already in the r6 section; quality_tiers gets its first curve)
     "quality_tiers",
+    # round-11: the new lifecycle ops
+    "lake_zorder_write",
+    "stream_near_dup_incremental",
+    "ann_ivf_append_batch",
 ]
 
 
