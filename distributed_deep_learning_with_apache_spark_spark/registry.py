@@ -80,8 +80,9 @@ _DRIVER_PRIORITY = [
     "quality_tiers",
     "interval_month_overlap_revenue",
     "business_days_to_ship",
-    # --- new oracle-bearing op this round (1) -----------------------------
+    # --- new oracle-bearing ops this round (2) ----------------------------
     "lake_zorder_write",
+    "lake_zorder_recluster",
     # --- oldest oracle-bearing cohort: all of r4 (12) ---------------------
     "ann_matryoshka_refine",
     "bucketed_join_revenue",
@@ -123,12 +124,12 @@ _DRIVER_PRIORITY = [
     "percentile_band_segments",
     "quantile_two_pass_exact",
     "segment_nation_rollcall",
-    "skew_agg_two_phase",
     # ==== slot 51+ from here: fronts the r12 rotation ====================
     # --- new rows-only lifecycle ops (execution rows when slots allow) ---
     "stream_near_dup_incremental",
     "ann_ivf_append_batch",
-    # --- r5 oracle-bearing remainder (8) ----------------------------------
+    # --- r5 oracle-bearing remainder (9) ----------------------------------
+    "skew_agg_two_phase",
     "source_orc_lineitem_agg",
     "source_xml_events_agg",
     "sql_registered_udf",

@@ -487,6 +487,205 @@ def lake_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZR_INGEST_FILES = 4  # the unclustered accretion is staged as this many files
+
+
+@register(
+    "lake_zorder_recluster",
+    oracle="""
+        WITH z AS (
+          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+                 (SELECT max(l_partkey) FROM lineitem) AS max_p,
+                 (SELECT max(l_suppkey) FROM lineitem) AS max_s
+          FROM lineitem
+        ),
+        keyed AS (
+          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+                 least(CAST(floor(l_partkey * 1023.0 / max_p) AS BIGINT), 1023) AS ra,
+                 least(CAST(floor(l_suppkey * 1023.0 / max_s) AS BIGINT), 1023) AS rb
+          FROM z
+        )
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+               bit_or((ra >> b & 1) << (2 * b)) | bit_or((rb >> b & 1) << (2 * b + 1)) AS zval
+        FROM keyed, (SELECT unnest(generate_series(0, 9)) AS b)
+        GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, ra, rb
+    """,
+    doc="Incremental OPTIMIZE ZORDER: unclustered ingest files merged into the clustered table by DYNAMIC-OVERWRITING only the touched z-partitions; untouched files byte-stable (gated); final table hash-checked.",
+    tags=("lake", "ext", "scale"),
+)
+def lake_zorder_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the z-order LIFECYCLE, symmetric to the band/IVF append
+    cycles: a clustered table accretes UNCLUSTERED ingest files (the
+    streaming-sink shape — each new file spans ~the whole key plane, so
+    footer stats prune nothing on it), and an incremental OPTIMIZE
+    folds them in WITHOUT rewriting the table:
+
+    1. base = lineitem minus the 'new keys' slice (l_partkey in the top
+       fifth of the domain — the realistic new-entity-arrival pattern);
+       z-write it with the ORIGINAL exact boundaries (kept, the table's
+       clustering spec);
+    2. the slice lands as {ZR_INGEST_FILES} plain unsorted files;
+       gate A (vacuity guard): those files' footer rectangles must be
+       WIDE on l_suppkey (nothing to skip) — otherwise this rehearsal
+       proves nothing;
+    3. RECLUSTER: each ingest row's file id comes from the stored
+       boundary cuts (a scan-stage expression — no re-planning); only
+       the TOUCHED z-partitions are read back, merged, re-sorted, and
+       replaced via ``partitionOverwriteMode=dynamic``; gate B: the
+       untouched partition set is NON-EMPTY and its files byte-stable
+       (path+size) — the range-localized slice touches only the fids
+       covering its z-region, which is the entire point of incremental
+       OPTIMIZE (Delta/Iceberg rewrite only affected files);
+    4. gate C: the merged table passes the full skipping gate again;
+    5. return the table READ BACK — the oracle recomputes all rows +
+       the Morton key from scratch, so the hash proves the recluster
+       lost and duplicated nothing.
+
+    Scale: the rewrite cost is ∝ (ingest rows + rows in touched
+    partitions), never ∝ table size; at 100 TB this is the difference
+    between OPTIMIZE as routine maintenance and OPTIMIZE as an outage.
+    """
+    import atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    maxes = li.agg(
+        F.max("l_partkey").alias("max_p"), F.max("l_suppkey").alias("max_s")
+    )
+    mx = maxes.first()
+    max_p, max_s = int(mx["max_p"]), int(mx["max_s"])
+    # z keys are computed against the FULL-table maxes on both sides so
+    # base and ingest rows share one key space (and the oracle's)
+    keyed = (
+        li.crossJoin(F.broadcast(maxes))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            zorder_key(
+                F.col("l_partkey"), F.col("l_suppkey"), F.col("max_p"), F.col("max_s")
+            ).alias("zval"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    new_keys = F.col("l_partkey") > int(max_p * 0.8)
+    base = keyed.filter(~new_keys)
+    ingest_rows = keyed.filter(new_keys)
+
+    root = _tempfile.mkdtemp(prefix="sg_zorder_recluster_")
+    atexit.register(_shutil.rmtree, root, ignore_errors=True)
+    table_dir = _os.path.join(root, "table")
+    ingest_dir = _os.path.join(root, "ingest")
+
+    # 1. clustered base write under the table's boundary spec
+    fid, cuts = zorder_exact_file_ids(spark, base, "zval", ZW_FILES)
+    (
+        base.withColumn("_fid", fid)
+        .repartition(ZW_FILES, "_fid")
+        .sortWithinPartitions("_fid", "zval")
+        .write.mode("overwrite")
+        .partitionBy("_fid")
+        .parquet(table_dir)
+    )
+    # 2. unclustered accretion: plain unsorted files
+    ingest_rows.repartition(ZR_INGEST_FILES).write.mode("overwrite").parquet(
+        ingest_dir
+    )
+    # gate A (vacuity): every ingest file must be WIDE on l_suppkey
+    # RELATIVE TO THE SLICE'S OWN RANGE — round-robin staging mixes the
+    # slice's rows into every file, so footer stats cannot prune them;
+    # if an ingest file ever reads clustered, the rehearsal is
+    # meaningless and must say so. (Measured against the slice's range,
+    # not max_s: a range-localized slice — e.g. the scale harness's
+    # key-shifted replicas — legitimately occupies a band of the full
+    # domain while still being unclustered WITHIN it.)
+    import pyarrow.parquet as _pq
+
+    ing_span = ingest_rows.agg(
+        F.min("l_suppkey").alias("lo"), F.max("l_suppkey").alias("hi")
+    ).first()
+    span = int(ing_span["hi"]) - int(ing_span["lo"])
+    for fp in _glob.glob(_os.path.join(ingest_dir, "*.parquet")):
+        md = _pq.read_metadata(fp)
+        if md.num_rows == 0:
+            continue
+        names = [
+            md.row_group(0).column(j).path_in_schema
+            for j in range(md.row_group(0).num_columns)
+        ]
+        js = names.index("l_suppkey")
+        lo = min(md.row_group(i).column(js).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(js).statistics.max for i in range(md.num_row_groups))
+        if span > 0 and (hi - lo) < 0.5 * span:
+            raise RuntimeError(
+                f"lake_zorder_recluster: ingest file {fp} is narrow on "
+                f"l_suppkey [{lo},{hi}] vs slice span {span} — the "
+                "unclustered-accretion rehearsal is vacuous"
+            )
+
+    # 3. incremental recluster: route ingest rows to their fids via the
+    # STORED cuts, read back only the touched partitions, merge, and
+    # dynamic-overwrite those partitions alone.
+    ing = spark.read.parquet(ingest_dir)
+    ing_fid = F.lit(0)
+    for b in cuts:
+        ing_fid = ing_fid + F.when(F.col("zval") > F.lit(b), 1).otherwise(0)
+    ing = ing.withColumn("_fid", ing_fid.cast("int"))
+    touched = sorted(r["_fid"] for r in ing.select("_fid").distinct().collect())
+    if not touched:
+        raise RuntimeError("lake_zorder_recluster: empty ingest slice")
+    before = {
+        p: _os.path.getsize(p)
+        for p in _glob.glob(_os.path.join(table_dir, "**", "*.parquet"), recursive=True)
+    }
+    untouched_files = {
+        p: sz
+        for p, sz in before.items()
+        if not any(f"_fid={t}/" in p or f"_fid={t}{_os.sep}" in p for t in touched)
+    }
+    if not untouched_files:
+        raise RuntimeError(
+            "lake_zorder_recluster: every partition touched — the "
+            "incremental-rewrite claim is vacuous (slice not range-local?)"
+        )
+    old_touched = spark.read.parquet(table_dir).filter(
+        F.col("_fid").isin(touched)
+    )
+    # pin the merge input BEFORE the write: the dynamic overwrite replaces
+    # the very partitions the lazy read references (Spark refuses a
+    # self-overwriting plan; the checkpoint also bounds the rewrite input
+    # to touched-partition rows, the incremental cost claim)
+    merged = old_touched.unionByName(ing).localCheckpoint(eager=True)
+    (
+        merged.repartition(len(touched), "_fid")
+        .sortWithinPartitions("_fid", "zval")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_fid")
+        .parquet(table_dir)
+    )
+    # gate B: untouched partition files byte-stable
+    after = {
+        p: _os.path.getsize(p) if _os.path.exists(p) else None
+        for p in untouched_files
+    }
+    changed = [p for p, sz in untouched_files.items() if after[p] != sz]
+    if changed:
+        raise RuntimeError(
+            f"lake_zorder_recluster rewrote untouched partitions: {changed[:3]}"
+        )
+    # gate C: the merged table skips like a clustered table again
+    _zorder_skipping_gate(table_dir, max_p, max_s)
+    return spark.read.parquet(table_dir).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "zval"
+    )
+
+
 # ---------------------------------------------------------------------------
 # [EXT r3] Snapshot-manifest table format: append / delete / time travel
 # ---------------------------------------------------------------------------

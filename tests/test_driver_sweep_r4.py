@@ -243,9 +243,11 @@ def test_r9_oracle_at_driver_sf(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
-# Oracle-bearing round-11 addition (lake z-order clustered write).
+# Oracle-bearing round-11 additions (lake z-order clustered write +
+# the incremental OPTIMIZE recluster closing that lifecycle).
 R11_ORACLE = [
     "lake_zorder_write",
+    "lake_zorder_recluster",
 ]
 
 

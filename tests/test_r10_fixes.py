@@ -128,7 +128,8 @@ def test_vocab_topk_is_take_ordered(spark, sf_dir):
 #     quantizing continuous domains first): ks_two_sample_drift,
 #     range_partition_boundaries
 #   distinct Morton-key domain (hard cap 2^(2*Z_BITS) = ~1M quantized
-#     values regardless of table size): lake_zorder_write (r11)
+#     values regardless of table size): lake_zorder_write,
+#     lake_zorder_recluster (r11)
 #   fixed grids (priority x status cells, PSI bins, hyperparameter
 #     sweep rows, |nations|): chisq_priority_status_cells,
 #     psi_drift_events, ml_ridge_normal_eq, allocation_largest_remainder
@@ -141,6 +142,7 @@ BOUNDED_GLOBAL_WINDOWS = {
     "ewma_dyadic_revenue",
     "hll_daily_distinct_rollup",
     "ks_two_sample_drift",
+    "lake_zorder_recluster",
     "lake_zorder_write",
     "ml_ridge_normal_eq",
     "psi_drift_events",

@@ -99,6 +99,28 @@ def test_zorder_write_registered_query_round_trips(spark, sf_dir):
     assert src.oracle is not None  # hash-checked by the parity sweeps
 
 
+def test_zorder_recluster_round_trips_with_gates(spark, sf_dir):
+    """The registered incremental-OPTIMIZE op must pass all three in-op
+    gates (ingest-wide vacuity guard, untouched-partitions byte-stable,
+    post-merge skipping) AND conserve every source row exactly once —
+    oracle hash parity is pinned at sf0.001/sf0.01 by the parity sweeps
+    (tests/test_driver_sweep_r4.py::R11_ORACLE)."""
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import (
+        load_table,
+    )
+
+    out = REG["lake_zorder_recluster"].fn(spark, sf_dir)
+    assert set(out.columns) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "zval",
+    }
+    assert out.count() == load_table(spark, sf_dir, "lineitem").count()
+
+
 # ---------------------------------------------------------------------------
 # stream_near_dup_incremental
 # ---------------------------------------------------------------------------

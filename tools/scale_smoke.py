@@ -202,6 +202,7 @@ QUERIES = [
     "quality_tiers",
     # round-11: the new lifecycle ops
     "lake_zorder_write",
+    "lake_zorder_recluster",
     "stream_near_dup_incremental",
     "ann_ivf_append_batch",
 ]
