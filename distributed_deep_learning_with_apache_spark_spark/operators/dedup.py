@@ -1975,7 +1975,9 @@ def stream_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="sg_stream_nd_idx_")
     shutil.rmtree(work)  # build_band_index wants to create it atomically
     stage = tempfile.mkdtemp(prefix="sg_stream_nd_src_")
-    results: list[tuple[int, int, int]] = []
+    # keyed by batch_id so a RETRIED micro-batch is a no-op (idempotency
+    # guard below), not a duplicate ledger row + double-appended postings
+    results: dict[int, tuple[int, int]] = {}
     try:
         root = build_band_index(spark, sf_dir, root=work)
         for b in range(STREAM_ND_BATCHES):
@@ -1995,6 +1997,14 @@ def stream_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
+            # Idempotent under micro-batch RETRY (r11 ADVICE #3): Spark
+            # re-invokes foreachBatch with the SAME batch_id after a
+            # transient failure; without this guard the retry would
+            # double-append the batch's postings to the store and
+            # duplicate its ledger row. Same processed-id discipline as
+            # the exactly-once MERGE sink in streaming/events.py.
+            if int(batch_id) in results:
+                return
             bspark = batch_df.sparkSession
             fresh = probe_band_index(bspark, root, batch_df).localCheckpoint(
                 eager=True  # materialize BEFORE the append mutates the store
@@ -2003,7 +2013,7 @@ def stream_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_fresh = fresh.count()
             accepted = batch_df.join(fresh.select("doc_id"), "doc_id")
             append_band_index(bspark, root, accepted)
-            results.append((int(batch_id), int(n_docs), int(n_fresh)))
+            results[int(batch_id)] = (int(n_docs), int(n_fresh))
 
         src = (
             spark.readStream.schema("doc_id long, text string")
@@ -2017,7 +2027,7 @@ def stream_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             finally:
                 q.stop()
         return spark.createDataFrame(
-            [(b, nd, nf, nd - nf) for b, nd, nf in sorted(results)],
+            [(b, nd, nf, nd - nf) for b, (nd, nf) in sorted(results.items())],
             "batch_id long, n_docs long, n_fresh long, n_dup long",
         )
     finally:

@@ -683,8 +683,28 @@ def append_ivf_index(spark: SparkSession, root: str, batch: DataFrame) -> None:
         lambda acc, d: acc + d,
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    # Loud NULL/empty-embedding reject (r11 ADVICE #2): l2sq over a NULL
+    # array yields NULL d2, and row_number over d2 ASC (NULLS FIRST in
+    # Spark) would hand the bad vector rank 1 in an ARBITRARY cell — a
+    # silent index corruption the build path (KMeans.fit) would have
+    # rejected loudly. Same NULL-reject-on-identity convention as
+    # bitmap_distinct_users: assert_true returns NULL on pass (preserving
+    # v via the when-wrap) and ALSO raises when the condition itself is
+    # NULL, which covers v IS NULL (size(NULL) is NULL) as well as empty.
+    guarded_v = F.when(
+        F.assert_true(
+            F.size(F.col("v")) > 0,
+            F.lit(
+                "append_ivf_index: NULL/empty embedding in append batch — "
+                "centroid assignment requires a populated vector (filter "
+                "or repair upstream; the build path rejects these too)"
+            ),
+        ).isNull(),
+        F.col("v"),
+    )
     assigned = (
         batch.select("vec_id", as_double("embedding").alias("v"))
+        .withColumn("v", guarded_v)
         .crossJoin(F.broadcast(centroids))
         .select("vec_id", "v", "cell", l2sq(F.col("v"), F.col("cv")).alias("d2"))
         .withColumn("rk", F.row_number().over(w))

@@ -53,82 +53,33 @@ def register(
 
 
 # The driver's correctness gate iterates ``queries()`` in dict order and
-# checks exactly 50 queries per round (CORRECTNESS_r01-r10: 50 rows each).
-# Round-11 rotation (r10 verdict #1): (a) the last 5 r3-stale names lead
-# — with them green, no query's latest driver row predates r4; (b) every
-# query whose EXECUTED CODE changed this round re-earns its hash (the
-# ranks.py hardening flows into customer_rfm_segments/quality_tiers; the
-# NULL-pass-through guard rewrites touch interval_month_overlap_revenue
-# and business_days_to_ship); (c) the round's one new ORACLE-BEARING op
-# (lake_zorder_write); (d) the remaining slots hold the oldest
-# oracle-bearing names (the full r4 cohort, then r5 alphabetical) — and,
-# per r10 verdict finding #1, ONLY oracle-bearing names occupy the 50,
-# so every driver slot produces a hash verdict (rows-only ops are
-# exercised by test_rows_only_runs instead; the round's two new
-# rows-only lifecycle ops front the r12 rotation below for their
-# execution rows).
+# checks exactly 50 queries per round (CORRECTNESS_r01-r11: 50 rows each).
+# Round-12 rotation (r11 verdict #3): (a) the two r11 lifecycle ops that
+# have never held a driver row lead — with them executed, every one of
+# the 331 registered queries has a driver row (329 were green through
+# r11); (b) this round's new ops (the PQ-append lifecycle closure, the
+# wholetext text-source twin of S2/S3, the from-scratch Avro round-trip);
+# (c) every query whose EXECUTED CODE changed this round re-earns its
+# execution row (the pq_encode_df encoder refactor flows into the three
+# PQ serving ops; the idempotency/NULL-guard fixes are already covered
+# by (a)); (d) the remaining slots hold the OLDEST-checked oracle-bearing
+# names: the full r5 remainder (9), then r6 alphabetical — the first 33
+# fill the 50. Rows-only names appear only under (a)-(c), where a fresh
+# execution row is the point; every (d) slot produces a hash verdict.
 # Regenerate this list each round from the CORRECTNESS_r* latest-row map.
 _DRIVER_PRIORITY = [
-    # --- r3-stale remainder: retires staleness entirely (5) -------------
-    "substring_span_dedup",
-    "text_normalize_nfc",
-    "top10_orders",
-    "top_ngrams_boilerplate",
-    "union_account_balances",
-    # --- code changed this round (re-earn the hash) (4) ------------------
-    "customer_rfm_segments",
-    "quality_tiers",
-    "interval_month_overlap_revenue",
-    "business_days_to_ship",
-    # --- new oracle-bearing ops this round (2) ----------------------------
-    "lake_zorder_write",
-    "lake_zorder_recluster",
-    # --- oldest oracle-bearing cohort: all of r4 (12) ---------------------
-    "ann_matryoshka_refine",
-    "bucketed_join_revenue",
-    "events_retention_cohorts",
-    "global_agg_stats",
-    "k_anonymity_violations",
-    "lake_schema_evolution",
-    "near_dup_containment_stopfiltered",
-    "near_dup_edit_distance",
-    "recursive_calendar_daily",
-    "salted_join_quantity_tier",
-    "simhash64_near_dup_pairs",
-    "udtf_chunk_spans",
-    # --- r5 oracle-bearing, alphabetical: first 28 fill the 50 ------------
-    "ansi_safe_doc_ratios",
-    "batch_observed_metrics",
-    "bloom_semijoin_pruned",
-    "cdc_snapshot_diff",
-    "collated_token_counts",
-    "distinct_multi_two_phase",
-    "events_ohlc_hourly",
-    "except_all_order_priorities",
-    "grouped_apply_in_arrow",
-    "grouped_quantile_exact",
-    "heavy_hitters_sketch_verified",
-    "incremental_agg_maintenance",
-    "intersect_all_order_priorities",
-    "lake_compact_small_files",
-    "lake_deletion_vectors",
-    "lake_dynamic_partition_overwrite",
-    "lake_vacuum_expire",
-    "lateral_top3_orders",
-    "leakage_safe_splits",
-    "locf_forward_fill",
-    "map_in_arrow_bytes",
-    "notin_nullaware_anti",
-    "ntile_balance_quartiles",
-    "nullsafe_bucket_join",
-    "percentile_band_segments",
-    "quantile_two_pass_exact",
-    "segment_nation_rollcall",
-    # ==== slot 51+ from here: fronts the r12 rotation ====================
-    # --- new rows-only lifecycle ops (execution rows when slots allow) ---
+    # --- (a) never-driver-checked r11 lifecycle ops (rows-only) (2) ------
     "stream_near_dup_incremental",
     "ann_ivf_append_batch",
-    # --- r5 oracle-bearing remainder (9) ----------------------------------
+    # --- (b) new ops this round (3) --------------------------------------
+    "ann_ivf_pq_append_batch",
+    "source_text_wholetext_labels",
+    "source_avro_events_agg",
+    # --- (c) executed code changed this round (pq encoder refactor) (3) --
+    "ann_pq_adc",
+    "ann_ivf_pq_adc",
+    "ann_ivf_pq_refined",
+    # --- (d) oldest oracle-bearing: r5 remainder (9) ----------------------
     "skew_agg_two_phase",
     "source_orc_lineitem_agg",
     "source_xml_events_agg",
@@ -138,6 +89,49 @@ _DRIVER_PRIORITY = [
     "udaf_weighted_median",
     "udf_iterator_scoring",
     "union_by_name_schema_drift",
+    # --- (d) oldest oracle-bearing: r6 alphabetical, first 33 fill the 50 -
+    "asof_join_latest_order",
+    "attribution_last_touch",
+    "benford_first_digit",
+    "bm25_topk",
+    "corpus_token_stats",
+    "cosine_topk_filtered",
+    "dedup_clusters_logstar",
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "doc_fingerprints",
+    "dq_quarantine_split",
+    "events_local_hour_histogram",
+    "events_session_window_builtin",
+    "group_by_all_revenue",
+    "hinted_shuffle_hash_join",
+    "inverted_index_postings",
+    "lake_dpp_star_join",
+    "lake_restore_version",
+    "lake_shallow_clone_divergence",
+    "lang_id",
+    "mad_price_outliers",
+    "minhash_lsh_candidates",
+    "ml_fpgrowth_item_pairs",
+    "near_dup_incremental",
+    "near_dup_index_append_cycle",
+    "near_dup_jaccard",
+    "near_dup_jaccard_stopfiltered",
+    "near_dup_minhash_verified",
+    "pagerank_purchase_graph",
+    "range_join_events_after_order",
+    "row_ids_distributed",
+    "shortest_paths_bfs",
+    "simhash_near_dup_pairs",
+    # ==== slot 51+ from here: fronts the r13 rotation ====================
+    # --- r6 oracle-bearing remainder (7) ----------------------------------
+    "sink_custom_writer_roundtrip",
+    "sql_pipe_syntax",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_counts",
+    "tokenize_truncate",
+    "zipf_fit",
 ]
 
 def load_all() -> dict[str, Query]:
