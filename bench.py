@@ -162,15 +162,28 @@ def main() -> None:
         reg = load_all()
         headline = {name: q for name, q in reg.items() if q.bench}
 
-        # Warmup: touch every table once (JVM warm, parquet footers cached).
-        warm = headline[next(iter(headline))]
-        warm.fn(spark, sf_dir).count()
+        # Warmup: one FULL untimed pass over every headline query (r11
+        # verdict #1/#5). This (a) absorbs JVM/codegen/parquet-footer
+        # warmup, and (b) makes the timed headline insensitive to any
+        # one-time fixture-keyed cache build — BENCH_r11's 8.87 s
+        # ann_ivf_persisted was a cold IVF index rebuild (fixture mtime
+        # changed) leaking into the artifact of record. The build cost is
+        # still measured, explicitly, in tier-2 (ann_ivf_pq_build after
+        # _clear_ann_caches), not implicitly in whichever headline query
+        # happens to touch a stale cache first.
+        for q in headline.values():
+            q.fn(spark, sf_dir).count()
 
-        # Steady-state timing: min of 3 full materializations per query (first
-        # run pays plan compilation + codegen + any one-time fixture/index build;
-        # min reflects the throughput a warmed cluster delivers and is robust to
-        # the ±15% single-run host noise documented in SCALE.md).
+        # Steady-state timing: min of 3 full materializations per query
+        # (min reflects the throughput a warmed cluster delivers and is
+        # robust to the ±15% single-run host noise documented in
+        # SCALE.md). Per-query 1-min loadavg is sampled alongside so a
+        # contended host is visible IN the artifact per query (r11's
+        # contamination was confined to the first ~6 queries and only
+        # diagnosable post-hoc) — any query timed at loadavg >> ncpus'
+        # idle baseline is suspect on its face.
         times: dict[str, float] = {}
+        load_per_query: dict[str, float] = {}
         for name, q in sorted(headline.items()):
             per_run = []
             for _ in range(3):
@@ -178,6 +191,7 @@ def main() -> None:
                 q.fn(spark, sf_dir).count()
                 per_run.append(time.perf_counter() - t0)
             times[name] = round(min(per_run), 4)
+            load_per_query[name] = round(os.getloadavg()[0], 2)
 
         # --- tier 2: the heavy tail, tracked per-round ---------------------
         tier2: dict[str, float] = {}
@@ -221,6 +235,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "loadavg_per_query": load_per_query,
+                "warm_pass": "all-headline",
                 "tier2": tier2,
                 "tier2_total": round(sum(tier2.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
