@@ -868,7 +868,44 @@ def _pq_train_codebooks(vecs, seed: int = 42, iters: int = 12):
 PQ_CODES_ROOT = "/tmp/ddl_spark_pq_codes_v1"
 
 
-def pq_encode_df(spark: SparkSession, sf_dir: str):
+def _pq_encode_with_books(spark: SparkSession, e: DataFrame, books) -> DataFrame:
+    """Distributed PQ encode of (vec_id, v) rows against FIXED codebooks:
+    the Arrow-batched pandas UDF assigns each of the PQ_M subvectors its
+    nearest codebook centroid. Shared by the corpus build
+    (`pq_encode_df`) and the incremental append (`append_pq_codes`) so
+    appended codes are bit-identical to what a full re-encode would
+    produce (pinned in tests/test_r12_new_ops.py)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bc = spark.sparkContext.broadcast([b.tolist() for b in books])
+
+    # ShortType carries the 0..255 code portably (ByteType is signed);
+    # the at-rest footprint is still 1 byte/code in a production layout
+    # (parquet dictionary/bit-packing encodes the 256-value domain).
+    @F.pandas_udf(T.ArrayType(T.ShortType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        bks = [_np.asarray(b) for b in bc.value]
+        x = _np.stack([_np.asarray(v) for v in vs])
+        sub = x.shape[1] // len(bks)
+        codes = _np.empty((len(x), len(bks)), dtype=_np.int16)
+        for m, cent in enumerate(bks):
+            xm = x[:, m * sub : (m + 1) * sub]
+            d2 = ((xm[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            codes[:, m] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return e.select("vec_id", encode("v").alias("codes"))
+
+
+def pq_encode_df(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    source: DataFrame | None = None,
+):
     """(vec_id, codes) + the codebooks: 64 float32 dims (256 B) compress
     to PQ_M byte-sized codes — 16× — which is what lets a 100 TB embedding
     corpus live in cluster RAM for ANN serving.  Measured recall@5 vs
@@ -890,7 +927,8 @@ def pq_encode_df(spark: SparkSession, sf_dir: str):
 
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     slug = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(PQ_CODES_ROOT, f"{slug}_{st.st_mtime_ns}_{st.st_size}")
+    default_root = root is None
+    root = root or os.path.join(PQ_CODES_ROOT, f"{slug}_{st.st_mtime_ns}_{st.st_size}")
     marker = os.path.join(root, "_PQ_COMPLETE")
 
     def _load(root):
@@ -901,38 +939,20 @@ def pq_encode_df(spark: SparkSession, sf_dir: str):
     if os.path.exists(marker):
         return _load(root)
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
-    )
+    # `source` (r12): encode a caller-chosen (vec_id, embedding) subset —
+    # the history side of the PQ append lifecycle — instead of the full
+    # table. Only sensible with an explicit root (the default cache key
+    # is corpus-wide); ann_ivf_pq_append_batch is the caller.
+    src = source if source is not None else load_table(spark, sf_dir, "embeddings")
+    e = src.select("vec_id", as_double("embedding").alias("v"))
     sample = np.array(
         [r["v"] for r in e.sort("vec_id").limit(PQ_SAMPLE).collect()]
     )
     books = _pq_train_codebooks(sample)
-    bc = spark.sparkContext.broadcast([b.tolist() for b in books])
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    # ShortType carries the 0..255 code portably (ByteType is signed);
-    # the at-rest footprint is still 1 byte/code in a production layout
-    # (parquet dictionary/bit-packing encodes the 256-value domain).
-    @F.pandas_udf(T.ArrayType(T.ShortType()))
-    def encode(vs: pd.Series) -> pd.Series:
-        import numpy as _np
-
-        bks = [_np.asarray(b) for b in bc.value]
-        x = _np.stack([_np.asarray(v) for v in vs])
-        sub = x.shape[1] // len(bks)
-        codes = _np.empty((len(x), len(bks)), dtype=_np.int16)
-        for m, cent in enumerate(bks):
-            xm = x[:, m * sub : (m + 1) * sub]
-            d2 = ((xm[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-            codes[:, m] = d2.argmin(1)
-        return pd.Series(list(codes))
 
     # Stage + atomic publish, same crash/race discipline as build_ivf_index.
     stage = f"{root}.tmp.{os.getpid()}"
-    e.select("vec_id", encode("v").alias("codes")).write.mode("overwrite").parquet(
+    _pq_encode_with_books(spark, e, books).write.mode("overwrite").parquet(
         os.path.join(stage, "codes")
     )
     with open(os.path.join(stage, "codebooks.json"), "w") as f:
@@ -949,8 +969,153 @@ def pq_encode_df(spark: SparkSession, sf_dir: str):
         else:  # stale half-built tree from a crashed run: replace it
             shutil.rmtree(root, ignore_errors=True)
             os.rename(stage, root)
-    prune_stale_cache_siblings(PQ_CODES_ROOT, slug, root)
+    # Sibling pruning only for the default layout: a caller-chosen root
+    # lives elsewhere, and pruning "siblings" of it under PQ_CODES_ROOT
+    # would delete the still-valid default cache.
+    if default_root:
+        prune_stale_cache_siblings(PQ_CODES_ROOT, slug, root)
     return _load(root)
+
+
+def append_pq_codes(spark: SparkSession, root: str, batch: DataFrame) -> None:
+    """Grow the persisted PQ code store by a new (vec_id, embedding) batch:
+    encode the batch with the PERSISTED codebooks (no re-train, no history
+    re-read — the codebook is the KB-sized global artifact PQ trains once
+    per corpus) and append the codes as new parquet files. Existing store
+    files are never rewritten (the append-only discipline of
+    `append_ivf_index` / `append_band_index`).
+
+    This closes the IVF×PQ serve-after-append lifecycle (r11 verdict #2):
+    with both stores appendable, `ann_ivf_pq_adc`'s plan serves appended
+    vectors without the full-corpus re-encode (`ann_ivf_pq_build`,
+    11.7-18 s at sf0.1) — append cost is O(batch) encode + file append.
+    Codebooks drift from the corpus distribution as the store grows;
+    production re-trains on the same maintenance schedule as the IVF
+    re-cluster (= re-run `pq_encode_df`), the steady state is append.
+
+    Same loud NULL/empty-embedding reject as `append_ivf_index`: a NULL
+    vector would make numpy's stack/argmin either throw an opaque shape
+    error or (worse, for an all-NULL Arrow batch typed object) encode
+    garbage codes — surface it as a data-contract violation instead."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(root, "codebooks.json")) as f:
+        books = [np.asarray(b) for b in json.load(f)]
+    guarded_v = F.when(
+        F.assert_true(
+            F.size(F.col("v")) > 0,
+            F.lit(
+                "append_pq_codes: NULL/empty embedding in append batch — "
+                "PQ encoding requires a populated vector (filter or "
+                "repair upstream; the build path rejects these too)"
+            ),
+        ).isNull(),
+        F.col("v"),
+    )
+    e = (
+        batch.select("vec_id", as_double("embedding").alias("v"))
+        .withColumn("v", guarded_v)
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # bounded repartition: a handful of appended files per batch, not one
+    # per writer task — append_band_index's small-file rule; the store is
+    # compacted on the lake schedule (lake_compact_small_files).
+    (
+        _pq_encode_with_books(spark, e, books)
+        .repartition(min(n_part, 8))
+        .write.mode("append")
+        .parquet(os.path.join(root, "codes"))
+    )
+
+
+@register(
+    "ann_ivf_pq_append_batch",
+    oracle=None,  # k-means fit + codebooks are iterative; gates pinned in tests
+    tags=("similarity", "ext", "pq", "ivf", "scale", "lifecycle"),
+)
+def ann_ivf_pq_append_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED index lifecycle (r11 verdict #2, closing the last ANN
+    gap): build the IVF index AND the PQ code store over the HISTORY 90%
+    of the corpus (private roots), append the remaining 10% to BOTH via
+    `append_ivf_index` + `append_pq_codes` (broadcast-centroid assign,
+    persisted-codebook encode — no k-means re-fit, no corpus re-encode),
+    then serve the standard IVF×PQ/ADC top-k from the GROWN stores —
+    `ann_ivf_pq_adc`'s exact plan shape, with appended vectors now
+    ADC-retrievable without the 11.7-18 s full rebuild.
+
+    In-operator gates (loud, WAP-style):
+    - immutability: every pre-append file in BOTH stores byte-stable
+      after the append (only additions allowed);
+    - completeness: every appended vec_id present in both the read-back
+      assignments and the read-back code store.
+    tests/test_r12_new_ops.py additionally pins: appended codes
+    bit-identical to a fresh encode with the persisted codebooks,
+    post-append recall at the standing >= 0.5 * nprobe/k floor, and the
+    append≪rebuild cost asymmetry (SCALE.md r12).
+
+    Scale: the append touches O(batch) rows + two KB-sized broadcasts
+    (centroids, codebooks); serving I/O stays ∝ nprobe/k of the grown
+    store. This is the steady-state ingest path of a production vector
+    store — rebuild (`ann_ivf_pq_build`) drops to a maintenance-schedule
+    repair, exactly like compaction."""
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_batch = (F.col("vec_id") % 10 == 9) & (F.col("vec_id") >= N_QUERIES)
+    hist = e.filter(~is_batch)
+    batch = e.filter(is_batch)
+    ivf_work = tempfile.mkdtemp(prefix="sg_ivfpq_append_ivf_")
+    pq_work = tempfile.mkdtemp(prefix="sg_ivfpq_append_pq_")
+    shutil.rmtree(ivf_work)  # both builders publish by atomic rename
+    shutil.rmtree(pq_work)
+    try:
+        ivf_root = build_ivf_index(spark, sf_dir, root=ivf_work, source=hist)
+        pq_encode_df(spark, sf_dir, root=pq_work, source=hist)
+        before = {**_walk_parquet(ivf_root), **_walk_parquet(pq_work)}
+        append_ivf_index(spark, ivf_root, batch)
+        append_pq_codes(spark, pq_work, batch)
+        after = {**_walk_parquet(ivf_root), **_walk_parquet(pq_work)}
+        rewritten = [p for p, sz in before.items() if after.get(p) != sz]
+        if rewritten:
+            raise RuntimeError(
+                f"ann_ivf_pq_append_batch rewrote existing store files: "
+                f"{rewritten[:3]} (append-only contract)"
+            )
+        n_batch = batch.count()
+        codes_df, _books = pq_encode_df(spark, sf_dir, root=pq_work)
+        assignments = spark.read.parquet(os.path.join(ivf_root, "assignments"))
+        for label, df in (("assignments", assignments), ("codes", codes_df)):
+            n_found = df.join(batch.select("vec_id"), "vec_id", "left_semi").count()
+            if n_found != n_batch:
+                raise RuntimeError(
+                    f"ann_ivf_pq_append_batch lost vectors: {n_found} of "
+                    f"{n_batch} appended ids present in the grown {label}"
+                )
+        scored = _ivf_pq_adc_scored(
+            spark, sf_dir, ivf_root=ivf_root, pq_root=pq_work
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+        )
+        out = (
+            scored.select(
+                "query_id",
+                "neighbor_id",
+                F.round("adc_dist", 6).alias("adc_dist"),
+                F.row_number().over(w).alias("rnk"),
+            )
+            .filter(F.col("rnk") <= TOP_K)
+        )
+        # the private store roots are reclaimed in finally: materialize
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ivf_work, ignore_errors=True)
+        shutil.rmtree(pq_work, ignore_errors=True)
 
 
 @register(
@@ -1246,21 +1411,28 @@ def ann_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_pq_adc_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    ivf_root: str | None = None,
+    pq_root: str | None = None,
+) -> DataFrame:
     """Shared IVF-probe + PQ/ADC scoring stage: (query_id, neighbor_id,
     adc_dist) for every candidate in a probed cell. Both the direct top-k
     (`ann_ivf_pq_adc`) and the exact-rerank form (`ann_ivf_pq_refined`)
-    consume this."""
+    consume this. Explicit `ivf_root`/`pq_root` serve a caller-managed
+    (e.g. freshly appended) store instead of the corpus-keyed caches —
+    the serve-after-append path of `ann_ivf_pq_append_batch`."""
     import os
 
     import numpy as np
 
-    root = build_ivf_index(spark, sf_dir)
+    root = ivf_root or build_ivf_index(spark, sf_dir)
     assigned = spark.read.parquet(os.path.join(root, "assignments")).select(
         "vec_id", "cell"
     )
     centroids = spark.read.parquet(os.path.join(root, "centroids"))
-    codes_df, books = pq_encode_df(spark, sf_dir)
+    codes_df, books = pq_encode_df(spark, sf_dir, root=pq_root)
     indexed = assigned.join(codes_df, "vec_id")  # build-time co-location
 
     e = load_table(spark, sf_dir, "embeddings").select(

@@ -1,0 +1,132 @@
+"""Round-12 new lifecycle operator (r11 VERDICT missing #1 / next #2):
+
+`ann_ivf_pq_append_batch` closes the composed IVF×PQ serve-after-append
+lifecycle: both stores (cell assignments + PQ codes) grow append-only,
+appended vectors are ADC-retrievable without the full-corpus re-encode,
+and the appended codes are bit-identical to what a fresh encode with the
+persisted codebooks produces (the determinism that makes append == the
+incremental prefix of a rebuild with the same codebooks).
+"""
+
+import json
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_deep_learning_with_apache_spark_spark.registry import load_all
+from distributed_deep_learning_with_apache_spark_spark.sources.catalog import load_table
+
+REG = load_all()
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ann_ivf_pq_append_contract_and_recall(spark, sf_dir):
+    """The registered op passes its in-op gates (immutability +
+    completeness raise on violation) and the served post-append recall
+    holds the composed stack's standing floor."""
+    from distributed_deep_learning_with_apache_spark_spark.operators.similarity import (
+        IVF_K,
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    out = REG["ann_ivf_pq_append_batch"].fn(spark, sf_dir)
+    assert set(out.columns) == {"query_id", "neighbor_id", "adc_dist", "rnk"}
+    counts = out.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    assert all(r.n <= TOP_K for r in counts)
+    approx = _topk_sets(out)
+    assert len(approx) == N_QUERIES
+    exact = _topk_sets(REG["cosine_topk_exact"].fn(spark, sf_dir))
+    hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    recall = hits / (len(exact) * TOP_K)
+    # the composed IVF×PQ floor: IVF cell pruning × PQ misranking — same
+    # bar the non-append ann_ivf_pq_adc holds (test_ann_recall.py)
+    assert recall >= 0.5 * IVF_NPROBE / IVF_K, f"post-append recall {recall:.2f}"
+
+
+@pytest.fixture(scope="module")
+def pq_history_store(spark, sf_dir):
+    """A private PQ code store over the history 90% (the op's split),
+    reclaimed after the module."""
+    from distributed_deep_learning_with_apache_spark_spark.operators.similarity import (
+        N_QUERIES,
+        pq_encode_df,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_batch = (F.col("vec_id") % 10 == 9) & (F.col("vec_id") >= N_QUERIES)
+    work = tempfile.mkdtemp(prefix="sg_r12_pq_store_")
+    shutil.rmtree(work)
+    pq_encode_df(spark, sf_dir, root=work, source=e.filter(~is_batch))
+    yield work, e.filter(is_batch)
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def test_append_pq_codes_bit_identical_to_fresh_encode(spark, sf_dir, pq_history_store):
+    """Appended codes == a fresh `_pq_encode_with_books` of the same batch
+    with the PERSISTED codebooks: the encoder is deterministic given the
+    codebooks, so the appended store is exactly the incremental prefix of
+    a rebuild that reuses them — no quantization drift from the append
+    path itself."""
+    from distributed_deep_learning_with_apache_spark_spark.operators.similarity import (
+        _pq_encode_with_books,
+        append_pq_codes,
+        as_double,
+    )
+
+    root, batch = pq_history_store
+    append_pq_codes(spark, root, batch)
+    with open(os.path.join(root, "codebooks.json")) as f:
+        books = [np.asarray(b) for b in json.load(f)]
+    batch_ids = [r.vec_id for r in batch.select("vec_id").collect()]
+    stored = {
+        r.vec_id: list(r.codes)
+        for r in spark.read.parquet(os.path.join(root, "codes"))
+        .filter(F.col("vec_id").isin(batch_ids))
+        .collect()
+    }
+    fresh = {
+        r.vec_id: list(r.codes)
+        for r in _pq_encode_with_books(
+            spark, batch.select("vec_id", as_double("embedding").alias("v")), books
+        ).collect()
+    }
+    assert set(stored) == set(batch_ids)
+    assert stored == fresh
+
+
+def test_append_pq_codes_rejects_null_and_empty(spark, pq_history_store):
+    from distributed_deep_learning_with_apache_spark_spark.operators.similarity import (
+        append_pq_codes,
+    )
+
+    root, _batch = pq_history_store
+    for bad_vec in (None, []):
+        bad = spark.createDataFrame(
+            [(20_000_001, bad_vec)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="append_pq_codes|ASSERT"):
+            append_pq_codes(spark, root, bad)
+
+
+def test_append_pq_codes_small_file_bound(spark, sf_dir, pq_history_store):
+    """One append lands a bounded handful of files (append_band_index's
+    small-file rule), not one per shuffle partition."""
+    import glob
+
+    root, _batch = pq_history_store
+    files = glob.glob(os.path.join(root, "codes", "*.parquet"))
+    # history build + one append from the bit-identity test above; each
+    # bounded by min(shuffle.partitions, 8)
+    assert len(files) <= 16, len(files)
