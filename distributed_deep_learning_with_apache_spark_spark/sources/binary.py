@@ -890,3 +890,122 @@ def audio_resample_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .wavcodec import ensure_audio_corpus
 
     return audio_resample_df(spark, ensure_audio_corpus())
+
+
+# ---------------------------------------------------------------------------
+# [EXT r12] S2/S3 wholetext flavor: the literal chapter-2 corpus shape —
+# a pos/neg directory tree of whole-file .txt documents
+# (Word2VecTransformingIterator.java:47-50,78 walks exactly this layout).
+# The capability was proven for binaryFile (S4); this is the
+# spark.read.text(wholetext=True) twin, closing the last partial rows of
+# the reference-surface table (SURVEY §2.1 S2/S3).
+# ---------------------------------------------------------------------------
+WHOLETEXT_TREE_ROOT = "/tmp/ddl_spark_wholetext_tree_v1"
+
+
+def materialize_wholetext_tree(spark: SparkSession, sf_dir: str) -> str:
+    """pos/neg .txt tree materialized from the documents fixture, cached by
+    corpus mtime (the build_ivf_index cache contract: staged write, atomic
+    rename, sibling prune). Label = doc_id parity. Each file holds TWO
+    lines — the doc text, then a ``doc:<id>`` trailer — so wholetext
+    semantics are load-bearing: a line-mode reader would emit two rows per
+    file and could reproduce neither the per-label doc count nor the
+    trailer-parsed ids.
+
+    The driver-side file loop is fixture-tree materialization (bounded:
+    the documents corpus; one-time per fixture generation) — in
+    production this tree already exists on shared storage and only the
+    read path below runs; same harness-shape class as SCALE.md
+    known-delta #4."""
+    import os
+    import shutil
+
+    from .catalog import prune_stale_cache_siblings
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    slug = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(WHOLETEXT_TREE_ROOT, f"{slug}_{st.st_mtime_ns}_{st.st_size}")
+    marker = os.path.join(root, "_TREE_COMPLETE")
+    if os.path.exists(marker):
+        return root
+    stage = f"{root}.tmp.{os.getpid()}"
+    for lab in ("pos", "neg"):
+        os.makedirs(os.path.join(stage, lab), exist_ok=True)
+    rows = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for r in rows:
+        lab = "pos" if r.doc_id % 2 == 0 else "neg"
+        with open(
+            os.path.join(stage, lab, f"doc{r.doc_id}.txt"), "w", encoding="utf-8"
+        ) as f:
+            f.write(f"{r.text}\ndoc:{r.doc_id}")
+    with open(os.path.join(stage, "_TREE_COMPLETE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(stage, root)
+    except OSError:
+        if os.path.exists(marker):  # lost the race to a complete tree
+            shutil.rmtree(stage, ignore_errors=True)
+        else:  # stale half-built tree from a crashed run: replace it
+            shutil.rmtree(root, ignore_errors=True)
+            os.rename(stage, root)
+    prune_stale_cache_siblings(WHOLETEXT_TREE_ROOT, slug, root)
+    return root
+
+
+@register(
+    "source_text_wholetext_labels",
+    oracle="""
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'pos' ELSE 'neg' END AS label,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text || chr(10) || 'doc:'
+                               || CAST(doc_id AS VARCHAR))) AS BIGINT)
+                 AS total_chars,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        FROM documents GROUP BY 1
+    """,
+    doc="Whole-file text-source scan of a pos/neg directory tree with label-from-parent-path: per-label doc count, total characters, and trailer-parsed id sum — the chapter-2 corpus read expressed as spark.read.text(wholetext=True).",
+    tags=("source", "text", "ext"),
+)
+def source_text_wholetext_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 + S6 in one declarative plan: directory scan of a text corpus
+    (glob over the label dirs), whole-file read (wholetext=True — one row
+    per FILE, trailer line intact), label from the parent path
+    (regexp on input_file_name), per-label aggregate.
+
+    Ref: Word2VecTransformingIterator.java:47-50 (pos/neg tree walk),
+    :78 (whole-file readFileToString).
+
+    Scale: spark.read.text distributes files across tasks exactly like
+    binaryFile (each whole file one row — fine while documents ≪ 2 GB
+    each); the aggregate is a 2-group map-side-combinable groupBy. The
+    oracle recomputes all three measures from the documents table the
+    tree was materialized from — the round-trip (write tree, scan, parse
+    trailer) must be lossless for the hashes to meet."""
+    import os
+
+    root = materialize_wholetext_tree(spark, sf_dir)
+    # corpus ROOT + pathGlobFilter/recursiveFileLookup, NOT a glob path:
+    # a glob fails the _spark_metadata FileStreamSink probe with a logged
+    # FileNotFoundException stack (the read_binary_dir lesson). The
+    # filter also excludes the _TREE_COMPLETE marker from the scan.
+    files = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "doc*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+    )
+    parsed = files.select(
+        F.regexp_extract(
+            F.input_file_name(), r"/(pos|neg)/doc\d+\.txt$", 1
+        ).alias("label"),
+        F.length("value").alias("chars"),
+        F.regexp_extract(
+            F.element_at(F.split(F.col("value"), "\n"), -1), r"^doc:(\d+)$", 1
+        ).cast("long").alias("doc_id"),
+    )
+    return parsed.groupBy("label").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("chars").alias("total_chars"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )

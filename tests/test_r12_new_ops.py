@@ -120,6 +120,70 @@ def test_append_pq_codes_rejects_null_and_empty(spark, pq_history_store):
             append_pq_codes(spark, root, bad)
 
 
+# ---------------------------------------------------------------------------
+# source_text_wholetext_labels (S2/S3 wholetext closure)
+# ---------------------------------------------------------------------------
+def test_wholetext_source_matches_documents_and_needs_wholetext(spark, sf_dir):
+    """The whole-file scan reproduces the documents table's per-label
+    measures, and wholetext is LOAD-BEARING: the same tree read in line
+    mode yields 2 rows per file, so neither the doc count nor the
+    trailer-parse can match."""
+    from distributed_deep_learning_with_apache_spark_spark.sources.binary import (
+        materialize_wholetext_tree,
+    )
+
+    out = {r.label: r for r in REG["source_text_wholetext_labels"].fn(spark, sf_dir).collect()}
+    d = load_table(spark, sf_dir, "documents")
+    exp = {
+        r.label: r
+        for r in d.groupBy(
+            F.when(F.col("doc_id") % 2 == 0, "pos").otherwise("neg").alias("label")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.length(
+                    F.concat(F.col("text"), F.lit("\ndoc:"), F.col("doc_id").cast("string"))
+                )
+            ).alias("total_chars"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .collect()
+    }
+    assert set(out) == {"pos", "neg"}
+    for lab in ("pos", "neg"):
+        assert out[lab].n_docs == exp[lab].n_docs
+        assert out[lab].total_chars == exp[lab].total_chars
+        assert out[lab].sum_doc_id == exp[lab].sum_doc_id
+    # line-mode twin: one row per LINE — double the rows, zero intact docs
+    root = materialize_wholetext_tree(spark, sf_dir)
+    line_rows = (
+        spark.read.format("text")
+        .option("pathGlobFilter", "doc*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .count()
+    )
+    assert line_rows == 2 * sum(r.n_docs for r in out.values())
+
+
+def test_wholetext_tree_is_cached_and_labeled_by_parity(spark, sf_dir):
+    import glob
+
+    from distributed_deep_learning_with_apache_spark_spark.sources.binary import (
+        materialize_wholetext_tree,
+    )
+
+    root1 = materialize_wholetext_tree(spark, sf_dir)
+    root2 = materialize_wholetext_tree(spark, sf_dir)  # marker short-circuit
+    assert root1 == root2
+    pos = glob.glob(os.path.join(root1, "pos", "*.txt"))
+    neg = glob.glob(os.path.join(root1, "neg", "*.txt"))
+    assert pos and neg
+    assert all(int(os.path.basename(p)[3:-4]) % 2 == 0 for p in pos)
+    assert all(int(os.path.basename(p)[3:-4]) % 2 == 1 for p in neg)
+
+
 def test_append_pq_codes_small_file_bound(spark, sf_dir, pq_history_store):
     """One append lands a bounded handful of files (append_band_index's
     small-file rule), not one per shuffle partition."""
