@@ -258,6 +258,21 @@ def test_r11_oracle_at_driver_sf(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
+# Oracle-bearing round-12 additions (the wholetext S2/S3 closure + the
+# from-scratch Avro OCF round-trip).
+R12_ORACLE = [
+    "source_text_wholetext_labels",
+    "source_avro_events_agg",
+]
+
+
+@pytest.mark.parametrize("name", R12_ORACLE)
+def test_r12_oracle_at_driver_sf(spark, duck, name):
+    q = REG[name]
+    ok, msg = compare(q.fn(spark, DRIVER_SF_DIR), duck, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
 def test_driver_canon_gate_catches_r4_err_class(spark):
     """Negative control: the exact r4 failure shape (a top-level array
     column) must be flagged by driver_canon_rows, proving the gate is live."""

@@ -205,6 +205,8 @@ QUERIES = [
     "lake_zorder_recluster",
     "stream_near_dup_incremental",
     "ann_ivf_append_batch",
+    # round-12: the composed IVF×PQ append lifecycle
+    "ann_ivf_pq_append_batch",
 ]
 
 
