@@ -2250,3 +2250,195 @@ def near_dup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(inter * 1.0 / union, 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r12] Retraction (right-to-be-forgotten) through the near-dup store:
+# delete history docs WITHOUT rewriting store files, with the re-admission
+# semantics a survivor-store delete actually implies.
+# ---------------------------------------------------------------------------
+RETRACT_MOD = 5  # tombstone set: history docs with doc_id % RETRACT_MOD == 0
+
+
+@register(
+    "near_dup_retract_reprobe",
+    oracle=f"""
+        WITH hist_sig AS (
+          SELECT doc_id, {_DUCK_BANDS}
+          FROM documents
+          WHERE doc_id % {INC_HIST_MOD} < {INC_HIST_KEEP}
+            AND len({DUCK_SHINGLES}) > 0
+            AND NOT (doc_id % {RETRACT_MOD} = 0)
+        ),
+        hist_bands AS (
+          SELECT doc_id, band_id, band_val FROM hist_sig
+          UNPIVOT (band_val FOR band_id IN (band_0, band_1, band_2, band_3))
+        ),
+        batch_sig AS (
+          SELECT doc_id, {_DUCK_BANDS}
+          FROM documents
+          WHERE doc_id % {INC_HIST_MOD} >= {INC_HIST_KEEP} AND len({DUCK_SHINGLES}) > 0
+        ),
+        batch_bands AS (
+          SELECT doc_id, band_id, band_val FROM batch_sig
+          UNPIVOT (band_val FOR band_id IN (band_0, band_1, band_2, band_3))
+        ),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+          FROM batch_bands b JOIN hist_bands h
+            ON b.band_id = h.band_id AND b.band_val = h.band_val
+        ),
+        sh AS (SELECT doc_id, {DUCK_SHINGLES} AS sh FROM documents),
+        dup AS (
+          SELECT DISTINCT c.bid
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.bid
+          JOIN sh sb ON sb.doc_id = c.hid
+          WHERE {_DUCK_INC_JACC} >= 0.5
+        ),
+        ncand AS (SELECT bid, CAST(count(*) AS BIGINT) AS n FROM cand GROUP BY bid)
+        SELECT d.doc_id,
+               CAST(coalesce(ncand.n, 0) AS BIGINT) AS n_band_candidates
+        FROM documents d LEFT JOIN ncand ON ncand.bid = d.doc_id
+        WHERE d.doc_id % {INC_HIST_MOD} >= {INC_HIST_KEEP}
+          AND d.doc_id NOT IN (SELECT bid FROM dup)
+    """,
+    doc="Right-to-be-forgotten through the near-dup store: history docs tombstoned by a deletion-vector sidecar (store files never rewritten), then the standard batch probe runs against the retracted store — docs whose only near-dup partners were deleted are RE-ADMITTED as fresh.",
+    tags=("dedup", "ext", "lsh", "scale", "lifecycle"),
+)
+def near_dup_retract_reprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction is the missing third verb of the store lifecycle (build
+    → append → RETRACT): a takedown/GDPR delete of history docs must (a)
+    not rewrite the append-only store (at 100 TB that is a full-store
+    compaction, not a delete), and (b) change probe semantics — a batch
+    doc whose only verified near-dup partners were deleted is no longer a
+    duplicate OF ANYTHING RETAINED and must be re-admitted.
+
+    Mechanism: the delete commit writes a tombstone doc_id sidecar next
+    to the store (the `lake_deletion_vectors` shape, keyed by doc
+    identity instead of file position because the postings of one doc
+    span many band files); BOTH probe joins overlay it with a broadcast
+    anti join — dead postings lose band-join eligibility, dead shingle
+    rows can no longer verify. Maintenance folds tombstones into the
+    store on the compaction schedule (`lake_compact_small_files`), same
+    as DV tables.
+
+    In-op gate: every pre-retraction store file byte-stable after the
+    delete commit (the rewrite-free contract). The oracle recomputes the
+    retracted probe from scratch in SQL — fresh-set membership AND
+    per-doc candidate counts must match, proving the tombstone overlay
+    equals true deletion. tests/test_r12_new_ops.py additionally pins
+    re-admission: fresh(retracted) ⊋ fresh(full store) on the fixture.
+
+    Scale: the sidecar is O(|deleted|); the overlay is one broadcast
+    anti join per probe side; probe shuffle stays ∝ batch size."""
+    import os
+    import shutil
+    import tempfile
+
+    root = build_band_index(spark, sf_dir)  # shared corpus cache, never mutated
+    side = tempfile.mkdtemp(prefix="sg_nd_tombstones_")
+    try:
+        d = load_table(spark, sf_dir, "documents")
+        before = _walk_parquet_sizes(root)
+        # the delete commit: tombstone ids as a parquet sidecar
+        (
+            d.filter(
+                (F.col("doc_id") % INC_HIST_MOD < INC_HIST_KEEP)
+                & (F.col("doc_id") % RETRACT_MOD == 0)
+            )
+            .select("doc_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(side, "tombstones"))
+        )
+        after = _walk_parquet_sizes(root)
+        rewritten = [p for p, sz in before.items() if after.get(p) != sz]
+        if rewritten:
+            raise RuntimeError(
+                f"near_dup_retract_reprobe touched store files: {rewritten[:3]} "
+                "(retraction must be sidecar-only)"
+            )
+        tomb = spark.read.parquet(os.path.join(side, "tombstones"))
+
+        hist_bands = spark.read.parquet(os.path.join(root, "bands")).join(
+            F.broadcast(tomb), "doc_id", "left_anti"
+        )
+        hist_sh = spark.read.parquet(os.path.join(root, "shingles")).join(
+            F.broadcast(tomb), "doc_id", "left_anti"
+        )
+
+        batch_ids = d.filter(F.col("doc_id") % INC_HIST_MOD >= INC_HIST_KEEP).select(
+            "doc_id"
+        )
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        bsh = (
+            _widen_scan(d, spark, os.path.join(sf_dir, "documents.parquet"))
+            .filter(F.col("doc_id") % INC_HIST_MOD >= INC_HIST_KEEP)
+            .select("doc_id", shingles().alias("sh"))
+            .filter(F.size("sh") > 0)
+            .select(
+                "doc_id",
+                F.transform(F.col("sh"), F.md5).alias("hs"),
+                F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hx"),
+            )
+            .repartition(n_part)
+        )
+        batch_bands = _band_signature(bsh).select(
+            "doc_id",
+            F.explode(
+                F.create_map(
+                    *[
+                        x
+                        for b in range(N_BANDS)
+                        for x in (F.lit(f"band_{b}"), F.col(f"band_{b}"))
+                    ]
+                )
+            ).alias("band_id", "band_val"),
+        )
+        cand = (
+            batch_bands.alias("b")
+            .join(
+                hist_bands.alias("h"),
+                (F.col("b.band_id") == F.col("h.band_id"))
+                & (F.col("b.band_val") == F.col("h.band_val")),
+            )
+            .select(F.col("b.doc_id").alias("bid"), F.col("h.doc_id").alias("hid"))
+            .distinct()
+        )
+        sa = bsh.select(F.col("doc_id").alias("bid"), F.col("hx").alias("sha"))
+        sb = hist_sh.select(F.col("doc_id").alias("hid"), F.col("hx").alias("shb"))
+        inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+        jacc = inter / (F.size("sha") + F.size("shb") - inter)
+        dup = (
+            cand.join(sa, "bid")
+            .join(sb, "hid")
+            .filter(jacc >= 0.5)
+            .select("bid")
+            .distinct()
+        )
+        ncand = cand.groupBy("bid").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        out = (
+            batch_ids.join(dup, batch_ids.doc_id == dup.bid, "left_anti")
+            .join(ncand, batch_ids.doc_id == ncand.bid, "left_outer")
+            .select(
+                "doc_id",
+                F.coalesce("n", F.lit(0)).cast("long").alias("n_band_candidates"),
+            )
+        )
+        # the sidecar dir is reclaimed in finally: materialize
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(side, ignore_errors=True)
+
+
+def _walk_parquet_sizes(root: str) -> dict:
+    """{path: size} for every parquet data file under root (the
+    append/retract immutability gate's witness)."""
+    import glob as _g
+    import os as _o
+
+    return {
+        p: _o.path.getsize(p)
+        for p in _g.glob(_o.path.join(root, "**", "*.parquet"), recursive=True)
+    }

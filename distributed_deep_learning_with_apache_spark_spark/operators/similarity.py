@@ -2178,3 +2178,113 @@ def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT r12] Retraction through the ANN index: tombstoned vectors excluded
+# from serving with ZERO store rewrites (deletion-vector overlay).
+# ---------------------------------------------------------------------------
+ANN_RETRACT_MOD = 7  # tombstone set: vec_id % 7 == 3 (queries exempt)
+
+
+@register(
+    "ann_ivf_delete_serve",
+    oracle=None,  # k-means fit is iterative; exclusion + recall pinned in tests
+    tags=("similarity", "ext", "ivf", "scale", "lifecycle"),
+)
+def ann_ivf_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delete verb of the ANN store lifecycle (build → append →
+    DELETE), completing what `ann_ivf_append_batch` started: a
+    takedown/GDPR delete of indexed vectors must not rewrite the
+    cell-partitioned store (at 100 TB a per-delete rewrite is a
+    compaction, not a delete) yet deleted vectors must stop being
+    servable IMMEDIATELY.
+
+    Mechanism: the delete commit writes a tombstone vec_id sidecar (the
+    `lake_deletion_vectors` / `near_dup_retract_reprobe` convention —
+    identity-keyed, O(|deleted|) bytes); serving overlays it with one
+    broadcast anti join on the probed cells' scan, so the exclusion cost
+    is ∝ candidates read, not corpus. Maintenance folds tombstones into
+    the cell files on the compaction schedule.
+
+    In-op gate: every pre-delete index file byte-stable after the commit.
+    tests/test_r12_new_ops.py pins: no tombstoned id is ever emitted,
+    results equal `ann_ivf_persisted` restricted to retained neighbors
+    (the overlay IS deletion, not a post-filter of a shorter list), and
+    recall vs exact-over-retained holds the standing floor."""
+    import os
+    import shutil
+    import tempfile
+
+    root = build_ivf_index(spark, sf_dir)  # shared corpus cache, never mutated
+    side = tempfile.mkdtemp(prefix="sg_ivf_tombstones_")
+    try:
+        e = load_table(spark, sf_dir, "embeddings")
+        before = _walk_parquet(root)
+        (
+            e.filter(
+                (F.col("vec_id") % ANN_RETRACT_MOD == 3)
+                & (F.col("vec_id") >= N_QUERIES)
+            )
+            .select("vec_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(side, "tombstones"))
+        )
+        after = _walk_parquet(root)
+        rewritten = [p for p, sz in before.items() if after.get(p) != sz]
+        if rewritten:
+            raise RuntimeError(
+                f"ann_ivf_delete_serve touched index files: {rewritten[:3]} "
+                "(deletion must be sidecar-only)"
+            )
+        tomb = spark.read.parquet(os.path.join(side, "tombstones"))
+
+        assigned = spark.read.parquet(os.path.join(root, "assignments"))
+        live = assigned.join(F.broadcast(tomb), "vec_id", "left_anti")
+        centroids = spark.read.parquet(os.path.join(root, "centroids"))
+        l2sq = lambda a, b: F.aggregate(  # noqa: E731
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        qw = Window.partitionBy("query_id").orderBy(
+            F.col("d2").asc(), F.col("cell").asc()
+        )
+        probes = (
+            live.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+            .crossJoin(F.broadcast(centroids))
+            .select(
+                "query_id", "qv", "cell", l2sq(F.col("qv"), F.col("cv")).alias("d2")
+            )
+            .select(
+                "query_id", "qv", "cell", F.row_number().over(qw).alias("cell_rnk")
+            )
+            .filter(F.col("cell_rnk") <= IVF_NPROBE)
+            .select("query_id", "qv", F.col("cell").alias("qcell"))
+        )
+        scored = live.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        out = (
+            scored.select(
+                "query_id",
+                "neighbor_id",
+                (F.round("cos", 6) + 0.0).alias("cosine_sim"),
+                F.row_number().over(w).alias("rnk"),
+            )
+            .filter(F.col("rnk") <= TOP_K)
+        )
+        # the sidecar dir is reclaimed in finally: materialize
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(side, ignore_errors=True)

@@ -78,6 +78,7 @@ DOC_QUERIES = [
     "dedup_incremental",
     "near_dup_incremental",  # r6: persisted-band-index probe (split + anti-join)
     "near_dup_index_append_cycle",  # r6: append lifecycle self-match
+    "near_dup_retract_reprobe",  # r12: tombstone overlay == true deletion
     "tokenize_truncate",
     "corpus_token_stats",
     "heavy_hitters_sketch_verified",

@@ -263,6 +263,7 @@ def test_r11_oracle_at_driver_sf(spark, duck, name):
 R12_ORACLE = [
     "source_text_wholetext_labels",
     "source_avro_events_agg",
+    "near_dup_retract_reprobe",
 ]
 
 

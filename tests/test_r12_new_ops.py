@@ -184,6 +184,58 @@ def test_wholetext_tree_is_cached_and_labeled_by_parity(spark, sf_dir):
     assert all(int(os.path.basename(p)[3:-4]) % 2 == 1 for p in neg)
 
 
+# ---------------------------------------------------------------------------
+# retraction lifecycle: near_dup_retract_reprobe + ann_ivf_delete_serve
+# ---------------------------------------------------------------------------
+def test_retract_reprobe_readmits_and_matches_oracle_semantics(spark, sf_dir):
+    """Deleting history docs re-admits batch docs whose only near-dup
+    partners were deleted: fresh(retracted) must be a STRICT superset of
+    fresh(full store) on the fixture (measured: +2 at sf0.001, +3 at
+    sf0.01 with RETRACT_MOD=5). Hash parity vs the from-scratch SQL
+    evaluation is pinned by the parity sweeps (R12 driver rotation)."""
+    full = {r.doc_id for r in REG["near_dup_incremental"].fn(spark, sf_dir).collect()}
+    retracted = {
+        r.doc_id for r in REG["near_dup_retract_reprobe"].fn(spark, sf_dir).collect()
+    }
+    assert retracted > full, (len(retracted), len(full))
+
+
+def test_ann_delete_serve_excludes_tombstones_and_keeps_recall(spark, sf_dir):
+    from distributed_deep_learning_with_apache_spark_spark.operators.similarity import (
+        ANN_RETRACT_MOD,
+        IVF_K,
+        IVF_NPROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    out = REG["ann_ivf_delete_serve"].fn(spark, sf_dir)
+    rows = out.collect()
+    # (a) no tombstoned id is ever served
+    assert all(
+        not (r.neighbor_id % ANN_RETRACT_MOD == 3 and r.neighbor_id >= N_QUERIES)
+        for r in rows
+    )
+    # (b) deletion only PROMOTES retained neighbors: every retained member
+    # of the undeleted index's top-k must still be served
+    keep = _topk_sets(out)
+    base = REG["ann_ivf_persisted"].fn(spark, sf_dir)
+    for r in base.collect():
+        if r.neighbor_id % ANN_RETRACT_MOD == 3 and r.neighbor_id >= N_QUERIES:
+            continue
+        assert r.neighbor_id in keep.get(r.query_id, set()), (r.query_id, r.neighbor_id)
+    # (c) recall floor vs exact-over-RETAINED corpus
+    exact = {}
+    for r in REG["cosine_topk_exact"].fn(spark, sf_dir).collect():
+        if r.neighbor_id % ANN_RETRACT_MOD == 3 and r.neighbor_id >= N_QUERIES:
+            continue  # conservative: drop deleted ids, keep the shorter list
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(keep.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    denom = sum(min(TOP_K, len(nbrs)) for nbrs in exact.values())
+    recall = hits / denom
+    assert recall >= 0.5 * IVF_NPROBE / IVF_K, f"post-delete recall {recall:.2f}"
+
+
 def test_append_pq_codes_small_file_bound(spark, sf_dir, pq_history_store):
     """One append lands a bounded handful of files (append_band_index's
     small-file rule), not one per shuffle partition."""

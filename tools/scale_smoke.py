@@ -205,8 +205,10 @@ QUERIES = [
     "lake_zorder_recluster",
     "stream_near_dup_incremental",
     "ann_ivf_append_batch",
-    # round-12: the composed IVF×PQ append lifecycle
+    # round-12: the composed IVF×PQ append lifecycle + the retraction ops
     "ann_ivf_pq_append_batch",
+    "near_dup_retract_reprobe",
+    "ann_ivf_delete_serve",
 ]
 
 
