@@ -2182,9 +2182,57 @@ def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # [EXT r12] Retraction through the ANN index: tombstoned vectors excluded
-# from serving with ZERO store rewrites (deletion-vector overlay).
+# from serving with ZERO store rewrites (deletion-vector overlay), then
+# folded away by touched-cells-only compaction.
 # ---------------------------------------------------------------------------
 ANN_RETRACT_MOD = 7  # tombstone set: vec_id % 7 == 3 (queries exempt)
+
+
+def _ivf_probe_topk(spark: SparkSession, root: str, assigned: DataFrame) -> DataFrame:
+    """The standard IVF serve plan over a caller-supplied assignments view
+    (the full store, a tombstone-overlaid live view, or a compacted
+    store): broadcast centroids pick each query's nprobe cells, the cell
+    equi-join scores candidates, a per-query window keeps top-k. Shared
+    by `ann_ivf_delete_serve` and `ann_ivf_compact_tombstones` so their
+    equality pin compares STORES, not divergent plans."""
+    import os
+
+    centroids = spark.read.parquet(os.path.join(root, "centroids"))
+    l2sq = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    qw = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    probes = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "cell", l2sq(F.col("qv"), F.col("cv")).alias("d2"))
+        .select("query_id", "qv", "cell", F.row_number().over(qw).alias("cell_rnk"))
+        .filter(F.col("cell_rnk") <= IVF_NPROBE)
+        .select("query_id", "qv", F.col("cell").alias("qcell"))
+    )
+    scored = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            (F.round("cos", 6) + 0.0).alias("cosine_sim"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= TOP_K)
+    )
 
 
 @register(
@@ -2242,49 +2290,122 @@ def ann_ivf_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         assigned = spark.read.parquet(os.path.join(root, "assignments"))
         live = assigned.join(F.broadcast(tomb), "vec_id", "left_anti")
-        centroids = spark.read.parquet(os.path.join(root, "centroids"))
-        l2sq = lambda a, b: F.aggregate(  # noqa: E731
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        )
-        qw = Window.partitionBy("query_id").orderBy(
-            F.col("d2").asc(), F.col("cell").asc()
-        )
-        probes = (
-            live.filter(F.col("vec_id") < N_QUERIES)
-            .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-            .crossJoin(F.broadcast(centroids))
-            .select(
-                "query_id", "qv", "cell", l2sq(F.col("qv"), F.col("cv")).alias("d2")
-            )
-            .select(
-                "query_id", "qv", "cell", F.row_number().over(qw).alias("cell_rnk")
-            )
-            .filter(F.col("cell_rnk") <= IVF_NPROBE)
-            .select("query_id", "qv", F.col("cell").alias("qcell"))
-        )
-        scored = live.join(
-            F.broadcast(probes),
-            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
-        ).select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos"),
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cos").desc(), F.col("neighbor_id").asc()
-        )
-        out = (
-            scored.select(
-                "query_id",
-                "neighbor_id",
-                (F.round("cos", 6) + 0.0).alias("cosine_sim"),
-                F.row_number().over(w).alias("rnk"),
-            )
-            .filter(F.col("rnk") <= TOP_K)
-        )
+        out = _ivf_probe_topk(spark, root, live)
         # the sidecar dir is reclaimed in finally: materialize
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(side, ignore_errors=True)
+
+
+@register(
+    "ann_ivf_compact_tombstones",
+    oracle=None,  # k-means fit is iterative; equality-with-overlay pinned in tests
+    tags=("similarity", "ext", "ivf", "scale", "lifecycle"),
+)
+def ann_ivf_compact_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance verb that FOLDS tombstones into the store (the
+    compaction `ann_ivf_delete_serve`'s docstring promises): rewrite ONLY
+    the cell partitions that contain tombstoned rows — dropping those
+    rows — via dynamic partition overwrite, leave every other cell's
+    files untouched, then serve WITHOUT the overlay. After compaction
+    the deletion-vector sidecar is empty and readers stop paying the
+    anti join.
+
+    In-op gates (loud, WAP-style):
+    - locality: every file in an UNTOUCHED cell byte-stable (the
+      touched-cells-only rewrite claim, `lake_zorder_recluster`'s gate);
+    - completeness: zero tombstoned ids and exactly corpus−deleted rows
+      in the read-back store.
+    tests/test_r12_new_ops.py additionally pins the semantics: serving
+    the compacted store (no overlay) == `ann_ivf_delete_serve` (overlay
+    on the uncompacted store) — compaction changes the layout, never the
+    answer.
+
+    Scale: rewrite cost ∝ rows in touched cells (with k=16 cells and a
+    spread delete-set that is the corpus here, but a production delete
+    batch touches few cells of thousands); the touched-cell list is a
+    k-bounded driver list, the rewrite one shuffle of touched-cell rows.
+    The pattern at 100 TB: serve with the overlay between maintenance
+    windows, compact on the lake schedule."""
+    import os
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="sg_ivf_compact_")
+    shutil.rmtree(work)  # build_ivf_index publishes by atomic rename
+    try:
+        root = build_ivf_index(spark, sf_dir, root=work, source=e)
+        tomb = (
+            e.filter(
+                (F.col("vec_id") % ANN_RETRACT_MOD == 3)
+                & (F.col("vec_id") >= N_QUERIES)
+            )
+            .select("vec_id")
+            .localCheckpoint(eager=True)
+        )
+        n_tomb = tomb.count()
+        assigned = spark.read.parquet(os.path.join(root, "assignments"))
+        n_before = assigned.count()
+        touched = sorted(
+            r.cell
+            for r in assigned.join(F.broadcast(tomb), "vec_id", "left_semi")
+            .select("cell")
+            .distinct()
+            .collect()  # bounded by k = IVF_K cells
+        )
+        before = _walk_parquet(root)
+        # materialize the touched cells' LIVE rows before overwriting the
+        # very partitions the lazy read references (the zorder_recluster
+        # self-overwrite rule); input is ∝ touched-cell rows
+        live_touched = (
+            assigned.filter(F.col("cell").isin([int(c) for c in touched]))
+            .join(F.broadcast(tomb), "vec_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        (
+            live_touched.repartition(max(len(touched), 1), "cell")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(os.path.join(root, "assignments"))
+        )
+        # Dynamic overwrite replaces only partitions PRESENT in the write;
+        # a touched cell whose EVERY row was tombstoned has no live rows,
+        # so its dead files would silently survive (caught live at sf0.01:
+        # a 1-row cell, fully deleted). Drop those partitions explicitly —
+        # the metastore DROP PARTITION a real lake issues, O(k) dir ops.
+        live_cells = {
+            int(r.cell) for r in live_touched.select("cell").distinct().collect()
+        }
+        for c in touched:
+            if int(c) not in live_cells:
+                shutil.rmtree(
+                    os.path.join(root, "assignments", f"cell={c}"),
+                    ignore_errors=True,
+                )
+        after = _walk_parquet(root)
+        touched_dirs = tuple(f"cell={c}" for c in touched)
+        broken = [
+            p
+            for p, sz in before.items()
+            if not any(t in p for t in touched_dirs) and after.get(p) != sz
+        ]
+        if broken:
+            raise RuntimeError(
+                f"ann_ivf_compact_tombstones rewrote untouched-cell files: "
+                f"{broken[:3]} (touched-cells-only contract)"
+            )
+        compacted = spark.read.parquet(os.path.join(root, "assignments"))
+        n_after = compacted.count()
+        n_dead = compacted.join(F.broadcast(tomb), "vec_id", "left_semi").count()
+        if n_dead != 0 or n_after != n_before - n_tomb:
+            raise RuntimeError(
+                f"ann_ivf_compact_tombstones fold incomplete: {n_dead} dead "
+                f"rows, {n_after} of expected {n_before - n_tomb}"
+            )
+        out = _ivf_probe_topk(spark, root, compacted)
+        # the private store root is reclaimed in finally: materialize
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

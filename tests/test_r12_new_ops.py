@@ -236,6 +236,24 @@ def test_ann_delete_serve_excludes_tombstones_and_keeps_recall(spark, sf_dir):
     assert recall >= 0.5 * IVF_NPROBE / IVF_K, f"post-delete recall {recall:.2f}"
 
 
+def test_compact_tombstones_equals_overlay_serve(spark, sf_dir):
+    """Compaction changes the LAYOUT, never the ANSWER: serving the
+    compacted store (tombstones folded away, no overlay) must equal
+    `ann_ivf_delete_serve` (deletion-vector overlay on the uncompacted
+    store), row for row. The in-op gates (untouched cells byte-stable,
+    zero dead rows, exact survivor count) raise on violation."""
+    compact = sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rnk)
+        for r in REG["ann_ivf_compact_tombstones"].fn(spark, sf_dir).collect()
+    )
+    overlay = sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rnk)
+        for r in REG["ann_ivf_delete_serve"].fn(spark, sf_dir).collect()
+    )
+    assert compact == overlay
+    assert compact  # non-vacuous
+
+
 def test_append_pq_codes_small_file_bound(spark, sf_dir, pq_history_store):
     """One append lands a bounded handful of files (append_band_index's
     small-file rule), not one per shuffle partition."""

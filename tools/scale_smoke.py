@@ -209,6 +209,7 @@ QUERIES = [
     "ann_ivf_pq_append_batch",
     "near_dup_retract_reprobe",
     "ann_ivf_delete_serve",
+    "ann_ivf_compact_tombstones",
 ]
 
 
