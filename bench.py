@@ -43,6 +43,10 @@ TIER2 = [
     # round — these rows have no prior-round baseline yet)
     "stream_exactly_once_merge_restart",
     "stream_kmv_distinct_running",
+    # r12 addition: the structurally heaviest new lifecycle op (builds BOTH
+    # ANN stores over history, appends, serves composed ADC; ~12.7 s at
+    # sf0.1 — exactly the size of regression tier-1 would never show)
+    "ann_ivf_pq_append_batch",
 ]
 
 

@@ -2442,3 +2442,153 @@ def _walk_parquet_sizes(root: str) -> dict:
         p: _o.path.getsize(p)
         for p in _g.glob(_o.path.join(root, "**", "*.parquet"), recursive=True)
     }
+
+
+@register(
+    "near_dup_compact_tombstones",
+    oracle=f"""
+        WITH hist_sig AS (
+          SELECT doc_id, {_DUCK_BANDS}
+          FROM documents
+          WHERE doc_id % {INC_HIST_MOD} < {INC_HIST_KEEP}
+            AND len({DUCK_SHINGLES}) > 0
+            AND NOT (doc_id % {RETRACT_MOD} = 0)
+        ),
+        hist_bands AS (
+          SELECT doc_id, band_id, band_val FROM hist_sig
+          UNPIVOT (band_val FOR band_id IN (band_0, band_1, band_2, band_3))
+        ),
+        batch_sig AS (
+          SELECT doc_id, {_DUCK_BANDS}
+          FROM documents
+          WHERE doc_id % {INC_HIST_MOD} >= {INC_HIST_KEEP} AND len({DUCK_SHINGLES}) > 0
+        ),
+        batch_bands AS (
+          SELECT doc_id, band_id, band_val FROM batch_sig
+          UNPIVOT (band_val FOR band_id IN (band_0, band_1, band_2, band_3))
+        ),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+          FROM batch_bands b JOIN hist_bands h
+            ON b.band_id = h.band_id AND b.band_val = h.band_val
+        ),
+        sh AS (SELECT doc_id, {DUCK_SHINGLES} AS sh FROM documents),
+        dup AS (
+          SELECT DISTINCT c.bid
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.bid
+          JOIN sh sb ON sb.doc_id = c.hid
+          WHERE {_DUCK_INC_JACC} >= 0.5
+        ),
+        ncand AS (SELECT bid, CAST(count(*) AS BIGINT) AS n FROM cand GROUP BY bid)
+        SELECT d.doc_id,
+               CAST(coalesce(ncand.n, 0) AS BIGINT) AS n_band_candidates
+        FROM documents d LEFT JOIN ncand ON ncand.bid = d.doc_id
+        WHERE d.doc_id % {INC_HIST_MOD} >= {INC_HIST_KEEP}
+          AND d.doc_id NOT IN (SELECT bid FROM dup)
+    """,
+    doc="Fold near-dup store tombstones into the layout: rewrite ONLY the store files containing deleted docs' rows (untouched files byte-stable), then the standard probe runs with NO overlay — and must equal the overlay probe exactly (same oracle as near_dup_retract_reprobe: compaction changes layout, never the answer).",
+    tags=("dedup", "ext", "lsh", "scale", "lifecycle"),
+)
+def near_dup_compact_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance verb for the band store, symmetric to
+    `ann_ivf_compact_tombstones`: after `near_dup_retract_reprobe` leaves
+    a tombstone sidecar, a maintenance window REWRITES only the store
+    files that contain deleted docs' rows (band postings AND shingle
+    hashes), dropping those rows, and deletes the dead originals —
+    untouched files are never opened for write. Readers then stop paying
+    the per-probe anti join.
+
+    File-level surgery: each store table's touched-file list comes from
+    the `_metadata.file_path` hidden column semi-joined with the
+    tombstones (bounded by the store's file count); live rows of touched
+    files are materialized (localCheckpoint — never read a path being
+    modified), appended as new files, then the dead originals are
+    unlinked. A production lake makes the swap one metadata commit (the
+    WAP shape `lake_wap_publish` demonstrates); the gates below verify
+    the same post-conditions structurally.
+
+    In-op gates: untouched files byte-stable AND touched files gone;
+    zero tombstoned rows and exact survivor counts in both read-backs.
+    Correctness: the post-compaction probe (NO overlay) is hash-checked
+    against the SAME from-scratch SQL oracle as the overlay op —
+    compaction changes layout, never the answer.
+
+    Scale: rewrite ∝ rows in touched files; with doc-clustered stores a
+    delete batch touches few files of many (here the fixture store is
+    32 files per table, the worst case); the probe afterwards is the
+    standard ∝-batch-size plan."""
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sg_nd_compact_")
+    shutil.rmtree(work)  # build_band_index publishes by atomic rename
+    try:
+        root = build_band_index(spark, sf_dir, root=work)
+        d = load_table(spark, sf_dir, "documents")
+        tomb = (
+            d.filter(
+                (F.col("doc_id") % INC_HIST_MOD < INC_HIST_KEEP)
+                & (F.col("doc_id") % RETRACT_MOD == 0)
+            )
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        before = _walk_parquet_sizes(root)
+        for sub in ("bands", "shingles"):
+            path = os.path.join(root, sub)
+            full = spark.read.parquet(path)
+            n_before = full.count()
+            n_dead = full.join(F.broadcast(tomb), "doc_id", "left_semi").count()
+            touched = [
+                r.f
+                for r in full.select(
+                    "doc_id", F.col("_metadata.file_path").alias("f")
+                )
+                .join(F.broadcast(tomb), "doc_id", "left_semi")
+                .select("f")
+                .distinct()
+                .collect()  # bounded by the store's file count
+            ]
+            if not touched:
+                continue
+            from urllib.parse import urlparse
+
+            local = [urlparse(t).path if t.startswith("file:") else t for t in touched]
+            live = (
+                spark.read.parquet(*local)
+                .join(F.broadcast(tomb), "doc_id", "left_anti")
+                .localCheckpoint(eager=True)  # materialize BEFORE mutating
+            )
+            live.write.mode("append").parquet(path)
+            for t in local:
+                os.remove(t)
+            back = spark.read.parquet(path)
+            n_after = back.count()
+            still_dead = back.join(F.broadcast(tomb), "doc_id", "left_semi").count()
+            if still_dead != 0 or n_after != n_before - n_dead:
+                raise RuntimeError(
+                    f"near_dup_compact_tombstones fold incomplete in {sub}: "
+                    f"{still_dead} dead rows, {n_after} of expected "
+                    f"{n_before - n_dead}"
+                )
+        after = _walk_parquet_sizes(root)
+        broken = [
+            p
+            for p, sz in before.items()
+            if p in after and after[p] != sz
+        ]
+        if broken:
+            raise RuntimeError(
+                f"near_dup_compact_tombstones rewrote untouched files: "
+                f"{broken[:3]} (touched-files-only contract)"
+            )
+        batch = d.filter(F.col("doc_id") % INC_HIST_MOD >= INC_HIST_KEEP).select(
+            "doc_id", "text"
+        )
+        out = probe_band_index(spark, root, batch)  # NO overlay
+        # the private store root is reclaimed in finally: materialize
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -66,7 +66,7 @@ def register(
 # pq_encode_df encoder refactor flows into the three PQ serving ops; the
 # idempotency/NULL-guard fixes are already covered by (a)); (d) the
 # remaining slots hold the OLDEST-checked oracle-bearing names: the full
-# r5 remainder (9), then r6 alphabetical — the first 30 fill the 50.
+# r5 remainder (9), then r6 alphabetical — the first 29 fill the 50.
 # Rows-only names appear only under (a)-(c), where a fresh execution row
 # is the point; every (d) slot produces a hash verdict.
 # Regenerate this list each round from the CORRECTNESS_r* latest-row map.
@@ -74,13 +74,14 @@ _DRIVER_PRIORITY = [
     # --- (a) never-driver-checked r11 lifecycle ops (rows-only) (2) ------
     "stream_near_dup_incremental",
     "ann_ivf_append_batch",
-    # --- (b) new ops this round (6) --------------------------------------
+    # --- (b) new ops this round (7) --------------------------------------
     "ann_ivf_pq_append_batch",
     "source_text_wholetext_labels",
     "source_avro_events_agg",
     "near_dup_retract_reprobe",
     "ann_ivf_delete_serve",
     "ann_ivf_compact_tombstones",
+    "near_dup_compact_tombstones",
     # --- (c) executed code changed this round (pq encoder refactor) (3) --
     "ann_pq_adc",
     "ann_ivf_pq_adc",
@@ -95,7 +96,7 @@ _DRIVER_PRIORITY = [
     "udaf_weighted_median",
     "udf_iterator_scoring",
     "union_by_name_schema_drift",
-    # --- (d) oldest oracle-bearing: r6 alphabetical, first 30 fill the 50 -
+    # --- (d) oldest oracle-bearing: r6 alphabetical, first 29 fill the 50 -
     "asof_join_latest_order",
     "attribution_last_touch",
     "benford_first_digit",
@@ -125,9 +126,9 @@ _DRIVER_PRIORITY = [
     "near_dup_jaccard_stopfiltered",
     "near_dup_minhash_verified",
     "pagerank_purchase_graph",
-    "range_join_events_after_order",
     # ==== slot 51+ from here: fronts the r13 rotation ====================
-    # --- r6 oracle-bearing remainder (10) ---------------------------------
+    # --- r6 oracle-bearing remainder (11) ---------------------------------
+    "range_join_events_after_order",
     "row_ids_distributed",
     "shortest_paths_bfs",
     "simhash_near_dup_pairs",

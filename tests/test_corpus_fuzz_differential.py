@@ -79,6 +79,7 @@ DOC_QUERIES = [
     "near_dup_incremental",  # r6: persisted-band-index probe (split + anti-join)
     "near_dup_index_append_cycle",  # r6: append lifecycle self-match
     "near_dup_retract_reprobe",  # r12: tombstone overlay == true deletion
+    "near_dup_compact_tombstones",  # r12: compaction == overlay, file surgery
     "tokenize_truncate",
     "corpus_token_stats",
     "heavy_hitters_sketch_verified",

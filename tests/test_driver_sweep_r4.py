@@ -264,6 +264,7 @@ R12_ORACLE = [
     "source_text_wholetext_labels",
     "source_avro_events_agg",
     "near_dup_retract_reprobe",
+    "near_dup_compact_tombstones",
 ]
 
 

@@ -254,6 +254,23 @@ def test_compact_tombstones_equals_overlay_serve(spark, sf_dir):
     assert compact  # non-vacuous
 
 
+def test_nd_compact_tombstones_equals_overlay_probe(spark, sf_dir):
+    """Same contract as the ANN pair, on the band store: the
+    post-compaction probe (no overlay) must equal the deletion-vector
+    overlay probe row-for-row — and both carry the SAME SQL oracle, so
+    the parity sweeps hash-check each independently."""
+    compact = sorted(
+        (r.doc_id, r.n_band_candidates)
+        for r in REG["near_dup_compact_tombstones"].fn(spark, sf_dir).collect()
+    )
+    overlay = sorted(
+        (r.doc_id, r.n_band_candidates)
+        for r in REG["near_dup_retract_reprobe"].fn(spark, sf_dir).collect()
+    )
+    assert compact == overlay
+    assert compact  # non-vacuous
+
+
 def test_append_pq_codes_small_file_bound(spark, sf_dir, pq_history_store):
     """One append lands a bounded handful of files (append_band_index's
     small-file rule), not one per shuffle partition."""

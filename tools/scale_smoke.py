@@ -210,6 +210,7 @@ QUERIES = [
     "near_dup_retract_reprobe",
     "ann_ivf_delete_serve",
     "ann_ivf_compact_tombstones",
+    "near_dup_compact_tombstones",
 ]
 
 
