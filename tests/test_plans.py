@@ -268,3 +268,38 @@ def test_salted_join_exchange_carries_salt(spark, sf_dir):
     plan = physical(df)
     assert re.search(r"Exchange hashpartitioning\(q#\d+, salt#\d+", plan), plan[:2000]
     assert "ShuffledHashJoin" in plan
+
+
+def test_retraction_overlay_is_broadcast_anti_join(spark, sf_dir):
+    """r12: the deletion-vector overlay must execute as a BROADCAST anti
+    join on both the band-postings and shingle-store probe sides — the
+    O(|deleted|)-sidecar claim dies if the overlay shuffles the store.
+    Built inline (the registered ops return post-collect frames after
+    their in-op gates)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from distributed_deep_learning_with_apache_spark_spark.operators.dedup import (
+        INC_HIST_KEEP,
+        INC_HIST_MOD,
+        RETRACT_MOD,
+        build_band_index,
+    )
+    from distributed_deep_learning_with_apache_spark_spark.sources.catalog import (
+        load_table,
+    )
+
+    root = build_band_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    tomb = d.filter(
+        (F.col("doc_id") % INC_HIST_MOD < INC_HIST_KEEP)
+        & (F.col("doc_id") % RETRACT_MOD == 0)
+    ).select("doc_id")
+    live = spark.read.parquet(os.path.join(root, "bands")).join(
+        F.broadcast(tomb), "doc_id", "left_anti"
+    )
+    plan = physical(live)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan

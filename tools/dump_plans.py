@@ -138,6 +138,12 @@ EXTRA_PLANS = [
     # and IVF-append lifecycles return bounded local/ledger tables whose
     # plans carry no scale claim — their gates live in the ops + tests)
     "lake_zorder_write",
+    # r12 additions (the wholetext source shows the whole-file scan +
+    # 2-group aggregate; the retraction/compaction/append lifecycle ops
+    # and the avro round-trip return post-collect frames after their
+    # in-op gates — the retraction overlay's BroadcastHashJoin LeftAnti
+    # is plan-gated in tests/test_plans.py instead)
+    "source_text_wholetext_labels",
 ]
 
 
