@@ -1305,8 +1305,31 @@ def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine portability: Spark levenshtein counts characters, DuckDB bytes;
     the printable-ASCII projection makes byte == char on both.
+
+    Parallelism discipline (r12 optimization, guide §2.5-2.6): every
+    CPU-heavy stage here is tiny in BYTES (a 5k-doc corpus shuffles a few
+    MB) but expensive per ROW, so (a) the one-split documents scan must be
+    widened before the shingle projection (same `_widen_scan` gate as the
+    minhash pipeline — it vanishes on wide scans), and (b) the self-join
+    and both verify joins ride explicit `repartition(n, key)` exchanges:
+    AQE's byte-based coalescing would otherwise collapse them to 1-2
+    tasks (measured: a 35 s single-task self-join+agg stage at sf0.1 —
+    reading 1 MB, writing 11 MB — and the banded-Levenshtein stage, ~3.7G
+    DP cells, serialized the same way). User-numbered repartitions are
+    exempt from AQE coalescing, so the expensive stages keep the
+    session's full width while every byte-bound stage stays adaptive.
+    The keyed repartition doubles as the join distribution (no extra
+    exchange), and partition count stays conf-derived — on a cluster the
+    same code widens to the cluster's shuffle width.
     """
-    d = load_table(spark, sf_dir, "documents")
+    import os
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = _widen_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+    )
     skel = F.substring(
         F.regexp_replace(F.col("text"), "[^ -~]", ""), 1, EDIT_SKEL_LEN
     )
@@ -1317,7 +1340,9 @@ def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= STOP_DF)
     )
-    rp = posting.join(rare.select("shingle"), "shingle")
+    rp = posting.join(rare.select("shingle"), "shingle").repartition(
+        n_part, "shingle"
+    )
     a = rp.alias("a")
     b = rp.alias("b")
     cand = (
@@ -1330,6 +1355,7 @@ def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= EDIT_MIN_SHARED)
         .select("doc_a", "doc_b")
+        .repartition(n_part, "doc_a")
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("skel").alias("skel_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("skel").alias("skel_b"))
@@ -1352,6 +1378,7 @@ def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     lev = F.levenshtein(F.col("skel_a"), F.col("skel_b"), max_lev)
     return (
         cand.join(sa, "doc_a")
+        .repartition(n_part, "doc_b")  # keeps the Levenshtein stage wide
         .join(sb, "doc_b")
         .filter(length_gate)
         .select(
