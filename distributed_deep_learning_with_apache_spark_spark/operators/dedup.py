@@ -135,9 +135,22 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a cross join: only documents sharing ≥1 shingle are compared.
     At 100 TB add a stop-shingle filter (drop shingles with huge posting
     lists) — semantics-preserving for any threshold ≥ shared/union bound.
+
+    The shingle table is built ONCE behind a widened scan and an eager
+    per-invocation localCheckpoint (r12 optimization): its three
+    consumers (posting self-join sides + the size lookup) otherwise each
+    re-derived the full scan→shingles pipeline — and the one-split local
+    scan ran it single-task. Same barrier pattern as
+    near_dup_minhash_verified; content identical, oracle unchanged.
     """
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles().alias("sh"))
+    import os
+
+    d = _widen_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+    )
+    sh = d.select("doc_id", shingles().alias("sh")).localCheckpoint(eager=True)
     posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
     a = posting.alias("a")
     b = posting.alias("b")
@@ -202,8 +215,16 @@ def near_dup_jaccard_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs are overwhelmingly template collisions, exactly what dedup should
     not key on.
     """
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles().alias("sh"))
+    import os
+
+    # One widened scan + per-invocation checkpoint for the shingle table
+    # (three consumers; same barrier rationale as near_dup_jaccard).
+    d = _widen_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+    )
+    sh = d.select("doc_id", shingles().alias("sh")).localCheckpoint(eager=True)
     posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
     rare = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= STOP_DF
@@ -393,25 +414,23 @@ def near_dup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     check at test scale.
     """
     d = load_table(spark, sf_dir, "documents")
-    # Two deliberate exchanges around the shingle+md5 projection:
-    # 1. repartition the RAW text first — the documents scan is one split
-    #    per file, and an expensive projection placed before any exchange
-    #    runs single-task; with the exchange first it parallelizes across
-    #    all cores (measured ~1 s single-task at sf0.1);
-    # 2. repartition again AFTER `hs` — the barrier stops Catalyst's
-    #    projection collapse from inlining the shingle tree into all three
-    #    consumers (signatures + both verification sides), so the arrays
-    #    are computed once and the downstream plan references small
-    #    post-exchange attributes instead of an 8×-inlined expression.
-    #
-    # For exchange reuse to fire, all four consumers (bands a/b, verify
-    # a/b) must see a byte-identical subtree after column pruning. Two
-    # ingredients: the size>0 filter lives INSIDE `sh` (not on the
-    # signature branch), and the verification runs on hashed shingles
-    # rather than the raw ones — shingles() is distinct, so the
-    # intersection size (hence the Jaccard) is unchanged, but every
-    # consumer prunes to post-exchange hash columns. Without both, the
-    # build executed 4× (no ReusedExchange in the plan).
+    # One wide exchange BEFORE the shingle+hash projection (the documents
+    # scan is one split per file, so the expensive projection would run
+    # single-task — same `_widen_scan` gate as everywhere), then an EAGER
+    # localCheckpoint of the hashed-signature table. Four consumers read
+    # it (bands a/b, verify a/b); without a materialization barrier the
+    # optimizer re-derived the full scan→shingles→md5/xxhash pipeline in
+    # EVERY consumer — the r12 optimization pass measured 4 FileScans and
+    # 0 ReusedExchange in the executed plan (broadcast-join sides can
+    # never reuse a shuffle exchange, and per-consumer column pruning
+    # splits the rest), i.e. the dominant stage ran 4×. The checkpoint is
+    # per-invocation (each call rebuilds it — nothing persists across
+    # runs) and is exactly the guide-§8 move: materialize the small
+    # hash-proxy table once, decide candidates and verify from the proxy,
+    # never recompute from the raw corpus. On a cluster the same barrier
+    # is a reliable-storage checkpoint or an explicit write+read of the
+    # signature table; the fault-tolerance delta is the localCheckpoint
+    # contract already documented in SCALE.md for the logstar loop.
     #
     # Two hash columns from one build: `hs` (md5 — the engine-portable
     # signature family DuckDB mirrors) feeds the band signatures; `hx`
@@ -429,7 +448,7 @@ def near_dup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("sh"), F.md5).alias("hs"),
             F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hx"),
         )
-        .repartition(n_part)
+        .localCheckpoint(eager=True)
     )
 
     sig = _band_signature(sh)

@@ -844,16 +844,28 @@ def _pq_train_codebooks(vecs, seed: int = 42, iters: int = 12):
     Codebook training on a sample is the standard production recipe (the
     codebook is KB-sized and global); ENCODING — the data-proportional
     part — is distributed below.  Deterministic: fixed seed, fixed
-    iteration count, ties broken by lowest centroid index."""
+    iteration count, ties broken by lowest centroid index.
+
+    The PQ_M subspaces are independent, so their Lloyd loops run on a
+    thread pool (numpy releases the GIL for the distance kernels) — the
+    r12 optimization pass measured the serial m-loop at ~8-17 s of pure
+    driver time inside every ann_ivf_pq_build/append. Bit-identical to
+    the serial form: the init draws consume the shared rng SEQUENTIALLY
+    in subspace order before any thread starts (the draw depends only on
+    rng state, not on x), and each subspace's iteration math is
+    untouched."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
 
     n, dim = vecs.shape
     sub = dim // PQ_M
     rng = np.random.default_rng(seed)
-    books = []
-    for m in range(PQ_M):
+    inits = [rng.choice(n, size=PQ_K, replace=False) for _ in range(PQ_M)]
+
+    def _lloyd(m: int):
         x = vecs[:, m * sub : (m + 1) * sub]
-        cent = x[rng.choice(n, size=PQ_K, replace=False)].copy()
+        cent = x[inits[m]].copy()
         for _ in range(iters):
             d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
             assign = d2.argmin(1)
@@ -861,7 +873,10 @@ def _pq_train_codebooks(vecs, seed: int = 42, iters: int = 12):
                 pts = x[assign == k]
                 if len(pts):
                     cent[k] = pts.mean(0)
-        books.append(cent)
+        return cent
+
+    with ThreadPoolExecutor(max_workers=PQ_M) as pool:
+        books = list(pool.map(_lloyd, range(PQ_M)))
     return books  # list of (PQ_K, sub) arrays
 
 
@@ -951,10 +966,18 @@ def pq_encode_df(
     books = _pq_train_codebooks(sample)
 
     # Stage + atomic publish, same crash/race discipline as build_ivf_index.
+    # The encode input rides an explicit conf-width repartition: the
+    # embeddings fixture scans as ONE split, so the Arrow encode kernel —
+    # the data-proportional half of the build — would otherwise run as a
+    # single task (measured 36 s of the 59 s sf0.1 build). Row-wise
+    # encode against fixed codebooks is partition-independent, so codes
+    # are bit-identical; at cluster scale the scan is already wide and
+    # the exchange is the usual pre-UDF rebalance.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     stage = f"{root}.tmp.{os.getpid()}"
-    _pq_encode_with_books(spark, e, books).write.mode("overwrite").parquet(
-        os.path.join(stage, "codes")
-    )
+    _pq_encode_with_books(spark, e.repartition(n_part), books).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "codes"))
     with open(os.path.join(stage, "codebooks.json"), "w") as f:
         json.dump([b.tolist() for b in books], f)
     with open(os.path.join(stage, "_PQ_COMPLETE"), "w") as f:
