@@ -866,13 +866,34 @@ def _pq_train_codebooks(vecs, seed: int = 42, iters: int = 12):
     def _lloyd(m: int):
         x = vecs[:, m * sub : (m + 1) * sub]
         cent = x[inits[m]].copy()
+        prev_assign = None
         for _ in range(iters):
-            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            # d2 accumulated per dimension: identical float ops in the
+            # identical order as ((x[:,None,:]-cent)**2).sum(-1) (numpy's
+            # reduce over sub<=8 elements is sequential), with (n, K)
+            # temporaries instead of one (n, K, sub) block.
+            d2 = (x[:, None, 0] - cent[None, :, 0]) ** 2
+            for j in range(1, x.shape[1]):
+                d2 += (x[:, None, j] - cent[None, :, j]) ** 2
             assign = d2.argmin(1)
-            for k in range(PQ_K):
-                pts = x[assign == k]
-                if len(pts):
-                    cent[k] = pts.mean(0)
+            if prev_assign is not None and (assign == prev_assign).all():
+                # Fixed point: unchanged assignments re-derive the exact
+                # same centroids, so every remaining iteration is a no-op
+                # — skipping them is bit-identical, not an approximation.
+                break
+            prev_assign = assign
+            # Centroid update via ONE stable argsort instead of PQ_K
+            # boolean masks: x[order] groups each cluster's members in
+            # ascending row order — the same rows in the same order as
+            # x[assign == k] — so each group's .mean(0) is bit-identical
+            # to the masked form (pinned against the pre-change store).
+            order = np.argsort(assign, kind="stable")
+            sorted_assign = assign[order]
+            ks, starts = np.unique(sorted_assign, return_index=True)
+            bounds = np.append(starts[1:], len(order))
+            xs = x[order]
+            for k, s, t in zip(ks, starts, bounds):
+                cent[k] = xs[s:t].mean(0)
         return cent
 
     with ThreadPoolExecutor(max_workers=PQ_M) as pool:
