@@ -330,19 +330,19 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     not n².
     """
     d = load_table(spark, sf_dir, "documents")
-    # Two exchanges around the shingle build (same rationale as
-    # near_dup_minhash_verified): the first parallelizes the expensive
-    # projection beyond the scan's single split; the second is the
-    # materialization barrier — without it Catalyst collapses the
-    # projection into the 8 minhash expressions below and recomputes the
-    # whole shingle build per hash (measured 3.7× slower at 5k docs).
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Widened scan + eager per-invocation localCheckpoint around the
+    # shingle build (same rationale as near_dup_minhash_verified): the
+    # widen parallelizes the expensive projection beyond the scan's
+    # single split; the checkpoint is the materialization barrier — a
+    # repartition barrier alone stopped expression re-inlining but still
+    # let the two band-join sides re-derive the build (broadcast sides
+    # never reuse a shuffle exchange — r12 optimization pass).
     sh = (
         _widen_scan(d, spark, __import__("os").path.join(sf_dir, "documents.parquet"))
         .select("doc_id", shingles().alias("sh"))
         .filter(F.size("sh") > 0)
         .select("doc_id", F.transform(F.col("sh"), F.md5).alias("hs"))
-        .repartition(n_part)
+        .localCheckpoint(eager=True)
     )
 
     sig = _band_signature(sh)
@@ -851,7 +851,10 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are band values; the cap is a WindowGroupLimit (partial top-k on the
     map side), never a global sort.
     """
-    fp = simhash_fingerprints(spark, sf_dir)
+    # Per-invocation checkpoint: fp (doc_id, simhash16 — KB-sized) feeds
+    # four consumers (bands a/b, verify a/b); without the barrier each
+    # re-derived the full per-token md5 pipeline (r12 optimization pass).
+    fp = simhash_fingerprints(spark, sf_dir).localCheckpoint(eager=True)
     bands = fp.select(
         "doc_id",
         "simhash16",
@@ -1043,7 +1046,13 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick the minhash verify join uses); the raw-text key here keeps the
     DuckDB oracle engine-exact at test SF.
     """
-    d = load_table(spark, sf_dir, "documents")
+    import os
+
+    d = _widen_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+    )
     spans = (
         d.filter(F.length("text") >= SPAN_LEN)
         .select(
@@ -1054,6 +1063,9 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         )
         .select("doc_id", F.expr(f"substring(text, o + 1, {SPAN_LEN})").alias("gram"))
+        # Two consumers (dup counts + per-doc join-back) — materialize the
+        # span table once per invocation instead of re-extracting spans.
+        .localCheckpoint(eager=True)
     )
     dup = (
         spans.groupBy("gram")
@@ -1136,8 +1148,16 @@ def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the |A| denominator as well (containment over the rare
     sub-vocabulary), restoring the bound.
     """
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles().alias("sh"))
+    import os
+
+    # Widened scan + per-invocation checkpoint: four consumers (posting
+    # a/b, size lookups) — same barrier rationale as near_dup_jaccard.
+    d = _widen_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+    )
+    sh = d.select("doc_id", shingles().alias("sh")).localCheckpoint(eager=True)
     posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
     a = posting.alias("a")
     b = posting.alias("b")
@@ -1213,8 +1233,17 @@ def near_dup_containment_stopfiltered(spark: SparkSession, sf_dir: str) -> DataF
     and the denominator both use the rare-set size, so the whole operator
     reads one column family and shuffles 8-byte keys.
     """
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles().alias("sh"))
+    import os
+
+    # Widened scan + per-invocation checkpoint (the shingle subtree feeds
+    # rare/rp/rsz and both self-join sides — same barrier rationale as
+    # near_dup_jaccard).
+    d = _widen_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+    )
+    sh = d.select("doc_id", shingles().alias("sh")).localCheckpoint(eager=True)
     posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
     rare = (
         posting.groupBy("shingle")
@@ -1512,7 +1541,8 @@ def simhash64_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely near-identical documents. Scale: shuffle keys are band
     values; candidate volume tracks true-duplicate density.
     """
-    fp = simhash64_fingerprints(spark, sf_dir)
+    # Same 4-consumer barrier as simhash_near_dup_pairs.
+    fp = simhash64_fingerprints(spark, sf_dir).localCheckpoint(eager=True)
     bands = fp.select(
         "doc_id",
         "simhash64",

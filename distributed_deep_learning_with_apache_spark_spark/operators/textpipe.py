@@ -191,15 +191,13 @@ def doc_embedding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc, dim) average — the embedding lookup itself is a broadcast
     hash join, exactly J1's contract.
     """
-    posting = _posting(spark, sf_dir)
-    # Vocab-fits-in-executor-memory fast path: collapse the vocabulary into
-    # one array row and broadcast it, then filter token arrays in place —
-    # no 1M-row semi-join + per-doc window sort (measured ~2× faster at 5k
-    # docs). vocab_filter_truncate above keeps the general semi-join+window
-    # plan for vocabularies too large to broadcast (SURVEY §7.4.4).
-    vocab_arr = _vocab(posting).agg(F.collect_set("tok").alias("vocab"))
-    # Parallelize the tokenize projection beyond the scan's split count
-    # when needed (same gate as _posting; no-op on wide scans).
+    # Tokenize ONCE: the vocab branch and the kept-arrays branch both need
+    # the token arrays, and without a barrier each re-derived the full
+    # scan→tokenize pipeline (2 FileScans of documents in the executed
+    # plan — r12 optimization pass). The per-invocation localCheckpoint
+    # materializes the token arrays behind the widened scan; both
+    # branches read it (guide-§8 proxy-table shape: tokenize the corpus
+    # once, decide vocabulary and lookups from the token table).
     import os
 
     d = _widen_scan(
@@ -207,8 +205,18 @@ def doc_embedding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         os.path.join(sf_dir, "documents.parquet"),
     )
+    toks_df = d.select("doc_id", tokens("text").alias("toks")).localCheckpoint(
+        eager=True
+    )
+    posting = toks_df.select("doc_id", F.explode("toks").alias("tok"))
+    # Vocab-fits-in-executor-memory fast path: collapse the vocabulary into
+    # one array row and broadcast it, then filter token arrays in place —
+    # no 1M-row semi-join + per-doc window sort (measured ~2× faster at 5k
+    # docs). vocab_filter_truncate above keeps the general semi-join+window
+    # plan for vocabularies too large to broadcast (SURVEY §7.4.4).
+    vocab_arr = _vocab(posting).agg(F.collect_set("tok").alias("vocab"))
     kept_arrays = (
-        d.select("doc_id", tokens("text").alias("toks"))
+        toks_df
         .crossJoin(F.broadcast(vocab_arr))
         .select(
             "doc_id",
