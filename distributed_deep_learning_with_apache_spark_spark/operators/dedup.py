@@ -1381,7 +1381,12 @@ def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     skel = F.substring(
         F.regexp_replace(F.col("text"), "[^ -~]", ""), 1, EDIT_SKEL_LEN
     )
-    sh = d.select("doc_id", shingles().alias("sh"), skel.alias("skel"))
+    # Checkpoint the shingle+skeleton table once per invocation: posting
+    # and both verify sides otherwise each re-derived it (same barrier as
+    # the rest of the dedup family).
+    sh = d.select("doc_id", shingles().alias("sh"), skel.alias("skel")).localCheckpoint(
+        eager=True
+    )
     posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
     rare = (
         posting.groupBy("shingle")
