@@ -987,16 +987,19 @@ def pq_encode_df(
     books = _pq_train_codebooks(sample)
 
     # Stage + atomic publish, same crash/race discipline as build_ivf_index.
-    # The encode input rides an explicit conf-width repartition: the
-    # embeddings fixture scans as ONE split, so the Arrow encode kernel —
-    # the data-proportional half of the build — would otherwise run as a
+    # The encode input rides an explicit repartition: the embeddings
+    # fixture scans as ONE split, so the Arrow encode kernel — the
+    # data-proportional half of the build — would otherwise run as a
     # single task (measured 36 s of the 59 s sf0.1 build). Row-wise
     # encode against fixed codebooks is partition-independent, so codes
-    # are bit-identical; at cluster scale the scan is already wide and
-    # the exchange is the usual pre-UDF rebalance.
+    # are bit-identical. Width is capped at the same small-file bound as
+    # `append_pq_codes` (min(conf, 8)): a full-width write left 32 tiny
+    # files whose per-task scan+Arrow overhead measurably slowed every
+    # warm ADC serve; at cluster scale the corpus is large enough that
+    # the cap binds on neither encode parallelism nor file sizing.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     stage = f"{root}.tmp.{os.getpid()}"
-    _pq_encode_with_books(spark, e.repartition(n_part), books).write.mode(
+    _pq_encode_with_books(spark, e.repartition(min(n_part, 8)), books).write.mode(
         "overwrite"
     ).parquet(os.path.join(stage, "codes"))
     with open(os.path.join(stage, "codebooks.json"), "w") as f:
