@@ -139,13 +139,16 @@ def test_pack_sequences_single_window_shuffle(spark, sf_dir):
 
 def test_simhash_fingerprint_build_computes_once(spark, sf_dir):
     """simhash_near_dup_pairs consumes the fingerprint table four times
-    (bands a/b, verify a/b); the vote-aggregation exchange must be reused,
-    not recomputed — the tokenize+md5 tree is the expensive part."""
+    (bands a/b, verify a/b); the tokenize+md5 tree is the expensive part
+    and must be computed once. Like the minhash gate above, the r12
+    optimization pass replaced the fragile ReusedExchange reliance with
+    an eager per-invocation localCheckpoint of the KB-sized fingerprint
+    table, so the structural pin is now: no file scan (hence no
+    fingerprint re-derivation) can appear in the query's own plan."""
     df = REG["simhash_near_dup_pairs"].fn(spark, sf_dir)
-    df.collect()
     plan = physical(df)
-    assert "isFinalPlan=true" in plan
-    assert plan.count("ReusedExchange") >= 3, plan.count("ReusedExchange")
+    assert "FileScan" not in plan, "fingerprint build leaked back into the plan"
+    assert "ExistingRDD" in plan
 
 
 def test_curation_pipeline_single_shuffle(spark, sf_dir):
