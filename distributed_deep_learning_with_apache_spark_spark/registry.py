@@ -66,11 +66,35 @@ def register(
 # pq_encode_df encoder refactor flows into the three PQ serving ops; the
 # idempotency/NULL-guard fixes are already covered by (a)); (d) the
 # remaining slots hold the OLDEST-checked oracle-bearing names: the full
-# r5 remainder (9), then r6 alphabetical — the first 29 fill the 50.
+# r5 remainder (9), then r6 alphabetical — the first 15 fill the 50
+# (the r12 OPTIMIZATION pass prepends its 14 changed-code names, with
+# the 5 of them that previously sat in this r6 section moved up rather
+# than duplicated; the displaced r6 re-confirmations front the r13
+# rotation).
 # Rows-only names appear only under (a)-(c), where a fresh execution row
 # is the point; every (d) slot produces a hash verdict.
 # Regenerate this list each round from the CORRECTNESS_r* latest-row map.
 _DRIVER_PRIORITY = [
+    # --- (a0) r12 OPTIMIZATION round: every oracle-bearing query whose
+    # EXECUTED code changed in the optimization pass (the standing
+    # changed-code re-earn rule). Names also present in the (c)/(d)
+    # (c)/(d) sections were MOVED here (the contract forbids duplicate
+    # priority entries); the displaced tail of the r6 re-confirmations
+    # fronts the r13 rotation instead. (14) ----------------------------
+    "near_dup_edit_distance",
+    "near_dup_minhash_verified",
+    "near_dup_jaccard",
+    "near_dup_jaccard_stopfiltered",
+    "minhash_lsh_candidates",
+    "dedup_clusters",
+    "dedup_clusters_logstar",
+    "dedup_cluster_survivors",
+    "doc_embedding_avg",
+    "substring_span_dedup",
+    "near_dup_containment",
+    "near_dup_containment_stopfiltered",
+    "simhash_near_dup_pairs",
+    "simhash64_near_dup_pairs",
     # --- (a) never-driver-checked r11 lifecycle ops (rows-only) (2) ------
     "stream_near_dup_incremental",
     "ann_ivf_append_batch",
@@ -103,7 +127,6 @@ _DRIVER_PRIORITY = [
     "bm25_topk",
     "corpus_token_stats",
     "cosine_topk_filtered",
-    "dedup_clusters_logstar",
     "dedup_exact_groups",
     "dedup_exact_survivors",
     "doc_fingerprints",
@@ -118,20 +141,15 @@ _DRIVER_PRIORITY = [
     "lake_shallow_clone_divergence",
     "lang_id",
     "mad_price_outliers",
-    "minhash_lsh_candidates",
     "ml_fpgrowth_item_pairs",
     "near_dup_incremental",
     "near_dup_index_append_cycle",
-    "near_dup_jaccard",
-    "near_dup_jaccard_stopfiltered",
-    "near_dup_minhash_verified",
     "pagerank_purchase_graph",
     # ==== slot 51+ from here: fronts the r13 rotation ====================
     # --- r6 oracle-bearing remainder (11) ---------------------------------
     "range_join_events_after_order",
     "row_ids_distributed",
     "shortest_paths_bfs",
-    "simhash_near_dup_pairs",
     "sink_custom_writer_roundtrip",
     "sql_pipe_syntax",
     "text_quality",
