@@ -1111,6 +1111,7 @@ def ann_ivf_pq_append_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     is_batch = (F.col("vec_id") % 10 == 9) & (F.col("vec_id") >= N_QUERIES)
@@ -1121,11 +1122,30 @@ def ann_ivf_pq_append_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ivf_work)  # both builders publish by atomic rename
     shutil.rmtree(pq_work)
     try:
-        ivf_root = build_ivf_index(spark, sf_dir, root=ivf_work, source=hist)
-        pq_encode_df(spark, sf_dir, root=pq_work, source=hist)
+        # The IVF build and the PQ build over the SAME history are fully
+        # independent (separate private roots, separate outputs); run them
+        # as two concurrent driver threads (guide §2.6 — overlap
+        # independent jobs) so the PQ codebook train + encode back-fills
+        # the cores the serialized KMeans.fit leaves idle. Each build's
+        # internal math is untouched, so both stores stay bit-identical
+        # to the sequential form (pinned in tests/test_r12_new_ops.py).
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_ivf = pool.submit(
+                build_ivf_index, spark, sf_dir, root=ivf_work, source=hist
+            )
+            f_pq = pool.submit(
+                pq_encode_df, spark, sf_dir, root=pq_work, source=hist
+            )
+            ivf_root = f_ivf.result()
+            f_pq.result()
         before = {**_walk_parquet(ivf_root), **_walk_parquet(pq_work)}
-        append_ivf_index(spark, ivf_root, batch)
-        append_pq_codes(spark, pq_work, batch)
+        # The two appends are independent too (disjoint stores, both
+        # consume only `batch` + a KB-sized broadcast); same overlap.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_a = pool.submit(append_ivf_index, spark, ivf_root, batch)
+            f_b = pool.submit(append_pq_codes, spark, pq_work, batch)
+            f_a.result()
+            f_b.result()
         after = {**_walk_parquet(ivf_root), **_walk_parquet(pq_work)}
         rewritten = [p for p, sz in before.items() if after.get(p) != sz]
         if rewritten:
@@ -1133,16 +1153,29 @@ def ann_ivf_pq_append_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"ann_ivf_pq_append_batch rewrote existing store files: "
                 f"{rewritten[:3]} (append-only contract)"
             )
-        n_batch = batch.count()
         codes_df, _books = pq_encode_df(spark, sf_dir, root=pq_work)
         assignments = spark.read.parquet(os.path.join(ivf_root, "assignments"))
-        for label, df in (("assignments", assignments), ("codes", codes_df)):
-            n_found = df.join(batch.select("vec_id"), "vec_id", "left_semi").count()
-            if n_found != n_batch:
-                raise RuntimeError(
-                    f"ann_ivf_pq_append_batch lost vectors: {n_found} of "
-                    f"{n_batch} appended ids present in the grown {label}"
+        # The three completeness counts (batch size + the two read-back
+        # semi-joins) are independent scans; overlap them the same way.
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_n = pool.submit(batch.count)
+            gate_futs = [
+                (
+                    label,
+                    pool.submit(
+                        df.join(batch.select("vec_id"), "vec_id", "left_semi").count
+                    ),
                 )
+                for label, df in (("assignments", assignments), ("codes", codes_df))
+            ]
+            n_batch = f_n.result()
+            for label, fut in gate_futs:
+                n_found = fut.result()
+                if n_found != n_batch:
+                    raise RuntimeError(
+                        f"ann_ivf_pq_append_batch lost vectors: {n_found} of "
+                        f"{n_batch} appended ids present in the grown {label}"
+                    )
         scored = _ivf_pq_adc_scored(
             spark, sf_dir, ivf_root=ivf_root, pq_root=pq_work
         )

@@ -1617,14 +1617,21 @@ def _stage_watermarked_sides(spark: SparkSession, sf_dir: str, base: str):
     (purchases, errors) streaming frames, both watermarked and renamed to
     the p_*/e_* join columns. Sentinels carry side-distinct NEGATIVE user
     ids; callers drop them from the materialized output."""
+    import datetime as _dt
     import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
     far = ev.agg(F.max("ts")).first()[0]
-    sides = {}
-    for side, etype in (("purchases", "purchase"), ("errors", "error")):
+    schema = ev.schema
+
+    def _stage_side(side_etype: tuple[str, str]) -> tuple[str, str]:
+        side, etype = side_etype
         d = os.path.join(base, side)
         rows = ev.filter(F.col("event_type") == etype)
         rows.coalesce(1).write.mode("overwrite").parquet(d)
@@ -1648,31 +1655,47 @@ def _stage_watermarked_sides(spark: SparkSession, sf_dir: str, base: str):
         # drains). They carry side-distinct negative user ids so they
         # cannot join each other, and are dropped from the
         # MATERIALIZED batch output below, where no pushdown exists.
+        #
+        # The sentinel files are written DRIVER-SIDE with pyarrow: each
+        # is one literal row, and the r12 optimization pass measured the
+        # previous repartition(1) Spark write jobs at ~0.4-0.7 s apiece
+        # (4 jobs per staging = the bulk of staging time) for work that
+        # is a few KB of parquet. Same rows, same schema
+        # (timestamp[us, UTC] matches the Spark-written side file), so
+        # the streamed batches are identical.
         _touch_new(0)
         uid = -1 if etype == "purchase" else -2
         for i, days in enumerate((30, 60), start=1):
-            sentinel = spark.createDataFrame(
-                [(-1, uid, etype)],
-                "event_id long, user_id long, event_type string",
-            ).select(
-                "event_id",
-                "user_id",
-                "event_type",
-                (F.lit(far) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            sentinel_tbl = pa.table(
+                {
+                    "event_id": pa.array([-1], pa.int64()),
+                    "user_id": pa.array([uid], pa.int64()),
+                    "event_type": pa.array([etype], pa.string()),
+                    "ts": pa.array(
+                        [far + _dt.timedelta(days=days)],
+                        pa.timestamp("us", tz="UTC"),
+                    ),
+                }
             )
-            # repartition(1), not coalesce(1): coalescing a
-            # default-parallelism local relation serializes all its
-            # (empty) partitions through one task (~5 s measured per
-            # write); a 1-row shuffle is ~0.4 s and still yields the
-            # single file the maxFilesPerTrigger staging needs.
-            sentinel.repartition(1).write.mode("append").parquet(d)
+            pq.write_table(sentinel_tbl, os.path.join(d, f"sentinel-{i}.parquet"))
             _touch_new(i * 10)
-        sides[side] = (
-            spark.readStream.schema(rows.schema)
+        return side, d
+
+    # The two sides' staging (filtered write + sentinel files) is fully
+    # independent; overlap the two write jobs (guide §2.6).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        dirs = dict(
+            pool.map(_stage_side, (("purchases", "purchase"), ("errors", "error")))
+        )
+    sides = {
+        side: (
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(d)
             .withWatermark("ts", "10 minutes")
         )
+        for side, d in dirs.items()
+    }
     purchases = sides["purchases"].select(
         F.col("event_id").alias("p_id"),
         F.col("user_id").alias("p_user"),
