@@ -95,6 +95,11 @@ _DRIVER_PRIORITY = [
     "near_dup_containment_stopfiltered",
     "simhash_near_dup_pairs",
     "simhash64_near_dup_pairs",
+    # --- (a0b) r12 optimization SESSION 2: rows-only queries whose
+    # executed code changed (pyarrow sentinel staging; the pq-append
+    # thread overlap's name already sits in (b)) (2) ---------------------
+    "stream_stream_left_outer_join",
+    "stream_stream_full_outer_join",
     # --- (a) never-driver-checked r11 lifecycle ops (rows-only) (2) ------
     "stream_near_dup_incremental",
     "ann_ivf_append_batch",
