@@ -142,6 +142,15 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derived the full scan→shingles pipeline — and the one-split local
     scan ran it single-task. Same barrier pattern as
     near_dup_minhash_verified; content identical, oracle unchanged.
+
+    The checkpointed table carries xxhash64 longs, not shingle strings
+    (r12 optimization session 3, guide §2.3 — narrower types): the
+    posting self-join shuffles an 8-byte long per posting instead of a
+    ~25-byte word-trigram string, and the within-bucket equi-compare is
+    a long compare. `shingles()` is array_distinct, so shared counts and
+    sizes — hence every Jaccard value — are hash-agnostic (the same
+    argument as near_dup_minhash_verified's `hx` verify); the DuckDB
+    string-side oracle is unchanged and re-proves equality every drive.
     """
     import os
 
@@ -150,8 +159,11 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         os.path.join(sf_dir, "documents.parquet"),
     )
-    sh = d.select("doc_id", shingles().alias("sh")).localCheckpoint(eager=True)
-    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sh = d.select(
+        "doc_id",
+        F.transform(shingles(), lambda s: F.xxhash64(s)).alias("hx"),
+    ).localCheckpoint(eager=True)
+    posting = sh.select("doc_id", F.explode("hx").alias("shingle"))
     a = posting.alias("a")
     b = posting.alias("b")
     cand = (
@@ -159,7 +171,7 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    sizes = sh.select("doc_id", F.size("hx").alias("n_sh"))
     jacc = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
         cand.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
@@ -214,6 +226,16 @@ def near_dup_jaccard_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame
     every shared shingle is boilerplate is missed — at threshold 0.5 such
     pairs are overwhelmingly template collisions, exactly what dedup should
     not key on.
+
+    Everything downstream of the shingle build runs on xxhash64 longs
+    (r12 optimization session 3, guide §2.3): the posting df-count, the
+    rare filter, the candidate self-join AND the verify's
+    array_intersect — the verify previously intersected raw ~25-byte
+    string arrays over every candidate pair, the measured hot spot of
+    the whole op. `shingles()` is array_distinct, so df counts, shared
+    counts, set sizes and intersections are identical on hashes
+    (hash-agnostic Jaccard — near_dup_minhash_verified's standing `hx`
+    argument); the DuckDB string-side oracle re-proves it every drive.
     """
     import os
 
@@ -224,8 +246,11 @@ def near_dup_jaccard_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame
         spark,
         os.path.join(sf_dir, "documents.parquet"),
     )
-    sh = d.select("doc_id", shingles().alias("sh")).localCheckpoint(eager=True)
-    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sh = d.select(
+        "doc_id",
+        F.transform(shingles(), lambda s: F.xxhash64(s)).alias("hx"),
+    ).localCheckpoint(eager=True)
+    posting = sh.select("doc_id", F.explode("hx").alias("shingle"))
     rare = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= STOP_DF
     )
@@ -237,8 +262,8 @@ def near_dup_jaccard_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hx").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hx").alias("shb"))
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     jacc = inter / (F.size("sha") + F.size("shb") - inter)
     return (
@@ -1152,13 +1177,20 @@ def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Widened scan + per-invocation checkpoint: four consumers (posting
     # a/b, size lookups) — same barrier rationale as near_dup_jaccard.
+    # The checkpointed proxy carries xxhash64 longs, not shingle strings
+    # (r12 optimization session 3, guide §2.3): shared counts and set
+    # sizes — hence every containment score — are hash-agnostic over the
+    # array_distinct shingle sets; the string-side oracle re-proves it.
     d = _widen_scan(
         load_table(spark, sf_dir, "documents"),
         spark,
         os.path.join(sf_dir, "documents.parquet"),
     )
-    sh = d.select("doc_id", shingles().alias("sh")).localCheckpoint(eager=True)
-    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sh = d.select(
+        "doc_id",
+        F.transform(shingles(), lambda s: F.xxhash64(s)).alias("hx"),
+    ).localCheckpoint(eager=True)
+    posting = sh.select("doc_id", F.explode("hx").alias("shingle"))
     a = posting.alias("a")
     b = posting.alias("b")
     cand = (
@@ -1170,7 +1202,7 @@ def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    sizes = sh.select("doc_id", F.size("hx").alias("n_sh"))
     containment = F.col("shared") / F.col("na")
     return (
         cand.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
@@ -1237,14 +1269,19 @@ def near_dup_containment_stopfiltered(spark: SparkSession, sf_dir: str) -> DataF
 
     # Widened scan + per-invocation checkpoint (the shingle subtree feeds
     # rare/rp/rsz and both self-join sides — same barrier rationale as
-    # near_dup_jaccard).
+    # near_dup_jaccard). Proxy carries xxhash64 longs (r12 session 3,
+    # guide §2.3): df counts, rare-set sizes and shared counts are
+    # hash-agnostic over array_distinct shingles; oracle unchanged.
     d = _widen_scan(
         load_table(spark, sf_dir, "documents"),
         spark,
         os.path.join(sf_dir, "documents.parquet"),
     )
-    sh = d.select("doc_id", shingles().alias("sh")).localCheckpoint(eager=True)
-    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sh = d.select(
+        "doc_id",
+        F.transform(shingles(), lambda s: F.xxhash64(s)).alias("hx"),
+    ).localCheckpoint(eager=True)
+    posting = sh.select("doc_id", F.explode("hx").alias("shingle"))
     rare = (
         posting.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1383,11 +1420,17 @@ def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Checkpoint the shingle+skeleton table once per invocation: posting
     # and both verify sides otherwise each re-derived it (same barrier as
-    # the rest of the dedup family).
-    sh = d.select("doc_id", shingles().alias("sh"), skel.alias("skel")).localCheckpoint(
-        eager=True
-    )
-    posting = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    # the rest of the dedup family). Postings are xxhash64 longs (r12
+    # session 3, guide §2.3): df counts and shared counts — the only
+    # things the candidate stage reads — are hash-agnostic over the
+    # array_distinct shingles; the Levenshtein verify reads skeletons,
+    # untouched. String-side oracle unchanged.
+    sh = d.select(
+        "doc_id",
+        F.transform(shingles(), lambda s: F.xxhash64(s)).alias("hx"),
+        skel.alias("skel"),
+    ).localCheckpoint(eager=True)
+    posting = sh.select("doc_id", F.explode("hx").alias("shingle"))
     rare = (
         posting.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -58,6 +58,7 @@ DOC_QUERIES = [
     # full dedup/curation family (crashes on token-less docs were found
     # here: ANSI element_at and negative-length slice)
     "minhash_lsh_candidates",
+    "near_dup_jaccard_stopfiltered",  # r12-opt s3: hashed posting+verify vs string oracle
     "near_dup_minhash_verified",
     "simhash_near_dup_pairs",
     "simhash64_near_dup_pairs",
