@@ -148,9 +148,14 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting self-join shuffles an 8-byte long per posting instead of a
     ~25-byte word-trigram string, and the within-bucket equi-compare is
     a long compare. `shingles()` is array_distinct, so shared counts and
-    sizes — hence every Jaccard value — are hash-agnostic (the same
-    argument as near_dup_minhash_verified's `hx` verify); the DuckDB
-    string-side oracle is unchanged and re-proves equality every drive.
+    sizes — hence every Jaccard value — match the string-set semantics
+    EXCEPT under a 64-bit hash collision (the same argument as
+    near_dup_minhash_verified's `hx` verify). Collision bound: at the
+    100 TB target (~1e11-1e12 distinct shingles) birthday collisions are
+    expected in the low thousands, each able to merge two shingles'
+    posting lists or perturb one pair's shared count — a standard,
+    accepted trade (see SCALE.md); at test scale the DuckDB string-side
+    oracle re-proves exact equality every drive.
     """
     import os
 
@@ -233,9 +238,16 @@ def near_dup_jaccard_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame
     array_intersect — the verify previously intersected raw ~25-byte
     string arrays over every candidate pair, the measured hot spot of
     the whole op. `shingles()` is array_distinct, so df counts, shared
-    counts, set sizes and intersections are identical on hashes
-    (hash-agnostic Jaccard — near_dup_minhash_verified's standing `hx`
-    argument); the DuckDB string-side oracle re-proves it every drive.
+    counts, set sizes and intersections are identical on hashes EXCEPT
+    under a 64-bit collision (near_dup_minhash_verified's standing `hx`
+    argument, now with the honest bound): at ~1e11-1e12 distinct
+    shingles a few thousand birthday collisions are expected, and a
+    collision here is collision-SENSITIVE in a way the plain-jaccard op
+    is not — two merged shingles' combined df can cross STOP_DF and
+    silently drop a rare shingle from candidate generation. Standard,
+    accepted approximation at scale (see SCALE.md); the DuckDB
+    string-side oracle re-proves exact equality at test scale every
+    drive.
     """
     import os
 
