@@ -7,6 +7,8 @@ standard relational set-op family the oracle harness can exercise.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -323,7 +325,18 @@ def segment_nation_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # histogram narrowing (the classic distributed exact-median algorithm).
 # ---------------------------------------------------------------------------
 QT_TARGETS = (0.5, 0.9, 0.99)
-QT_BINS = 256  # histogram resolution per narrowing pass
+# Histogram resolution per narrowing pass. Resolved order statistics are
+# EXACT regardless of bin count — bins only trade pass count against
+# per-pass shuffle rows. r13 A/B at sf0.1 (same process, warm, min-of-3,
+# two interleaved rounds): 4096 bins LOST locally (global 2.3-3.4 s ->
+# 4.0-4.2 s, grouped 3.7-4.9 s -> 6.0-7.7 s; the wider partial-aggregate
+# output dominates when the scan is cheap), so the local default stays
+# 256. At 100 TB the trade inverts — 1.6e13 rows narrow below QT_COLLECT
+# in 3 passes at 4096 bins vs 4 at 256, saving one full corpus scan for
+# ~16x more (still KB-per-task) shuffle rows — so production sets
+# SPARK_GRAFT_QT_BINS=4096 (env-parameterised, guide §2.2/§1.2; local
+# default unchanged keeps the bench comparable).
+QT_BINS = int(os.environ.get("SPARK_GRAFT_QT_BINS", "256"))
 QT_COLLECT = 4096  # candidate count below which we collect and index
 
 
@@ -387,7 +400,14 @@ def quantile_two_pass_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v")
     )
-    n = li.count()
+    # One fused scan yields the row count AND the global min/max (r13,
+    # guide §2.4): the count and the engine's min/max pass previously ran
+    # as two separate full scans. count(lit(1)) counts every row exactly
+    # as .count() did; min/max skip NULLs exactly as before.
+    head = li.agg(
+        F.count(F.lit(1)).alias("n"), F.min("v").alias("mn"), F.max("v").alias("mx")
+    ).first()
+    n = head.n
     if n == 0:  # fuzz corpora include empty tables; the oracle emits 0 rows
         return spark.createDataFrame([], "quantile double, value double")
     need: set[int] = set()
@@ -395,7 +415,7 @@ def quantile_two_pass_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = (n - 1) * q
         need.add(math.floor(h))
         need.add(math.ceil(h))
-    resolved, _passes = exact_order_statistics(li, n, need)
+    resolved, _passes = exact_order_statistics(li, n, need, minmax=(head.mn, head.mx))
     out = []
     for q in QT_TARGETS:
         h = (n - 1) * q
@@ -407,13 +427,21 @@ def quantile_two_pass_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def exact_order_statistics(
-    li: DataFrame, n: int, need: set[int]
+    li: DataFrame, n: int, need: set[int], minmax: tuple | None = None
 ) -> tuple[dict[int, float], int]:
     """Resolve the 0-based order statistics ``need`` of single-column
     DataFrame ``li`` (column ``v``, ``n`` rows) by joint histogram
     narrowing; returns ``(index -> value, histogram passes used)``. See
-    ``quantile_two_pass_exact`` for the algorithm and scale analysis."""
-    gmin, gmax = li.agg(F.min("v"), F.max("v")).first()
+    ``quantile_two_pass_exact`` for the algorithm and scale analysis.
+
+    ``minmax`` (r13): callers that already know the global (min, max) —
+    e.g. from an aggregate fused with their row count — pass it here to
+    skip the engine's own min/max scan (guide §2.4: one fewer full pass;
+    the values are the same ones the scan would produce)."""
+    if minmax is not None:
+        gmin, gmax = minmax
+    else:
+        gmin, gmax = li.agg(F.min("v"), F.max("v")).first()
     # Per order-statistic narrowing state: candidate values live in
     # [lo, hi] (inclusive, actual values), `off` rows of the global sort
     # order precede the candidate set, `cnt` candidates remain.
@@ -424,22 +452,33 @@ def exact_order_statistics(
     resolved: dict[int, float] = {}
     passes = 0
     for _pass in range(64):  # hard bound; loop exits in 2-4 passes
-        live = {}
+        live, small = {}, {}
         for k, s in state.items():
             if k in resolved:
                 continue
             if s["lo"] == s["hi"]:
                 resolved[k] = s["lo"]
             elif s["cnt"] <= QT_COLLECT:
-                vals = sorted(
-                    r.v
-                    for r in li.filter(
-                        F.col("v").between(s["lo"], s["hi"])
-                    ).collect()
-                )
-                resolved[k] = float(vals[k - s["off"]])
+                small[k] = s
             else:
                 live[k] = s
+        if small:
+            # ONE batched scan gathers ALL small candidate sets (r13,
+            # guide §2.4 — the per-rank collect was a full scan PER
+            # order statistic, up to 6 scans for 3 quantiles; the
+            # grouped engine already batched this). The union-of-
+            # intervals filter returns exactly the rows each per-rank
+            # between() would have; per-rank membership is re-applied
+            # driver-side over <= len(small) x QT_COLLECT values, so
+            # every resolved value is identical to the per-rank form.
+            cond = None
+            for lo, hi in sorted({(s["lo"], s["hi"]) for s in small.values()}):
+                c = F.col("v").between(lo, hi)
+                cond = c if cond is None else (cond | c)
+            got = [r.v for r in li.filter(cond).collect()]
+            for k, s in small.items():
+                vals = sorted(v for v in got if s["lo"] <= v <= s["hi"])
+                resolved[k] = float(vals[k - s["off"]])
         if not live:
             break
         structs = []
@@ -497,7 +536,7 @@ def exact_order_statistics(
 # count where a literal per-state expression list cannot).
 # ---------------------------------------------------------------------------
 def exact_grouped_order_statistics(
-    df: DataFrame, needs: dict
+    df: DataFrame, needs: dict, gstats: dict | None = None
 ) -> tuple[dict, int]:
     """Resolve per-group order statistics of ``df`` (columns ``g``, ``v``)
     by joint histogram narrowing; ``needs`` maps group -> set of 0-based
@@ -512,14 +551,20 @@ def exact_grouped_order_statistics(
     that bounded histogram. Per-group convergence is the same
     O(log_BINS n_g); groups resolve independently and drop out of the
     broadcast state as they finish.
+
+    ``gstats`` (r13): callers that already hold the per-group
+    (min, max, count) triples — e.g. from the fused aggregate that gave
+    them their group counts — pass them here to skip the engine's own
+    stats scan (guide §2.4; the values are the same the scan produces).
     """
     spark = df.sparkSession
-    gstats = {
-        r.g: (float(r.mn), float(r.mx), int(r.n))
-        for r in df.groupBy("g")
-        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    if gstats is None:
+        gstats = {
+            r.g: (float(r.mn), float(r.mx), int(r.n))
+            for r in df.groupBy("g")
+            .agg(F.min("v").alias("mn"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     state = {}
     for g, ranks in needs.items():
         if g not in gstats:
@@ -668,7 +713,16 @@ def grouped_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_extendedprice").isNotNull())
         .select(F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v"))
     )
-    counts = {r.g: r.n for r in li.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # One fused per-group scan yields counts AND the engine's (min, max)
+    # stats (r13, guide §2.4): previously the count aggregate here and the
+    # engine's stats aggregate each ran a full scan.
+    gstats = {
+        r.g: (float(r.mn), float(r.mx), int(r.n))
+        for r in li.groupBy("g")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counts = {g: n for g, (_mn, _mx, n) in gstats.items()}
     if not counts:
         return spark.createDataFrame(
             [], "l_returnflag string, quantile double, value double"
@@ -681,7 +735,7 @@ def grouped_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranks.add(math.floor(h))
             ranks.add(math.ceil(h))
         needs[g] = ranks
-    resolved, _passes = exact_grouped_order_statistics(li, needs)
+    resolved, _passes = exact_grouped_order_statistics(li, needs, gstats=gstats)
     out = []
     for g, n in counts.items():
         for q in QT_TARGETS:
@@ -892,7 +946,17 @@ def mad_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_extendedprice").isNotNull())
         .select(F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v"))
     )
-    counts = {r.g: r.n for r in li.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # Fused per-group scan: counts + the first narrowing's (min, max)
+    # stats in one pass (r13, guide §2.4 — same fusion as
+    # grouped_quantile_exact). The second narrowing (over |x-med|) keeps
+    # its internal stats scan: its input doesn't exist yet here.
+    gstats = {
+        r.g: (float(r.mn), float(r.mx), int(r.n))
+        for r in li.groupBy("g")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counts = {g: n for g, (_mn, _mx, n) in gstats.items()}
     if not counts:
         return spark.createDataFrame(
             [], "l_returnflag string, med double, mad double, n_outliers long"
@@ -900,7 +964,7 @@ def mad_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lower median = the ⌈n/2⌉-th smallest = 0-based rank (n+1)//2 - 1.
     ranks = {g: (n + 1) // 2 - 1 for g, n in counts.items()}
     med_vals, _ = exact_grouped_order_statistics(
-        li, {g: {k} for g, k in ranks.items()}
+        li, {g: {k} for g, k in ranks.items()}, gstats=gstats
     )
     meds = spark.createDataFrame(
         [(g, med_vals[(g, k)]) for g, k in ranks.items()], "g string, med double"
