@@ -342,6 +342,84 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 IVF_K = 16
 IVF_NPROBE = 4
+IVF_TRAIN_SAMPLE = 65536  # coarse-quantizer training sample bound (driver-side)
+
+
+def _train_ivf_centroids(vecs, k: int = IVF_K, seed: int = 42, iters: int = 20):
+    """Seeded Lloyd k-means for the IVF coarse quantizer on a bounded
+    sample, driver-side — the same recipe `_pq_train_codebooks` has used
+    since r5 for the PQ codebooks, applied to the coarse quantizer
+    (r13 re-baseline, VERDICT r12 #4).
+
+    Why: the MLlib fit ran ~25 driver-scheduled jobs over the one-split
+    embeddings input — 2.3-7.6 s of almost pure scheduling per fit,
+    serialized inside every index build and every append lifecycle. A
+    coarse quantizer is KB-sized global metadata that production systems
+    (FAISS et al.) train on a bounded sample by design; the
+    data-proportional work — CELL ASSIGNMENT — stays distributed
+    (`_assign_cells`). Deterministic: fixed seed, fixed iteration bound,
+    Lloyd fixed-point early exit, ties broken by lowest centroid index.
+    The assignment math (sequential per-dimension squared-distance
+    accumulation) is bit-identical to the SQL l2sq fold the append/probe
+    paths use, so build-time and append-time assignment agree exactly —
+    tighter than the MLlib fit, whose internal distance kernel was not
+    the probe path's.
+    """
+    import numpy as np
+
+    n = len(vecs)
+    if n == 0:
+        raise ValueError(
+            "_train_ivf_centroids: empty training sample — the IVF build "
+            "requires a non-empty embeddings corpus"
+        )
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    cent = vecs[rng.choice(n, size=k, replace=False)].copy()
+    prev_assign = None
+    for _ in range(iters):
+        d2 = (vecs[:, None, 0] - cent[None, :, 0]) ** 2
+        for j in range(1, vecs.shape[1]):
+            d2 += (vecs[:, None, j] - cent[None, :, j]) ** 2
+        assign = d2.argmin(1)
+        if prev_assign is not None and (assign == prev_assign).all():
+            break  # fixed point: remaining iterations are no-ops
+        prev_assign = assign
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        ks, starts = np.unique(sorted_assign, return_index=True)
+        bounds = np.append(starts[1:], len(order))
+        xs = vecs[order]
+        for c, s, t in zip(ks, starts, bounds):
+            cent[c] = xs[s:t].mean(0)
+    return cent
+
+
+def _assign_cells(spark: SparkSession, e: DataFrame, cent) -> DataFrame:
+    """Distributed nearest-centroid cell assignment of (vec_id, v) rows
+    against the FIXED trained centroids: vectorized Arrow-batched kernel
+    (guide §4.2), map-only, no shuffle. Distances accumulate per
+    dimension in the same order as the SQL l2sq fold (0.0 + d_0 + d_1 +
+    ... — bit-identical since 0.0 + d_0 == d_0), ties break to the
+    lowest cell id (np.argmin), matching `append_ivf_index`'s
+    row_number ordering exactly."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bc = spark.sparkContext.broadcast([list(c) for c in cent])
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(vs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        c = _np.asarray(bc.value)
+        x = _np.stack([_np.asarray(v) for v in vs])
+        d2 = (x[:, None, 0] - c[None, :, 0]) ** 2
+        for j in range(1, x.shape[1]):
+            d2 += (x[:, None, j] - c[None, :, j]) ** 2
+        return pd.Series(d2.argmin(1).astype("int32"))
+
+    return e.withColumn("cell", nearest("v"))
 
 
 @register(
@@ -356,27 +434,31 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     them — the production IVF layout (ann_ivf_by_label is the same plan
     with a given partition key instead of a learned one).
 
-    Scale: the quantizer trains on a sample, its 16×64 centroid matrix is
-    model metadata (broadcast, KB-sized, independent of corpus size), cell
-    assignment is one map-side transform, and the probe is an equi-join on
-    cell id — candidates scanned ≈ nprobe/k of the corpus. Recall vs the
-    exact baseline is asserted in tests/test_curation.py's sibling
-    (tests/test_ml.py pattern).
+    Scale: the quantizer trains on a bounded seeded sample
+    (`_train_ivf_centroids`, driver-side — r13: replaces the MLlib fit,
+    which serialized ~25 driver-scheduled jobs over the one-split input;
+    same recipe as the PQ codebooks), its 16×64 centroid matrix is model
+    metadata (broadcast, KB-sized, independent of corpus size), cell
+    assignment is one vectorized map-side pass (`_assign_cells`), and
+    the probe is an equi-join on cell id — candidates scanned ≈ nprobe/k
+    of the corpus. Recall vs the exact baseline is asserted in
+    tests/test_ann_recall.py.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    feat = e.withColumn("features", array_to_vector("v"))
-    model = KMeans(k=IVF_K, seed=42, maxIter=20).fit(feat)
-    assigned = model.transform(feat).select("vec_id", "v", F.col("prediction").alias("cell"))
+    sample = np.array(
+        [r["v"] for r in e.sort("vec_id").limit(IVF_TRAIN_SAMPLE).collect()]
+    )
+    cent = _train_ivf_centroids(sample)
+    assigned = _assign_cells(spark, e, cent).select("vec_id", "v", "cell")
 
     # Centroids are model metadata (k×dim doubles) — a broadcastable tiny dim
     # table, NOT a data-dependent collect.
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
         "cell int, cv array<double>",
     )
     l2sq = lambda a, b: F.aggregate(  # noqa: E731
@@ -529,8 +611,7 @@ def build_ivf_index(
     (asserted in tests/test_ann_recall.py)."""
     import os
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     # Cache key includes the source file identity so a regenerated fixture
     # invalidates the index (mtime-keying, same as catalog's ts-unit sniff
@@ -554,11 +635,15 @@ def build_ivf_index(
     # is corpus-wide); ann_ivf_append_batch is the caller.
     src = source if source is not None else load_table(spark, sf_dir, "embeddings")
     e = src.select("vec_id", as_double("embedding").alias("v"))
-    feat = e.withColumn("features", array_to_vector("v"))
-    model = KMeans(k=IVF_K, seed=42, maxIter=20).fit(feat)
-    assigned = model.transform(feat).select(
-        "vec_id", "v", F.col("prediction").alias("cell")
+    # r13 re-baseline (VERDICT r12 #4): seeded driver-side Lloyd fit on a
+    # bounded deterministic sample + distributed vectorized assignment,
+    # replacing the MLlib fit's ~25 serialized driver-scheduled jobs.
+    # See _train_ivf_centroids for the determinism/scale argument.
+    sample = np.array(
+        [r["v"] for r in e.sort("vec_id").limit(IVF_TRAIN_SAMPLE).collect()]
     )
+    cent = _train_ivf_centroids(sample)
+    assigned = _assign_cells(spark, e, cent).select("vec_id", "v", "cell")
     # repartition on cell first: one file per cell directory, not one per
     # (writer task × cell) — same small-file discipline as lake.py.
     (
@@ -567,11 +652,28 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(os.path.join(stage, "assignments"))
     )
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, cv array<double>",
+    # The centroid table is KB-sized driver-resident metadata; writing it
+    # through a Spark job cost 0.7-2.4 s of pure scheduling per build
+    # (r13; guide §2.6 — same driver-side pyarrow pattern as the r12
+    # stream sentinel staging). Schema parity with the old Spark write:
+    # cell int32, cv list<double> — consumers spark.read.parquet it
+    # unchanged.
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    os.makedirs(os.path.join(stage, "centroids"), exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "cell": pa.array(range(len(cent)), type=pa.int32()),
+                "cv": pa.array(
+                    [[float(x) for x in c] for c in cent],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        os.path.join(stage, "centroids", "part-00000.parquet"),
     )
-    centroids.write.mode("overwrite").parquet(os.path.join(stage, "centroids"))
     with open(os.path.join(stage, "_INDEX_COMPLETE"), "w") as f:
         f.write("ok")
     try:
@@ -686,7 +788,7 @@ def append_ivf_index(spark: SparkSession, root: str, batch: DataFrame) -> None:
     # Loud NULL/empty-embedding reject (r11 ADVICE #2): l2sq over a NULL
     # array yields NULL d2, and row_number over d2 ASC (NULLS FIRST in
     # Spark) would hand the bad vector rank 1 in an ARBITRARY cell — a
-    # silent index corruption the build path (KMeans.fit) would have
+    # silent index corruption the build path (_train_ivf_centroids) would have
     # rejected loudly. Same NULL-reject-on-identity convention as
     # bitmap_distinct_users: assert_true returns NULL on pass (preserving
     # v via the when-wrap) and ALSO raises when the condition itself is
@@ -1126,7 +1228,7 @@ def ann_ivf_pq_append_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # independent (separate private roots, separate outputs); run them
         # as two concurrent driver threads (guide §2.6 — overlap
         # independent jobs) so the PQ codebook train + encode back-fills
-        # the cores the serialized KMeans.fit leaves idle. Each build's
+        # the cores the build stages leave idle. Each build's
         # internal math is untouched, so both stores stay bit-identical
         # to the sequential form (pinned in tests/test_r12_new_ops.py).
         with ThreadPoolExecutor(max_workers=2) as pool:
