@@ -198,7 +198,13 @@ def main() -> None:
             load_per_query[name] = round(os.getloadavg()[0], 2)
 
         # --- tier 2: the heavy tail, tracked per-round ---------------------
+        # Per-row 1-min loadavg sampled alongside, same as the headline
+        # rows (r12 verdict #1: ALL of that round's unadjudicable
+        # anomalies sat in tier-2, which had no contention telemetry —
+        # the 6-7x quantile "regressions" turned out to be host-phase
+        # noise that per-row loadavg would have flagged in-artifact).
         tier2: dict[str, float] = {}
+        tier2_load: dict[str, float] = {}
         _clear_ann_caches(sf_dir)
         # Split cold into BUILD (train k-means cells + PQ codebooks, write
         # the persisted index — the train-once cost a new corpus pays) vs
@@ -213,11 +219,13 @@ def main() -> None:
         build_ivf_index(spark, sf_dir)
         pq_encode_df(spark, sf_dir)
         tier2["ann_ivf_pq_build"] = round(time.perf_counter() - t0, 4)
+        tier2_load["ann_ivf_pq_build"] = round(os.getloadavg()[0], 2)
         t0 = time.perf_counter()
         reg["ann_ivf_pq_refined"].fn(spark, sf_dir).count()
         tier2["ann_ivf_pq_refined_cold"] = round(
             time.perf_counter() - t0 + tier2["ann_ivf_pq_build"], 4
         )  # kept for continuity with BENCH_r06; = build + first probe
+        tier2_load["ann_ivf_pq_refined_cold"] = round(os.getloadavg()[0], 2)
         for name in TIER2:
             label = "ann_ivf_pq_refined_warm" if name == "ann_ivf_pq_refined" else name
             per_run = []
@@ -226,6 +234,7 @@ def main() -> None:
                 reg[name].fn(spark, sf_dir).count()
                 per_run.append(time.perf_counter() - t0)
             tier2[label] = round(min(per_run), 4)
+            tier2_load[label] = round(os.getloadavg()[0], 2)
     finally:
         # Restore fd 2 and replay the capture even when a query raises —
         # otherwise the traceback itself vanishes into the temp file.
@@ -243,6 +252,7 @@ def main() -> None:
                 "warm_pass": "all-headline",
                 "tier2": tier2,
                 "tier2_total": round(sum(tier2.values()), 4),
+                "loadavg_per_query_tier2": tier2_load,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg_start": [round(x, 2) for x in load_before],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],

@@ -53,105 +53,39 @@ def register(
 
 
 # The driver's correctness gate iterates ``queries()`` in dict order and
-# checks exactly 50 queries per round (CORRECTNESS_r01-r11: 50 rows each).
-# Round-12 rotation (r11 verdict #3): (a) the two r11 lifecycle ops that
-# have never held a driver row lead — with them executed, every one of
-# the 331 registered queries has a driver row (329 were green through
-# r11); (b) this round's new ops (the PQ-append lifecycle closure, the
-# wholetext text-source twin of S2/S3, the from-scratch Avro round-trip,
-# and the retraction/compaction lifecycle — near_dup_retract_reprobe is
-# oracle-bearing, ann_ivf_delete_serve + ann_ivf_compact_tombstones
-# rows-only); (c) every query whose
-# EXECUTED CODE changed this round re-earns its execution row (the
-# pq_encode_df encoder refactor flows into the three PQ serving ops; the
-# idempotency/NULL-guard fixes are already covered by (a)); (d) the
-# remaining slots hold the OLDEST-checked oracle-bearing names: the full
-# r5 remainder (9), then r6 alphabetical — the first 15 fill the 50
-# (the r12 OPTIMIZATION pass prepends its 14 changed-code names, with
-# the 5 of them that previously sat in this r6 section moved up rather
-# than duplicated; the displaced r6 re-confirmations front the r13
-# rotation).
-# Rows-only names appear only under (a)-(c), where a fresh execution row
-# is the point; every (d) slot produces a hash verdict.
+# checks exactly 50 queries per round (CORRECTNESS_r01-r12: 50 rows each;
+# union coverage 338/338 since r12).
+# Round-13 rotation (r12 verdict #8: restore the oracle-heavy mix now
+# that every lifecycle op holds an execution row — >=46 of the 50 slots
+# produce a hash verdict): (a) r13 changed-code oracle-bearing names
+# lead (the standing re-earn rule), (b) exactly 4 rows-only slots for
+# the lifecycle ops whose layouts the r13 IVF re-baseline rebuilt, then
+# (c)/(d) the names the r12 rotation displaced — the r6 tail that sat at
+# slot 51+ plus PERF_r12's queries_dropped list (all held prior green
+# rows; displacement, not removal).
+# Rows-only names appear only under (b), where a fresh execution row is
+# the point; every (a)/(c)/(d) slot produces a hash verdict.
 # Regenerate this list each round from the CORRECTNESS_r* latest-row map.
 _DRIVER_PRIORITY = [
-    # --- (a0) r12 OPTIMIZATION round: every oracle-bearing query whose
-    # EXECUTED code changed in the optimization pass (the standing
-    # changed-code re-earn rule). Names also present in the (c)/(d)
-    # (c)/(d) sections were MOVED here (the contract forbids duplicate
-    # priority entries); the displaced tail of the r6 re-confirmations
-    # fronts the r13 rotation instead. (14) ----------------------------
-    "near_dup_edit_distance",
-    "near_dup_minhash_verified",
-    "near_dup_jaccard",
-    "near_dup_jaccard_stopfiltered",
-    "minhash_lsh_candidates",
-    "dedup_clusters",
-    "dedup_clusters_logstar",
-    "dedup_cluster_survivors",
-    "doc_embedding_avg",
-    "substring_span_dedup",
-    "near_dup_containment",
-    "near_dup_containment_stopfiltered",
-    "simhash_near_dup_pairs",
-    "simhash64_near_dup_pairs",
-    # --- (a0b) r12 optimization SESSION 2: rows-only queries whose
-    # executed code changed (pyarrow sentinel staging; the pq-append
-    # thread overlap's name already sits in (b)) (2) ---------------------
-    "stream_stream_left_outer_join",
-    "stream_stream_full_outer_join",
-    # --- (a) never-driver-checked r11 lifecycle ops (rows-only) (2) ------
-    "stream_near_dup_incremental",
-    "ann_ivf_append_batch",
-    # --- (b) new ops this round (7) --------------------------------------
+    # --- (a) r13 OPTIMIZATION round: oracle-bearing queries whose
+    # EXECUTED code changed (quantile-engine job-count cuts) — the
+    # standing changed-code re-earn rule, hash-verified first (3) ----
+    "quantile_two_pass_exact",
+    "grouped_quantile_exact",
+    "mad_price_outliers",
+    # --- (b) r13 changed rows-only: the IVF coarse-quantizer
+    # re-baseline (VERDICT r12 #4) rebuilt these lifecycle ops'
+    # layouts; a fresh driver execution row re-earns them. The other
+    # re-baselined serves (ann_ivf_kmeans/persisted/adc/refined) get
+    # execution rows from the BENCH headline/tier-2 set, keeping the
+    # rows-only slot spend at 4 (VERDICT r12 #5/#8: >=46 of 50 slots
+    # oracle-bearing) (4) --------------------------------------------
     "ann_ivf_pq_append_batch",
-    "source_text_wholetext_labels",
-    "source_avro_events_agg",
-    "near_dup_retract_reprobe",
+    "ann_ivf_append_batch",
     "ann_ivf_delete_serve",
     "ann_ivf_compact_tombstones",
-    "near_dup_compact_tombstones",
-    # --- (c) executed code changed this round (pq encoder refactor) (3) --
-    "ann_pq_adc",
-    "ann_ivf_pq_adc",
-    "ann_ivf_pq_refined",
-    # --- (d) oldest oracle-bearing: r5 remainder (9) ----------------------
-    "skew_agg_two_phase",
-    "source_orc_lineitem_agg",
-    "source_xml_events_agg",
-    "sql_registered_udf",
-    "temperature_mixture_weights",
-    "triangle_count_copurchase",
-    "udaf_weighted_median",
-    "udf_iterator_scoring",
-    "union_by_name_schema_drift",
-    # --- (d) oldest oracle-bearing: r6 alphabetical, first 29 fill the 50 -
-    "asof_join_latest_order",
-    "attribution_last_touch",
-    "benford_first_digit",
-    "bm25_topk",
-    "corpus_token_stats",
-    "cosine_topk_filtered",
-    "dedup_exact_groups",
-    "dedup_exact_survivors",
-    "doc_fingerprints",
-    "dq_quarantine_split",
-    "events_local_hour_histogram",
-    "events_session_window_builtin",
-    "group_by_all_revenue",
-    "hinted_shuffle_hash_join",
-    "inverted_index_postings",
-    "lake_dpp_star_join",
-    "lake_restore_version",
-    "lake_shallow_clone_divergence",
-    "lang_id",
-    "mad_price_outliers",
-    "ml_fpgrowth_item_pairs",
-    "near_dup_incremental",
-    "near_dup_index_append_cycle",
-    "pagerank_purchase_graph",
-    # ==== slot 51+ from here: fronts the r13 rotation ====================
-    # --- r6 oracle-bearing remainder (11) ---------------------------------
+    # --- (c) the r6 re-confirmation tail displaced by the r12
+    # rotation (sat at slot 51+ last round) (10) ---------------------
     "range_join_events_after_order",
     "row_ids_distributed",
     "shortest_paths_bfs",
@@ -162,8 +96,56 @@ _DRIVER_PRIORITY = [
     "token_counts",
     "tokenize_truncate",
     "zipf_fit",
+    # --- (d) displaced r12 re-confirmations: the PERF_r12
+    # queries_dropped list (driver-rotation displacement, all with
+    # prior green rows), alphabetical; first 33 fill the 50 ----------
+    "ann_matryoshka_refine",
+    "ansi_safe_doc_ratios",
+    "batch_observed_metrics",
+    "bloom_semijoin_pruned",
+    "bucketed_join_revenue",
+    "business_days_to_ship",
+    "cdc_snapshot_diff",
+    "collated_token_counts",
+    "customer_rfm_segments",
+    "distinct_multi_two_phase",
+    "events_ohlc_hourly",
+    "events_retention_cohorts",
+    "except_all_order_priorities",
+    "global_agg_stats",
+    "grouped_apply_in_arrow",
+    "heavy_hitters_sketch_verified",
+    "incremental_agg_maintenance",
+    "intersect_all_order_priorities",
+    "interval_month_overlap_revenue",
+    "k_anonymity_violations",
+    "lake_compact_small_files",
+    "lake_deletion_vectors",
+    "lake_dynamic_partition_overwrite",
+    "lake_schema_evolution",
+    "lake_vacuum_expire",
+    "lake_zorder_recluster",
+    "lake_zorder_write",
+    "lateral_top3_orders",
+    "leakage_safe_splits",
+    "locf_forward_fill",
+    "map_in_arrow_bytes",
+    "notin_nullaware_anti",
+    "ntile_balance_quartiles",
+    # ==== slot 51+ from here: fronts the r14 rotation ===============
+    # --- r12-displaced remainder (11) -------------------------------
+    "nullsafe_bucket_join",
+    "percentile_band_segments",
+    "quality_tiers",
+    "recursive_calendar_daily",
+    "salted_join_quantity_tier",
+    "segment_nation_rollcall",
+    "text_normalize_nfc",
+    "top10_orders",
+    "top_ngrams_boilerplate",
+    "udtf_chunk_spans",
+    "union_account_balances",
 ]
-
 def load_all() -> dict[str, Query]:
     """Import every query-defining module, then return the registry."""
     # Imports are side-effectful (decorators fill REGISTRY).
